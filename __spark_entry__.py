@@ -1,38 +1,43 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship query smoke on sf0.001
+queries()    — every implemented operator from SURVEY.md §2 (name -> fn)
+oracle_sql() — matching DuckDB ANSI SQL per query (value-hash oracle)
+
+All real logic lives in the esco_neo4j_spark package; this file only
+adapts the registry to the driver's interface.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+
+from esco_neo4j_spark.plans import REGISTRY  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: top parts by lineitem
+    count — the AQ:38-41 'skills with most ESSENTIAL_FOR relationships'
+    shape (scan -> join -> groupBy count -> top-k)."""
+    return REGISTRY["aq_top_parts_by_lines"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator query (SURVEY.md §2)."""
+    return {name: q.fn for name, q in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle SQL for every SQL-expressible query; iterative /
+    approximate operators (pagerank, LPA, betweenness, LSH variants) are
+    intentionally omitted -> driver records the weaker rows-only check,
+    and tests/ golden-check them instead."""
+    return {name: q.sql for name, q in REGISTRY.items() if q.sql is not None}

@@ -1,0 +1,58 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+value = total wall seconds across the headline set (lower is better).
+Each query is fully materialized via a count-ish action (collect on the
+already-aggregated result), never cached, so the number reflects scan ->
+shuffle -> agg end-to-end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from esco_neo4j_spark.plans import REGISTRY  # noqa: E402
+from esco_neo4j_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("esco_neo4j_spark_bench")
+
+    bench_queries = [q for q in REGISTRY.values() if q.bench]
+    timings: dict[str, float] = {}
+    # one warmup action so JVM/codegen startup isn't billed to the first query
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    for q in bench_queries:
+        t0 = time.perf_counter()
+        rows = q.fn(spark, sf_dir).collect()
+        timings[q.name] = round(time.perf_counter() - t0, 3)
+        assert rows is not None
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,303 @@
+"""Deduplication operators (north-star LLM-pipeline extensions).
+
+The reference's only dedup is key-dedup before constraint writes
+(reference: src/esco_ingest.py:145 ``drop_duplicates(subset=['code'])``).
+A 100 TB training-data pipeline needs the full family:
+
+- exact dedup           hash of normalized text, groupBy
+- MinHash + LSH         shingle -> minhash signature -> banded bucket join
+- SimHash               60-bit sign-fingerprint, hamming-distance pairs
+- n-gram Jaccard        exact set similarity on character shingles
+- embedding near-dup    cosine over the embedding column (see similarity.py)
+
+All hash arithmetic is built ONLY from md5 + integer ops so a DuckDB oracle
+can reproduce results bit-for-bit (``conv(substr(md5(x),1,15),16,10)`` ==
+DuckDB ``('0x'||substr(md5(x),1,15))::BIGINT`` — verified).
+
+Scale design:
+- Exact dedup: one shuffle on a 128-bit hash — the cheapest possible.
+- MinHash LSH: candidate generation is an equi-join on (band_id, band_key) —
+  shuffle keyed on the band hash, no cross join anywhere; the exact-Jaccard
+  verify runs only on candidates. This is the linear-ish path at 100 TB.
+- SimHash: banded equi-join on 15-bit sub-fingerprints for candidate pairs
+  (any pair within hamming distance 3 shares at least one of 4 bands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from esco_neo4j_spark.functions.text import ngram_shingles, normalize_ws, word_tokens
+
+# (a*h + b) mod P per permutation; P = 2^31-1 (Mersenne), h < 2^28 so the
+# product stays far below 2^63 in 64-bit integer arithmetic.
+MINHASH_PRIME = 2147483647
+
+
+def norm_text(c: Column) -> Column:
+    """Normalization applied before hashing: lowercase + whitespace collapse."""
+    return normalize_ws(F.lower(c))
+
+
+def md5_long(c: Column) -> Column:
+    """First 60 bits of md5 as a non-negative bigint (oracle-reproducible)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def md5_int28(c: Column) -> Column:
+    """First 28 bits of md5 as int (minhash base hash)."""
+    return F.conv(F.substring(F.md5(c), 1, 7), 16, 10).cast("bigint")
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per normalized-text hash. One shuffle.
+
+    Generalizes reference src/esco_ingest.py:145 from key-columns to
+    content hash. Returns (id, text_hash, dup_count).
+    """
+    h = F.md5(norm_text(F.col(text_col))).alias("text_hash")
+    return (
+        df.select(F.col(id_col).alias("id"), h)
+        .groupBy("text_hash")
+        .agg(F.min("id").alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig array<bigint>) — minhash signature over character shingles.
+
+    h_i(s) = ((2i+1) * md5_28(s) + 7919*i + 1) mod (2^31-1); sig[i] =
+    min over shingles. Pure column expressions -> whole-stage codegen.
+    """
+    shingles = ngram_shingles(F.col(text_col), shingle_n)
+    hashed = F.transform(shingles, md5_int28)
+
+    # NB: the lambda must be single-arg — F.transform passes the element
+    # INDEX as a second argument, which would shadow a default-bound i.
+    def perm(i: int):
+        return lambda h: (
+            (F.lit(2 * i + 1) * h + F.lit(7919 * i + 1)) % F.lit(MINHASH_PRIME)
+        )
+
+    sig = F.array(
+        *[F.array_min(F.transform(hashed, perm(i))) for i in range(num_hashes)]
+    ).alias("sig")
+    return df.select(F.col(id_col).alias("id"), sig)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """Banded LSH: docs sharing any band of the signature become candidates.
+
+    Explode to (band_id, band_key, id); equi-join per bucket (shuffle on the
+    band key — no cross join). Returns distinct (id_a, id_b), id_a < id_b.
+    """
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_id", "band.band_key")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signature -> banded candidates ->
+    exact-Jaccard verify on candidates only. Returns
+    (id_a, id_b, jaccard) for pairs >= threshold.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        ngram_shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
+    union = F.size(F.array_union(F.col("sa"), F.col("sb"))).cast("double")
+    return (
+        cands.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sa")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sb")), "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+SIMHASH_BITS = 60  # md5-prefix hash gives 60 reproducible bits
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """60-bit SimHash over distinct word tokens. Returns (id, simhash).
+
+    bit b of the fingerprint = 1 iff sum over tokens of
+    (+1 if bit b of md5_60(token) else -1) > 0.
+    Expressed as explode -> 60 conditional sums -> bit reassembly; every
+    step is an integer op reproducible in the DuckDB oracle.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_tokens(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", md5_long(F.col("tok")))
+    bit_sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    fp = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fp = term if fp is None else fp + term
+    return bit_sums.select("id", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 8
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance (brute-force pair scan;
+    the banded variant for scale is simhash_pairs_banded)."""
+    fps = simhash(df, text_col, id_col)
+    a = fps.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = fps.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_pairs_banded(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Scale path: split the 60-bit fingerprint into 4 15-bit bands; any
+    pair within hamming distance 3 collides on >= 1 band (pigeonhole), so an
+    equi-join on (band_id, band_bits) generates candidates without a cross
+    join, then exact hamming verifies."""
+    fps = simhash(df, text_col, id_col)
+    banded = fps.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftright(F.col("simhash"), 15 * i)
+                        .bitwiseAND(F.lit((1 << 15) - 1))
+                        .alias("band_bits"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "simhash", "band.band_id", "band.band_bits")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs.
+
+    Implemented as an inverted-index join (explode shingles -> equi-join on
+    shingle -> count common -> Jaccard via |A|+|B|-common), NOT a cross
+    join — at 100 TB the shingle join shuffles on content, and pairs
+    sharing nothing never meet.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        ngram_shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    sizes = sh.select("id", F.size("sh").alias("n"))
+    inv = sh.select("id", F.explode("sh").alias("g"))
+    a = inv.select(F.col("id").alias("id_a"), "g")
+    b = inv.select(F.col("id").alias("id_b"), "g")
+    common = (
+        a.join(b, ["g"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,430 @@
+"""DataFrame-native graph operators (SURVEY.md §2 category K).
+
+The reference runs these inside Neo4j/GDS:
+- K1 variable-length traversal  MATCH (i)-[:BROADER_THAN*]->(j)
+  (reference: analysis_queries.md:84-91,104-111)
+- K2 unweighted shortestPath    (reference: analysis_queries.md:136-141)
+- K4 betweenness centrality     gds.betweenness.stream (analysis_queries.md:217-231)
+- K5 Louvain community          gds.louvain.stream (analysis_queries.md:233-246)
+  -> shipped here as label propagation (LPA), the scalable equivalent; the
+  deviation is documented in SURVEY.md §7.
+
+Design: GraphX is not reachable from PySpark, so every algorithm is built on
+one primitive — ``aggregate_messages`` (edge-join + groupBy, i.e. the Pregel
+superstep) — plus an iteration loop that ``localCheckpoint``s each round to
+cut lineage growth (SURVEY.md §7 "What's hard" #3).
+
+Scale notes (100 TB):
+- Edges are hash-partitioned on the join key per superstep; AQE handles skew.
+- Frontier-based BFS keeps per-round state proportional to the frontier, not
+  the graph.
+- Betweenness is exact batched-Brandes for small/medium vertex counts and
+  supports source sampling (``sample_k``) for large graphs — the standard
+  approximation (Brandes & Pich 2007).
+
+Edge DataFrame convention: columns ``src``, ``dst`` (+ optional props).
+Vertex DataFrame convention: column ``id``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def undirected(edges: DataFrame) -> DataFrame:
+    """Edge view matching Cypher's undirected ``-[r]-`` (reference:
+    src/semantic_search.py:119): union of edges with their reversals."""
+    return edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def vertices_of(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+def degrees(edges: DataFrame, directed: bool = False) -> DataFrame:
+    """Per-vertex degree (out+in if undirected view requested)."""
+    e = edges.select("src", "dst") if directed else undirected(edges)
+    return e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("degree"))
+
+
+def aggregate_messages(
+    edges: DataFrame,
+    vertex_state: DataFrame,
+    to_dst: bool = True,
+    msg_cols: list[str] | None = None,
+) -> DataFrame:
+    """One Pregel superstep's message send: join vertex state onto edges and
+    route state columns to the opposite endpoint.
+
+    Returns a DataFrame with ``id`` (the receiving vertex) plus the sending
+    vertex's state columns. Caller applies the groupBy/agg (merge) step.
+    """
+    state_cols = msg_cols or [c for c in vertex_state.columns if c != "id"]
+    join_on = "src" if to_dst else "dst"
+    recv = "dst" if to_dst else "src"
+    return (
+        edges.join(vertex_state, edges[join_on] == vertex_state["id"], "inner")
+        .select(F.col(recv).alias("id"), *state_cols)
+    )
+
+
+def _checkpoint(df: DataFrame) -> DataFrame:
+    """Cut lineage between supersteps; eager so each round materializes once."""
+    return df.localCheckpoint(eager=True)
+
+
+def bfs_depths(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 20,
+    directed: bool = True,
+) -> DataFrame:
+    """Min hop-distance from any source vertex. Frontier-expansion BFS:
+    each round expands the frontier one hop and anti-joins the visited set
+    (the cycle guard from SURVEY.md §7).
+
+    sources: DataFrame with column ``id``. Returns (id, depth).
+    """
+    e = edges.select("src", "dst") if directed else undirected(edges)
+    visited = sources.select("id").distinct().withColumn("depth", F.lit(0))
+    visited = _checkpoint(visited)
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("id", "src").select("src"), "src")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("depth", F.lit(d))
+        )
+        nxt = _checkpoint(nxt)
+        if nxt.isEmpty():
+            break
+        visited = _checkpoint(visited.union(nxt))
+        frontier = nxt
+    return visited
+
+
+def transitive_closure(
+    edges: DataFrame, max_depth: int = 20, directed: bool = True
+) -> DataFrame:
+    """All (src, dst, depth) pairs reachable in <= max_depth hops, depth =
+    MIN hop count — the relational form of ``MATCH p=(i)-[*]->(j) RETURN
+    length(p)`` (reference: analysis_queries.md:84-91).
+
+    Per-source BFS run simultaneously for all sources: state is keyed by
+    (origin, id). DuckDB ``WITH RECURSIVE`` is the oracle for this operator.
+    """
+    e = edges.select("src", "dst") if directed else undirected(edges)
+    # depth-1 reachability; origin = the traversal anchor
+    reached = (
+        e.select(F.col("src").alias("origin"), F.col("dst").alias("id"))
+        .distinct()
+        .withColumn("depth", F.lit(1))
+    )
+    reached = _checkpoint(reached)
+    frontier = reached
+    for d in range(2, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["id"] == e["src"], "inner")
+            .select("origin", F.col("dst").alias("id"))
+            .distinct()
+            .join(reached.select("origin", "id"), ["origin", "id"], "left_anti")
+            .withColumn("depth", F.lit(d))
+        )
+        nxt = _checkpoint(nxt)
+        if nxt.isEmpty():
+            break
+        reached = _checkpoint(reached.union(nxt))
+        frontier = nxt
+    return reached.select(
+        F.col("origin").alias("src"), F.col("id").alias("dst"), "depth"
+    )
+
+
+def shortest_path_length(
+    edges: DataFrame, source, target, max_depth: int = 20, directed: bool = False
+) -> DataFrame:
+    """Unweighted shortest path length between two vertices — Cypher
+    ``shortestPath((a)-[*]-(b))`` (reference: analysis_queries.md:136-141).
+
+    BFS from the source over the (default undirected) edge view; returns a
+    1-row DataFrame (src, dst, distance) or 0 rows if unreachable.
+    """
+    spark = edges.sparkSession
+    src_df = spark.createDataFrame([(source,)], ["id"])
+    depths = bfs_depths(edges, src_df, max_depth=max_depth, directed=directed)
+    return depths.filter(F.col("id") == F.lit(target)).select(
+        F.lit(source).alias("src"),
+        F.col("id").alias("dst"),
+        F.col("depth").alias("distance"),
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 30
+) -> DataFrame:
+    """Hash-min connected components: every vertex adopts the min component
+    id among itself and its neighbors until fixpoint. Returns (id, component).
+
+    Converges in O(diameter) supersteps; each superstep is one
+    aggregate_messages + groupBy min. (GraphX's ConnectedComponents is the
+    same algorithm expressed on RDDs.)
+    """
+    e = undirected(edges)
+    state = vertices_of(edges).withColumn("component", F.col("id"))
+    state = _checkpoint(state)
+    for _ in range(max_iter):
+        msgs = (
+            e.join(state, e["src"] == state["id"], "inner")
+            .select(F.col("dst").alias("id"), "component")
+        )
+        new_state = (
+            state.select("id", "component").union(msgs)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        new_state = _checkpoint(new_state)
+        changed = (
+            new_state.alias("n")
+            .join(state.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .isEmpty()
+        )
+        state = new_state
+        if changed:
+            break
+    return state
+
+
+def pagerank(
+    edges: DataFrame,
+    num_iter: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank with a fixed iteration count (GraphX ``staticPageRank``
+    semantics: rank = (1-d) + d * sum(rank_src / outDeg_src); dangling
+    vertices contribute nothing). Returns (id, rank).
+    """
+    verts = vertices_of(edges)
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("out_degree")
+    )
+    # Pre-join degree once; rank state re-joined per superstep.
+    e_deg = _checkpoint(
+        edges.select("src", "dst").join(
+            out_deg.withColumnRenamed("id", "src"), "src"
+        )
+    )
+    state = verts.withColumn("rank", F.lit(1.0))
+    state = _checkpoint(state)
+    for _ in range(num_iter):
+        contribs = (
+            e_deg.join(state.withColumnRenamed("id", "src"), "src")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("out_degree")).alias("contrib"),
+            )
+            .groupBy("id")
+            .agg(F.sum("contrib").alias("msg"))
+        )
+        state = (
+            verts.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("msg"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        state = _checkpoint(state)
+    return state
+
+
+def label_propagation(edges: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Community detection via synchronous label propagation — the scalable
+    stand-in for the reference's Louvain call (analysis_queries.md:233-246;
+    SURVEY.md §7 documents the substitution). Returns (id, community).
+
+    Tie-break: the smallest label among the most frequent neighbor labels
+    (deterministic, unlike classic random LPA).
+    """
+    e = undirected(edges)
+    state = vertices_of(edges).withColumn("community", F.col("id"))
+    state = _checkpoint(state)
+    for _ in range(max_iter):
+        neigh = (
+            e.join(state.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"), "community")
+            .agg(F.count("*").alias("votes"))
+        )
+        w = Window.partitionBy("id").orderBy(
+            F.desc("votes"), F.asc("community")
+        )
+        new_state = (
+            neigh.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", "community")
+        )
+        # isolated vertices keep their label
+        new_state = state.select("id").join(new_state, "id", "left").select(
+            "id",
+            F.coalesce(F.col("community"), F.col("id")).alias("community"),
+        )
+        new_state = _checkpoint(new_state)
+        changed = (
+            new_state.alias("n")
+            .join(state.alias("o"), "id")
+            .filter(F.col("n.community") != F.col("o.community"))
+            .isEmpty()
+        )
+        state = new_state
+        if changed:
+            break
+    return state
+
+
+def betweenness_centrality(
+    edges: DataFrame,
+    directed: bool = False,
+    sample_k: int | None = None,
+    max_depth: int = 30,
+) -> DataFrame:
+    """Brandes betweenness centrality as batched multi-source BFS in
+    DataFrames (reference op: gds.betweenness.stream,
+    analysis_queries.md:217-231; SURVEY.md §7 ranks this hardest).
+
+    Phase 1 (forward): BFS from ALL sources at once, state keyed by
+    (origin, id), accumulating shortest-path counts sigma per level.
+    Phase 2 (backward): walk levels deepest-first accumulating dependencies
+    delta(v) = sum over successors w of sigma(v)/sigma(w) * (1 + delta(w)).
+
+    Exact when sample_k is None; with sample_k, sources are a deterministic
+    sample and scores are scaled by n_vertices/sample_k (Brandes-Pich
+    approximation — the 100 TB path). Undirected scores are halved per
+    convention. Returns (id, betweenness).
+    """
+    e = edges.select("src", "dst") if directed else undirected(edges)
+    e = _checkpoint(e.distinct())
+    verts = _checkpoint(vertices_of(edges))
+    n_vertices = verts.count()
+
+    sources = verts
+    scale = 1.0
+    if sample_k is not None and sample_k < n_vertices:
+        sources = verts.orderBy("id").limit(sample_k)
+        scale = n_vertices / sample_k
+
+    # --- forward phase: multi-source BFS with sigma (path counts) ---
+    # state per level: (origin, id, sigma)
+    level_frames: list[DataFrame] = []
+    frontier = sources.select(
+        F.col("id").alias("origin"), F.col("id"), F.lit(1.0).alias("sigma")
+    )
+    frontier = _checkpoint(frontier)
+    visited = frontier.select("origin", "id")
+    level_frames.append(frontier.withColumn("depth", F.lit(0)))
+    for d in range(1, max_depth + 1):
+        expanded = (
+            frontier.join(e, frontier["id"] == e["src"], "inner")
+            .select("origin", F.col("dst").alias("id"), "sigma")
+            .join(visited, ["origin", "id"], "left_anti")
+            .groupBy("origin", "id")
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        expanded = _checkpoint(expanded)
+        if expanded.isEmpty():
+            break
+        level_frames.append(expanded.withColumn("depth", F.lit(d)))
+        visited = _checkpoint(
+            visited.union(expanded.select("origin", "id"))
+        )
+        frontier = expanded
+
+    # all (origin, id, sigma, depth)
+    bfs = level_frames[0]
+    for lf in level_frames[1:]:
+        bfs = bfs.union(lf)
+    bfs = _checkpoint(bfs)
+    max_d = len(level_frames) - 1
+
+    # --- backward phase: dependency accumulation, deepest level first ---
+    # delta defaults to 0 at the deepest level.
+    acc = None  # accumulated betweenness contributions per (id)
+    delta_next = None  # (origin, id, delta) at level d+1
+    for d in range(max_d, 0, -1):
+        level = bfs.filter(F.col("depth") == d).select("origin", "id", "sigma")
+        if delta_next is not None:
+            level_delta = (
+                level.join(delta_next, ["origin", "id"], "left")
+                .select(
+                    "origin",
+                    "id",
+                    "sigma",
+                    F.coalesce(F.col("delta"), F.lit(0.0)).alias("delta"),
+                )
+            )
+        else:
+            level_delta = level.withColumn("delta", F.lit(0.0))
+        level_delta = _checkpoint(level_delta)
+        # contribution flows to predecessors: v --edge--> w where
+        # depth(v) == d-1 and depth(w) == d (shortest-path DAG edges).
+        # Columns renamed to unique names before joining: preds and
+        # level_delta share lineage (both derive from bfs), so qualified
+        # access would be ambiguous.
+        preds = bfs.filter(F.col("depth") == d - 1).select(
+            F.col("origin").alias("p_origin"),
+            F.col("id").alias("pid"),
+            F.col("sigma").alias("psigma"),
+        )
+        dag = (
+            e.join(level_delta, e["dst"] == level_delta["id"], "inner")
+            .join(
+                preds,
+                (F.col("src") == F.col("pid"))
+                & (F.col("origin") == F.col("p_origin")),
+                "inner",
+            )
+            .select(
+                F.col("p_origin").alias("origin"),
+                F.col("pid").alias("id"),
+                (
+                    (F.col("psigma") / F.col("sigma"))
+                    * (F.lit(1.0) + F.col("delta"))
+                ).alias("contrib"),
+            )
+        )
+        delta_prev = dag.groupBy("origin", "id").agg(
+            F.sum("contrib").alias("delta")
+        )
+        delta_prev = _checkpoint(delta_prev)
+        # non-source vertices accumulate their delta into betweenness
+        part = (
+            delta_prev.filter(F.col("origin") != F.col("id"))
+            .groupBy("id")
+            .agg(F.sum("delta").alias("b"))
+        )
+        acc = part if acc is None else acc.union(part)
+        delta_next = delta_prev
+
+    if acc is None:
+        return verts.withColumn("betweenness", F.lit(0.0))
+    totals = acc.groupBy("id").agg(F.sum("b").alias("betweenness"))
+    factor = scale * (0.5 if not directed else 1.0)
+    return (
+        verts.join(totals, "id", "left")
+        .select(
+            "id",
+            (F.coalesce(F.col("betweenness"), F.lit(0.0)) * F.lit(factor)).alias(
+                "betweenness"
+            ),
+        )
+    )

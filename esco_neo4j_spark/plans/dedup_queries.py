@@ -1,0 +1,209 @@
+"""Deduplication query corpus (north-star LLM-pipeline operators).
+
+Every hash here is md5-derived integer arithmetic, so the DuckDB oracle
+reproduces Spark's results exactly — including the MinHash signatures and
+the banded-LSH candidate generation (see operators/dedup.py). The SimHash
+banded query is deliberately oracle-checked against a BRUTE-FORCE SQL
+computation of the same fingerprints: for hamming <= 3 with 4x15-bit bands
+the banding is lossless (pigeonhole), so the scale path must return exactly
+the brute-force answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from esco_neo4j_spark.operators.dedup import (
+    MINHASH_PRIME,
+    SIMHASH_BITS,
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_pairs_banded,
+)
+from esco_neo4j_spark.plans.registry import query
+
+# --- shared SQL fragments (mirror functions/text.py + operators/dedup.py) --
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_SHINGLES = f"""
+  CASE WHEN length({_NORM}) < 3 THEN [{_NORM}]
+       ELSE list_distinct(list_transform(
+              generate_series(1, length({_NORM}) - 2),
+              i -> {_NORM}[i:i+2]))
+  END
+"""
+_TOKENS = (
+    "list_distinct(list_filter("
+    "regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> x <> ''))"
+)
+_H28 = "(('0x' || substr(md5(s), 1, 7))::BIGINT)"
+_H60 = "(('0x' || substr(md5(t), 1, 15))::BIGINT)"
+
+
+@query(
+    "dedup_exact",
+    sql=f"""
+    SELECT md5({_NORM}) AS text_hash,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS dup_count
+    FROM documents
+    GROUP BY 1
+    ORDER BY text_hash
+    """,
+    survey_ops="A3,B12,dedup-exact",
+    tables=("documents",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content hash — one shuffle on the hash
+    (generalizes reference src/esco_ingest.py:145 key-dedup)."""
+    return exact_dedup(spark.table("documents"), "text", "doc_id").orderBy(
+        "text_hash"
+    )
+
+
+def _minhash_sig_sql(num_hashes: int) -> str:
+    terms = ", ".join(
+        f"list_min(list_transform(hs, h -> (({2 * i + 1}) * h + {7919 * i + 1}) "
+        f"% {MINHASH_PRIME}))"
+        for i in range(num_hashes)
+    )
+    return f"[{terms}]"
+
+
+_MINHASH_SQL = f"""
+    WITH sh AS (
+      SELECT doc_id AS id, {_SHINGLES} AS sh FROM documents
+    ),
+    hashed AS (
+      SELECT id, sh, list_transform(sh, s -> {_H28}) AS hs FROM sh
+    ),
+    sigs AS (
+      SELECT id, sh, {_minhash_sig_sql(16)} AS sig FROM hashed
+    ),
+    banded AS (
+      SELECT id, b.band_id, b.band_key FROM sigs,
+        LATERAL (
+          SELECT unnest(generate_series(0, 3)) AS band_id,
+                 unnest([
+                   sig[1]||'-'||sig[2]||'-'||sig[3]||'-'||sig[4],
+                   sig[5]||'-'||sig[6]||'-'||sig[7]||'-'||sig[8],
+                   sig[9]||'-'||sig[10]||'-'||sig[11]||'-'||sig[12],
+                   sig[13]||'-'||sig[14]||'-'||sig[15]||'-'||sig[16]
+                 ]) AS band_key
+        ) b
+    ),
+    cands AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.id < b.id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(round(len(list_intersect(x.sh, y.sh))::DOUBLE /
+                (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6)
+             AS DOUBLE) AS jaccard
+    FROM cands c JOIN sh x ON c.id_a = x.id JOIN sh y ON c.id_b = y.id
+    WHERE round(len(list_intersect(x.sh, y.sh))::DOUBLE /
+          (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) >= 0.5
+    ORDER BY id_a, id_b
+"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    sql=_MINHASH_SQL,
+    survey_ops="dedup-minhash,A7(scale)",
+    bench=True,
+    tables=("documents",),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + 4-band LSH candidates + exact-Jaccard verify >= 0.5.
+    The oracle reproduces the identical signatures and banding, so the
+    approximate pipeline itself is correctness-checked, not just sampled."""
+    return minhash_dedup_pairs(
+        spark.table("documents"), "text", "doc_id",
+        threshold=0.5, num_hashes=16, bands=4,
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    sql=f"""
+    WITH sh AS (SELECT doc_id AS id, {_SHINGLES} AS sh FROM documents)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+             AS DOUBLE) AS jaccard
+    FROM sh a JOIN sh b ON a.id < b.id
+    WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.7
+    ORDER BY id_a, id_b
+    """,
+    survey_ops="dedup-jaccard",
+    tables=("documents",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs >= 0.7 via inverted-index join (no cross
+    join: pairs sharing no shingle never meet — the scalable exact path).
+    The brute-force SQL oracle must agree exactly."""
+    return ngram_jaccard_pairs(
+        spark.table("documents"), "text", "doc_id", threshold=0.7
+    ).orderBy("id_a", "id_b")
+
+
+def _simhash_sql(max_hamming: int) -> str:
+    bit_sums = ",\n           ".join(
+        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    fp_terms = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKENS}) AS t FROM documents
+    ),
+    h AS (SELECT doc_id, {_H60} AS hv FROM toks),
+    bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id),
+    fp AS (SELECT doc_id, {fp_terms} AS simhash FROM bits)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    ORDER BY id_a, id_b
+    """
+
+
+@query(
+    "dedup_simhash",
+    sql=_simhash_sql(10),
+    survey_ops="dedup-simhash",
+    tables=("documents",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force SimHash pairs with hamming <= 10 (60-bit md5-derived
+    fingerprint over distinct word tokens)."""
+    df = simhash_pairs(spark.table("documents"), "text", "doc_id", max_hamming=10)
+    return df.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_simhash_banded",
+    sql=_simhash_sql(3),
+    survey_ops="dedup-simhash,A7(scale)",
+    tables=("documents",),
+)
+def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash join (4x15-bit bands): for hamming <= 3 the banding
+    is LOSSLESS, so this scale-path plan is oracle-checked against the
+    brute-force SQL — same fingerprints, same pairs, zero recall loss."""
+    df = simhash_pairs_banded(
+        spark.table("documents"), "text", "doc_id", max_hamming=3
+    )
+    return df.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("id_a", "id_b")

@@ -1,0 +1,273 @@
+"""Graph query corpus (SURVEY.md §2 category K) on a derived edge table.
+
+Per FIXTURES.md §C, the synthetic stand-in for the ESCO BROADER_THAN
+hierarchy is a referral forest derived from events.user_id: every user
+u >= 1 has a parent edge (u) -> (u // 2). That gives a binary-tree DAG —
+the exact shape of the skill hierarchy queries (AQ:84-111) — with a DuckDB
+``WITH RECURSIVE`` oracle for the iterative-join operators.
+
+The Spark implementations use the GENERIC operators from operators/graph.py
+(frontier BFS, multi-origin closure) — nothing is specialized to trees —
+while the oracle exploits the tree shape for an independent answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from esco_neo4j_spark.operators.graph import (
+    bfs_depths,
+    connected_components,
+    degrees,
+    label_propagation,
+    pagerank,
+    shortest_path_length,
+    transitive_closure,
+    undirected,
+)
+from esco_neo4j_spark.plans.registry import query
+
+# Parent-pointer edges u -> u//2 for u >= 1 (tree rooted at 0).
+_EDGES_SQL = """
+    SELECT DISTINCT user_id AS src, user_id // 2 AS dst
+    FROM events WHERE user_id >= 1
+"""
+
+
+def _edges(spark: SparkSession) -> DataFrame:
+    ev = spark.table("events")
+    return (
+        ev.filter(F.col("user_id") >= 1)
+        .select(
+            F.col("user_id").alias("src"),
+            (F.col("user_id") / 2).cast("bigint").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "graph_degrees",
+    sql=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    und AS (
+      SELECT src, dst FROM edges
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM edges
+    )
+    SELECT src AS id, CAST(count(*) AS BIGINT) AS degree
+    FROM und GROUP BY src ORDER BY id
+    """,
+    survey_ops="K3,G2,D2",
+    tables=("events",),
+)
+def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected degree per vertex — the graph-projection sanity stats
+    (AQ:10-20 label/type counts applied to the projected graph, K3)."""
+    return degrees(_edges(spark)).orderBy("id")
+
+
+@query(
+    "graph_transitive_closure",
+    sql=f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    anc AS (
+      SELECT src, dst AS anc, 1 AS depth FROM edges
+      UNION ALL
+      SELECT a.src, e.dst AS anc, a.depth + 1
+      FROM anc a JOIN edges e ON a.anc = e.src
+      WHERE a.depth < 10
+    )
+    SELECT src, anc AS dst, CAST(min(depth) AS INT) AS depth
+    FROM anc GROUP BY src, anc
+    ORDER BY src, dst
+    """,
+    survey_ops="K1,H4",
+    bench=True,
+    tables=("events",),
+)
+def graph_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length traversal with depth — ``MATCH p=(i)-[:BROADER_THAN*]
+    ->(j) RETURN length(p)`` (AQ:84-91). Iterative frontier joins with
+    localCheckpoint per round; DuckDB WITH RECURSIVE is the oracle."""
+    tc = transitive_closure(_edges(spark), max_depth=10)
+    return tc.select(
+        "src", "dst", F.col("depth").cast("int").alias("depth")
+    ).orderBy("src", "dst")
+
+
+@query(
+    "graph_depth_histogram",
+    sql=f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    anc AS (
+      SELECT src, dst AS anc, 1 AS depth FROM edges
+      UNION ALL
+      SELECT a.src, e.dst AS anc, a.depth + 1
+      FROM anc a JOIN edges e ON a.anc = e.src
+      WHERE a.depth < 10
+    ),
+    min_depths AS (
+      SELECT src, anc, min(depth) AS depth FROM anc GROUP BY src, anc
+    )
+    SELECT CAST(depth AS INT) AS depth, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM min_depths GROUP BY depth ORDER BY depth
+    """,
+    survey_ops="K1,D2,H4",
+    tables=("events",),
+)
+def graph_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy-depth distribution (AQ:104-111 'levels below each root'
+    aggregated): closure -> groupBy depth count."""
+    tc = transitive_closure(_edges(spark), max_depth=10)
+    return (
+        tc.groupBy(F.col("depth").cast("int").alias("depth"))
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("depth")
+    )
+
+
+@query(
+    "graph_shortest_path",
+    sql=f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    -- tree oracle: dist(u,v) = depth(u) + depth(v) - 2*depth(lca), computed
+    -- from the two root-ward ancestor chains (self at depth 0).
+    chain_a AS (
+      SELECT 14::BIGINT AS node, 0 AS depth
+      UNION ALL
+      SELECT e.dst, c.depth + 1 FROM chain_a c JOIN edges e ON c.node = e.src
+    ),
+    chain_b AS (
+      SELECT 9::BIGINT AS node, 0 AS depth
+      UNION ALL
+      SELECT e.dst, c.depth + 1 FROM chain_b c JOIN edges e ON c.node = e.src
+    )
+    SELECT CAST(14 AS BIGINT) AS src, CAST(9 AS BIGINT) AS dst,
+           CAST(min(a.depth + b.depth) AS INT) AS distance
+    FROM chain_a a JOIN chain_b b ON a.node = b.node
+    GROUP BY 1, 2
+    """,
+    survey_ops="K2,C3",
+    tables=("events",),
+)
+def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unweighted undirected shortest path (AQ:136-141 shortestPath).
+    Spark runs the GENERIC frontier BFS over the undirected edge view; the
+    oracle computes the tree answer independently via LCA — algorithmic
+    diversity, same number. Endpoints 14 and 9 exist at every sf."""
+    sp = shortest_path_length(_edges(spark), 14, 9, max_depth=20)
+    return sp.select(
+        "src", "dst", F.col("distance").cast("int").alias("distance")
+    )
+
+
+@query(
+    "graph_connected_components",
+    sql=f"""
+    WITH RECURSIVE edges AS (
+      SELECT src, dst FROM ({_EDGES_SQL}) WHERE src >= 4
+    ),
+    verts AS (
+      SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges
+    ),
+    climb AS (
+      SELECT id, id AS cur FROM verts
+      UNION ALL
+      SELECT c.id, c.cur // 2 FROM climb c WHERE c.cur >= 4
+    )
+    SELECT id, CAST(min(cur) AS BIGINT) AS component
+    FROM climb GROUP BY id ORDER BY id
+    """,
+    survey_ops="K5-adjacent,G2",
+    tables=("events",),
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-min connected components on the forest obtained by dropping
+    edges into the roots (src < 4) — two components rooted at 2 and 3.
+    Spark runs generic hash-min propagation; the oracle climbs
+    parent-pointers (min ancestor >= 2) — independent computations."""
+    e = _edges(spark).filter(F.col("src") >= 4)
+    return connected_components(e).orderBy("id")
+
+
+@query(
+    "graph_pagerank",
+    sql=None,  # iterative fixpoint, not SQL-expressible in DuckDB without
+    # recursive aggregation; golden-checked in tests/test_graph.py
+    survey_ops="K4-adjacent(pagerank)",
+    tables=("events",),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static PageRank (10 iters, d=0.85) on the parent-pointer graph.
+    Driver records a rows-only check; exactness vs a pure-Python
+    implementation is pytest-asserted."""
+    pr = pagerank(_edges(spark), num_iter=10)
+    return pr.select("id", F.round("rank", 6).alias("rank")).orderBy("id")
+
+
+@query(
+    "graph_label_propagation",
+    sql=None,  # iterative; golden-checked in tests/test_graph.py
+    survey_ops="K5",
+    tables=("events",),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous LPA communities (the scalable stand-in for
+    the reference's Louvain, AQ:233-246)."""
+    lp = label_propagation(_edges(spark), max_iter=10)
+    return lp.orderBy("id")
+
+
+@query(
+    "graph_betweenness",
+    sql=None,  # Brandes; golden-checked in tests/test_graph.py
+    survey_ops="K4",
+    tables=("events",),
+)
+def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Brandes betweenness via batched multi-source BFS
+    (gds.betweenness.stream, AQ:217-231). Top-20 like the reference query."""
+    bc = betweenness_topk(spark)
+    return bc
+
+
+def betweenness_topk(spark: SparkSession) -> DataFrame:
+    from esco_neo4j_spark.operators.graph import betweenness_centrality
+
+    bc = betweenness_centrality(_edges(spark), directed=False)
+    return (
+        bc.select("id", F.round("betweenness", 4).alias("betweenness"))
+        .orderBy(F.desc("betweenness"), F.asc("id"))
+        .limit(20)
+    )
+
+
+@query(
+    "graph_reachable_roots",
+    sql=f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    anc AS (
+      SELECT src, dst AS anc, 1 AS depth FROM edges
+      UNION ALL
+      SELECT a.src, e.dst AS anc, a.depth + 1
+      FROM anc a JOIN edges e ON a.anc = e.src
+      WHERE a.depth < 16
+    )
+    SELECT CAST(count(DISTINCT src) AS BIGINT) AS n_descendants
+    FROM anc WHERE anc = 0
+    """,
+    survey_ops="K1,D5",
+    tables=("events",),
+)
+def graph_reachable_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive descendants of the root (AQ:84-91 'all skills under X'):
+    BFS from the root over REVERSED edges, count reached."""
+    e = _edges(spark)
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    src = spark.createDataFrame([(0,)], "id bigint")
+    reached = bfs_depths(rev, src, max_depth=16, directed=True)
+    return reached.filter(F.col("depth") > 0).agg(
+        F.countDistinct("id").alias("n_descendants")
+    )

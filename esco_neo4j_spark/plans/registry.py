@@ -1,0 +1,70 @@
+"""Query registry: name -> (PySpark callable, DuckDB oracle SQL).
+
+Contract (driver's __spark_entry__.py): every callable takes
+(spark, sf_dir) and returns a DataFrame; the oracle SQL runs on the same
+parquet tables registered as DuckDB views. Column names are aliased
+identically on both sides (the driver sorts columns by name before
+hashing values).
+
+Determinism conventions used by every query here:
+- float outputs rounded (money 2dp, ratios/scores 6dp) — Spark and DuckDB
+  agree to ~1 ulp in double, so rounding makes hashes stable;
+- every LIMIT is preceded by a total order (explicit tiebreak columns);
+- timestamps are emitted as formatted UTC strings;
+- collected sets are sorted and joined to a single string.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from esco_neo4j_spark.catalog import load_tables
+from esco_neo4j_spark.session import tune
+
+
+@dataclass
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None => rows-only check (non-SQL op)
+    survey_ops: str = ""  # SURVEY.md §2 operator ids covered
+    bench: bool = False  # include in bench.py headline set
+    tables: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def query(
+    name: str,
+    sql: str | None,
+    survey_ops: str = "",
+    bench: bool = False,
+    tables: tuple[str, ...] = (),
+):
+    """Decorator: register a (spark, sf_dir) callable under ``name``.
+
+    The wrapper loads + registers the needed tables as temp views and
+    re-applies runtime engine conf (UTC, AQE) to the caller's session.
+    """
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        def target(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune(spark)
+            if tables:
+                load_tables(spark, sf_dir, tables)
+            else:
+                load_tables(spark, sf_dir)
+            return fn(spark, sf_dir)
+
+        target.__name__ = name
+        REGISTRY[name] = Query(
+            name=name, fn=target, sql=sql, survey_ops=survey_ops,
+            bench=bench, tables=tables,
+        )
+        return target
+
+    return deco

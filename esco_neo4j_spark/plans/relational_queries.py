@@ -1,0 +1,576 @@
+"""Relational query corpus — the analysis_queries.md (AQ) shapes mapped onto
+the synthetic star schema per FIXTURES.md §C. Each query names the SURVEY.md
+§2 operators it exercises and the AQ lines it is isomorphic to.
+
+Broadcast policy: region/nation (and other dim tables) are always
+broadcast; fact-fact joins shuffle on their keys and AQE handles skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from esco_neo4j_spark.plans.registry import query
+
+
+# --- flagship: AQ:38-41 "skills with most ESSENTIAL_FOR edges" ------------
+@query(
+    "aq_top_parts_by_lines",
+    sql="""
+    SELECT p.p_partkey, p.p_name, CAST(count(*) AS BIGINT) AS n_lines
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_partkey, p.p_name
+    ORDER BY n_lines DESC, p_partkey ASC
+    LIMIT 20
+    """,
+    survey_ops="B1,C1,D3,F1,F2",
+    bench=True,
+    tables=("part", "lineitem"),
+)
+def aq_top_parts_by_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan -> join -> groupBy count -> top-k. Isomorphic to AQ:38-41
+    (Skill -ESSENTIAL_FOR-> Occupation ranking). The join is a shuffle on
+    partkey; top-k plans as TakeOrderedAndProject (no full sort)."""
+    part = spark.table("part")
+    li = spark.table("lineitem")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_name")
+        .agg(F.count("*").alias("n_lines"))
+        .orderBy(F.desc("n_lines"), F.asc("p_partkey"))
+        .limit(20)
+    )
+
+
+# --- AQ:29-31 nodes with most relationships incl. zero (OPTIONAL MATCH) ---
+@query(
+    "aq_customer_order_counts",
+    sql="""
+    SELECT c.c_custkey, c.c_name, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY n_orders DESC, c_custkey ASC
+    LIMIT 50
+    """,
+    survey_ops="C2,D4,F2",
+    tables=("customer", "orders"),
+)
+def aq_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join keeps unmatched anchors (Cypher OPTIONAL MATCH, AQ:29-31);
+    count(col) skips nulls so unmatched rows count 0."""
+    c = spark.table("customer")
+    o = spark.table("orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("c_custkey"))
+        .limit(50)
+    )
+
+
+# --- AQ:10-20 label/type counts -------------------------------------------
+@query(
+    "aq_group_counts",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+    survey_ops="D2,F3",
+    tables=("orders",),
+)
+def aq_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by count (labels(n)/type(r) counts, AQ:10-20)."""
+    return (
+        spark.table("orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+# --- B5 equality point lookup ---------------------------------------------
+@query(
+    "aq_point_lookup",
+    sql="""
+    SELECT c_custkey, c_name, c_mktsegment, CAST(round(c_acctbal, 2) AS DOUBLE) AS acctbal
+    FROM customer WHERE c_custkey = 42
+    """,
+    survey_ops="B5,B9",
+    tables=("customer",),
+)
+def aq_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality point lookup (MATCH {conceptUri: $uri}, AQ:139/147). The
+    filter pushes down to the parquet scan (PushedFilters in explain)."""
+    return (
+        spark.table("customer")
+        .filter(F.col("c_custkey") == 42)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+    )
+
+
+# --- B8 substring predicate ------------------------------------------------
+@query(
+    "aq_contains_filter",
+    sql="""
+    SELECT p_partkey, p_name, p_brand
+    FROM part
+    WHERE contains(p_name, 'widget') AND p_size > 10
+    ORDER BY p_partkey
+    """,
+    survey_ops="B6,B8",
+    tables=("part",),
+)
+def aq_contains_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINS predicate + range predicate (AQ:512, B6)."""
+    return (
+        spark.table("part")
+        .filter(F.col("p_name").contains("widget") & (F.col("p_size") > 10))
+        .select("p_partkey", "p_name", "p_brand")
+        .orderBy("p_partkey")
+    )
+
+
+# --- AQ:118-121 multi-hop chain + countDistinct ---------------------------
+@query(
+    "aq_multihop_count_distinct",
+    sql="""
+    SELECT s.s_suppkey, s.s_name,
+           CAST(count(DISTINCT n.n_name) AS BIGINT) AS n_nations,
+           CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY n_nations DESC, s_suppkey ASC
+    LIMIT 25
+    """,
+    survey_ops="C1,C6,D5,F2",
+    bench=True,
+    tables=("supplier", "lineitem", "orders", "customer", "nation"),
+)
+def aq_multihop_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop chain join + COUNT(DISTINCT) — isomorphic to AQ:118-121
+    (occupations' skills spanning ISCO groups). nation is broadcast; the
+    fact-fact joins shuffle on their join keys."""
+    s = spark.table("supplier")
+    l = spark.table("lineitem")
+    o = spark.table("orders")
+    c = spark.table("customer")
+    n = spark.table("nation")
+    return (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.countDistinct("n_name").alias("n_nations"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+        .orderBy(F.desc("n_nations"), F.asc("s_suppkey"))
+        .limit(25)
+    )
+
+
+# --- AQ:127-131 co-occurrence self-join ------------------------------------
+@query(
+    "aq_part_cooccurrence",
+    sql="""
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    ORDER BY n_orders DESC, part_a ASC, part_b ASC
+    LIMIT 20
+    """,
+    survey_ops="B7,C4,D3,F2",
+    bench=True,
+    tables=("lineitem",),
+)
+def aq_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join co-occurrence with theta predicate (AQ:127-131 skills
+    sharing occupations; s1 <> s2 tightened to < to halve the pairs).
+    Shuffles once on l_orderkey; pair-count agg follows."""
+    li = spark.table("lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
+
+
+# --- AQ:78-81 FK-join rollup through dims ----------------------------------
+@query(
+    "aq_region_rollup",
+    sql="""
+    SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(round(sum(c.c_acctbal), 2) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+    survey_ops="C1,C5,D3",
+    tables=("customer", "nation", "region"),
+)
+def aq_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-derived FK joins up a 2-level dim hierarchy (AQ:78-81
+    occupation->ISCO rollup). Both dims broadcast — zero shuffle for the
+    joins; only the final agg shuffles (partial agg map-side first)."""
+    c = spark.table("customer")
+    n = spark.table("nation")
+    r = spark.table("region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+# --- AQ:254-277 profile: star of OPTIONAL MATCH + collect(DISTINCT) -------
+@query(
+    "aq_customer_profile",
+    sql="""
+    WITH ords AS (
+      SELECT o_custkey,
+             array_to_string(list_sort(list_distinct(list(o_orderpriority))), '|')
+               AS priorities,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+           coalesce(o.priorities, '') AS priorities,
+           CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders
+    FROM customer c LEFT JOIN ords o ON c.c_custkey = o.o_custkey
+    ORDER BY c_custkey
+    LIMIT 100
+    """,
+    survey_ops="C2,C7,D6,D7",
+    tables=("customer", "orders"),
+)
+def aq_customer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-profile with per-branch pre-aggregation: each OPTIONAL MATCH
+    branch aggregates BEFORE joining the anchor, so branches can't
+    cross-multiply (SURVEY.md §7 hard-point #4; reference:
+    src/semantic_search.py:115-143). collect_set is sorted + joined to a
+    string for deterministic comparison."""
+    c = spark.table("customer")
+    o = spark.table("orders")
+    ords = o.groupBy("o_custkey").agg(
+        F.concat_ws(
+            "|", F.array_sort(F.collect_set("o_orderpriority"))
+        ).alias("priorities"),
+        F.count("*").alias("n_orders"),
+    )
+    return (
+        c.join(ords, c.c_custkey == ords.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.coalesce("priorities", F.lit("")).alias("priorities"),
+            F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+        )
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+# --- AQ:173-197 multi-stage aggregation (WITH ... WITH ...) ----------------
+@query(
+    "aq_order_count_distribution",
+    sql="""
+    WITH per_cust AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+    FROM per_cust GROUP BY n_orders
+    ORDER BY n_orders
+    """,
+    survey_ops="D8",
+    tables=("orders",),
+)
+def aq_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage aggregation pipeline (Cypher WITH-chained aggs,
+    AQ:173-197): per-key count, then distribution of counts."""
+    per_cust = (
+        spark.table("orders").groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("n_orders")
+    )
+
+
+# --- G1 union label-disjunction scan ---------------------------------------
+@query(
+    "aq_union_scan",
+    sql="""
+    SELECT name, kind, CAST(round(acctbal, 2) AS DOUBLE) AS acctbal FROM (
+      SELECT c_name AS name, 'Customer' AS kind, c_acctbal AS acctbal FROM customer
+      UNION ALL
+      SELECT s_name AS name, 'Supplier' AS kind, s_acctbal AS acctbal FROM supplier
+    ) ORDER BY acctbal DESC, name LIMIT 50
+    """,
+    survey_ops="B2,G1,H2",
+    tables=("customer", "supplier"),
+)
+def aq_union_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-disjunction scan as a union with a per-source type tag
+    (MATCH (n) WHERE n:Skill OR n:Occupation; reference:
+    src/semantic_search.py:86-87 + labels(n)[0] as type, H2)."""
+    c = spark.table("customer").select(
+        F.col("c_name").alias("name"),
+        F.lit("Customer").alias("kind"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    s = spark.table("supplier").select(
+        F.col("s_name").alias("name"),
+        F.lit("Supplier").alias("kind"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return (
+        c.unionByName(s)
+        .select("name", "kind", F.round("acctbal", 2).alias("acctbal"))
+        .orderBy(F.desc("acctbal"), F.asc("name"))
+        .limit(50)
+    )
+
+
+# --- TPC-H Q1 shape: wide aggregation --------------------------------------
+@query(
+    "tpch_q1_pricing_summary",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS DOUBLE) AS sum_charge,
+           CAST(round(avg(l_quantity), 4) AS DOUBLE) AS avg_qty,
+           CAST(round(avg(l_discount), 4) AS DOUBLE) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    survey_ops="B6,D2,D3,F3",
+    bench=True,
+    tables=("lineitem",),
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical wide-agg scan (TPC-H Q1). Exercises partial (map-side)
+    aggregation; the scan prunes to 7 columns (check ReadSchema)."""
+    li = spark.table("lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- E window functions (extension) ----------------------------------------
+@query(
+    "ext_topk_per_group",
+    sql="""
+    SELECT p_brand, p_partkey, p_name,
+           CAST(round(p_retailprice, 2) AS DOUBLE) AS price, CAST(rn AS INT) AS rn
+    FROM (
+      SELECT p_brand, p_partkey, p_name, p_retailprice,
+             row_number() OVER (
+               PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC
+             ) AS rn
+      FROM part
+    ) WHERE rn <= 3
+    ORDER BY p_brand, rn
+    """,
+    survey_ops="E(ext)",
+    tables=("part",),
+)
+def ext_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via window row_number — the windowed generalization
+    of the AQ global top-N queries (SURVEY.md §2.E marks this extension)."""
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        spark.table("part")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "p_brand",
+            "p_partkey",
+            "p_name",
+            F.round("p_retailprice", 2).alias("price"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+        .orderBy("p_brand", "rn")
+    )
+
+
+# --- D9 rollup (extension) --------------------------------------------------
+@query(
+    "ext_rollup_region_nation",
+    sql="""
+    SELECT coalesce(r.r_name, '(all)') AS region_name,
+           coalesce(n.n_name, '(all)') AS nation_name,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    ORDER BY region_name, nation_name
+    """,
+    survey_ops="D9(ext)",
+    tables=("customer", "nation", "region"),
+)
+def ext_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (SURVEY §2.D9 extension). Note: DuckDB's
+    ROLLUP groups nulls produced by the rollup itself; both engines emit the
+    same grouping sets, normalized with coalesce."""
+    c = spark.table("customer")
+    n = spark.table("nation")
+    r = spark.table("region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+        .select(
+            F.coalesce("r_name", F.lit("(all)")).alias("region_name"),
+            F.coalesce("n_name", F.lit("(all)")).alias("nation_name"),
+            "n_customers",
+        )
+        .orderBy("region_name", "nation_name")
+    )
+
+
+# --- C8 semi/anti joins (extension) ----------------------------------------
+@query(
+    "ext_customers_without_orders",
+    sql="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+    survey_ops="C8(ext)",
+    tables=("customer", "orders"),
+)
+def ext_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (WHERE NOT (...) — absent from the reference corpus,
+    SURVEY §2.C8). Plans as a broadcast/shuffle anti join, no count trick."""
+    c = spark.table("customer")
+    o = spark.table("orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "ext_nations_with_both",
+    sql="""
+    SELECT n_nationkey FROM customer JOIN nation ON c_nationkey = n_nationkey
+    INTERSECT
+    SELECT n_nationkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    ORDER BY n_nationkey
+    """,
+    survey_ops="G3(ext),C1",
+    tables=("customer", "supplier", "nation"),
+)
+def ext_nations_with_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op (SURVEY §2.G3 extension)."""
+    n = spark.table("nation")
+    c = spark.table("customer").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("n_nationkey")
+    s = spark.table("supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("n_nationkey")
+    return c.intersect(s).orderBy("n_nationkey")
+
+
+# --- H6-H9 scalar function battery -----------------------------------------
+@query(
+    "aq_scalar_functions",
+    sql="""
+    SELECT doc_id,
+           CASE WHEN length(text) > 100
+                THEN substr(text, 1, 97) || '...' ELSE text END AS display_text,
+           upper(source) AS source_uc,
+           replace(lang, '_', ' ') AS lang_fmt,
+           CAST(length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS INT)
+             AS norm_len
+    FROM documents
+    ORDER BY doc_id LIMIT 50
+    """,
+    survey_ops="H6,H7,H8,H9",
+    tables=("documents",),
+)
+def aq_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function battery: truncate+ellipsis (reference:
+    src/esco_cli.py:62-64), case/replace formatting (:80), whitespace
+    normalization (src/esco_translate.py:259-261)."""
+    from esco_neo4j_spark.functions.text import normalize_ws, truncate_ellipsis
+
+    return (
+        spark.table("documents")
+        .select(
+            "doc_id",
+            truncate_ellipsis(F.col("text"), 100).alias("display_text"),
+            F.upper("source").alias("source_uc"),
+            F.regexp_replace("lang", "_", " ").alias("lang_fmt"),
+            F.length(normalize_ws(F.col("text"))).cast("int").alias("norm_len"),
+        )
+        .orderBy("doc_id")
+        .limit(50)
+    )

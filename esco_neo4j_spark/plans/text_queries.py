@@ -1,0 +1,215 @@
+"""Text-analysis query corpus (north-star LLM-pipeline operators over the
+documents table): token stats, quality scoring, language-ID heuristic,
+document fingerprinting. Pure column expressions (functions/text.py); the
+oracle mirrors each regexp/aggregation in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from esco_neo4j_spark.functions.text import quality_features, word_tokens
+from esco_neo4j_spark.plans.registry import query
+
+_TOKENS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), "
+    "x -> x <> '')"
+)
+
+_STOP_EN = (
+    "the a an and or of to in is are was were for on with as by at it this "
+    "that be from has have had not but they you we he she his her its"
+).split()
+_LANG_MARKERS = {
+    "en": _STOP_EN,
+    "de": "der die das und ist nicht ein eine mit von zu den dem des im".split(),
+    "es": "el la los las es un una y de que en no por con para su".split(),
+    "fr": "le la les et est un une de que en ne pas pour dans du au".split(),
+}
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+@query(
+    "text_token_stats",
+    sql=f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len({_TOKENS})) AS BIGINT) AS total_tokens,
+           CAST(round(avg(len({_TOKENS})), 4) AS DOUBLE) AS avg_tokens,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    survey_ops="text-tokens,D3",
+    bench=True,
+    tables=("documents",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting rolled up per source — the whitespace+regex
+    tokenizer (BPE proxy) as a column expression, aggregated map-side."""
+    d = spark.table("documents")
+    n_toks = F.size(word_tokens(F.col("text")))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(n_toks).cast("bigint").alias("total_tokens"),
+            F.round(F.avg(n_toks), 4).alias("avg_tokens"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "text_quality_scores",
+    sql=f"""
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST(len({_TOKENS}) AS INT) AS n_tokens,
+           CAST(round((length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))::DOUBLE
+                / greatest(length(text), 1), 6) AS DOUBLE) AS punct_ratio,
+           CAST(round(len(list_intersect({_TOKENS}, {_sql_list(_STOP_EN)}))::DOUBLE
+                / greatest(len({_TOKENS}), 1), 6) AS DOUBLE) AS stopword_ratio,
+           CAST(round(list_aggregate(list_transform({_TOKENS}, t -> length(t)::DOUBLE), 'sum')
+                / greatest(len({_TOKENS}), 1), 6) AS DOUBLE) AS mean_word_len
+    FROM documents
+    ORDER BY doc_id
+    LIMIT 200
+    """,
+    survey_ops="text-quality,H7",
+    tables=("documents",),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality features per document (length / punctuation /
+    stopword / word-length ratios). Note stopword_ratio here counts
+    distinct-stopword hits via set-intersect on both sides."""
+    d = spark.table("documents")
+    feats = quality_features(F.col("text"))
+    toks = word_tokens(F.col("text"))
+    stop = F.array(*[F.lit(w) for w in _STOP_EN])
+    return (
+        d.select(
+            "doc_id",
+            feats["n_chars"].cast("int").alias("n_chars"),
+            feats["n_tokens"].cast("int").alias("n_tokens"),
+            F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
+            F.round(
+                F.size(F.array_intersect(toks, stop)).cast("double")
+                / F.greatest(F.size(toks), F.lit(1)).cast("double"),
+                6,
+            ).alias("stopword_ratio"),
+            F.round(feats["mean_word_len"], 6).alias("mean_word_len"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+def _langid_sql() -> str:
+    hits = ",\n           ".join(
+        f"len(list_intersect({_TOKENS}, {_sql_list(ws)})) AS hits_{lang}"
+        for lang, ws in _LANG_MARKERS.items()
+    )
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS tagged_lang,
+           {hits}
+      FROM documents
+    )
+    SELECT doc_id, tagged_lang,
+           CASE
+             WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+             WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+             WHEN hits_es >= hits_fr THEN 'es'
+             ELSE 'fr'
+           END AS predicted_lang
+    FROM scored
+    ORDER BY doc_id
+    """
+
+
+@query(
+    "text_langid",
+    sql=_langid_sql(),
+    survey_ops="text-langid",
+    tables=("documents",),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language-ID heuristic with a deterministic
+    preference order (en > de > es > fr on ties). The tagged lang column is
+    carried through for downstream accuracy checks."""
+    d = spark.table("documents")
+    toks = word_tokens(F.col("text"))
+    hits = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in ws]))
+        )
+        for lang, ws in _LANG_MARKERS.items()
+    }
+    predicted = (
+        F.when(
+            (hits["en"] >= hits["de"])
+            & (hits["en"] >= hits["es"])
+            & (hits["en"] >= hits["fr"]),
+            "en",
+        )
+        .when((hits["de"] >= hits["es"]) & (hits["de"] >= hits["fr"]), "de")
+        .when(hits["es"] >= hits["fr"], "es")
+        .otherwise("fr")
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.col("lang").alias("tagged_lang"),
+            predicted.alias("predicted_lang"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_fingerprint",
+    sql=f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct({_TOKENS})), '|'))
+               AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM fp
+    GROUP BY fingerprint
+    HAVING count(*) >= 1
+    ORDER BY n_docs DESC, fingerprint
+    LIMIT 100
+    """,
+    survey_ops="text-fingerprint",
+    tables=("documents",),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words document fingerprint: md5 of the sorted distinct token
+    set — groups token-identical documents regardless of word order (the
+    'rolling hash' fingerprint family's set variant)."""
+    d = spark.table("documents")
+    fp = F.md5(
+        F.concat_ws(
+            "|", F.array_sort(F.array_distinct(word_tokens(F.col("text"))))
+        )
+    ).alias("fingerprint")
+    return (
+        d.select("doc_id", fp)
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy(F.desc("n_docs"), F.asc("fingerprint"))
+        .limit(100)
+    )

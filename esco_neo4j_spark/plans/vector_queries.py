@@ -1,0 +1,188 @@
+"""Vector-search query corpus (SURVEY.md §2 H1, C9, K7, A7-at-scale).
+
+Replicates the reference's semantic-search pipeline shapes
+(src/semantic_search.py:61-96 top-k, analysis_queries.md:511-522 similarity
+join) on the driver's embeddings table. The oracle computes cosine with
+DuckDB's list functions in double precision; scores agree with Spark to
+~1 ulp and are rounded to 6dp on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from esco_neo4j_spark.functions.vector import cosine_similarity
+from esco_neo4j_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_self_join,
+    lsh_self_join,
+    lsh_topk,
+)
+from esco_neo4j_spark.plans.registry import query
+
+_ANCHOR_SQL = "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
+_COS = (
+    "list_cosine_similarity(CAST(embedding AS DOUBLE[]), {anchor})"
+)
+
+
+def _anchor_vec(spark: SparkSession) -> list[float]:
+    """The query vector: embedding of vec_id=0 (driver-side 1-row lookup —
+    the reference embeds the query text client-side the same way,
+    src/semantic_search.py:54-58)."""
+    return spark.table("embeddings").filter(F.col("vec_id") == 0).select(
+        "embedding"
+    ).first()[0]
+
+
+@query(
+    "vec_cosine_topk",
+    sql=f"""
+    SELECT vec_id, CAST(round({_COS.format(anchor=_ANCHOR_SQL)}, 6) AS DOUBLE) AS score
+    FROM embeddings
+    WHERE embedding IS NOT NULL
+      AND round({_COS.format(anchor=_ANCHOR_SQL)}, 6) > 0.2
+    ORDER BY score DESC, vec_id ASC
+    LIMIT 10
+    """,
+    survey_ops="H1,B3,B6,F2,K7",
+    bench=True,
+    tables=("embeddings",),
+)
+def vec_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k with threshold — the reference search query
+    (src/semantic_search.py:61-71): filter NOT NULL, cosine, > threshold,
+    ORDER BY score DESC LIMIT k. One scan, no shuffle, top-k via
+    TakeOrderedAndProject."""
+    return brute_force_topk(
+        spark.table("embeddings"), _anchor_vec(spark), k=10, threshold=0.2
+    )
+
+
+@query(
+    "vec_similarity_join",
+    sql="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(round(list_cosine_similarity(
+             CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS DOUBLE)
+             AS score
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(
+            CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
+    ORDER BY id_a, id_b
+    """,
+    survey_ops="C9,H1,B7",
+    tables=("embeddings",),
+)
+def vec_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine similarity join above a threshold (AQ:511-522
+    anchored variant generalized to all-pairs). Explicit O(N^2) — correct
+    at this scale; the 100 TB path is vec_lsh_similarity_join."""
+    return cosine_self_join(
+        spark.table("embeddings"), threshold=0.45
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "vec_lsh_similarity_join",
+    sql=None,  # approximate (LSH-bucketed): rows-only driver check; recall
+    # vs the exact join is pytest-asserted in tests/test_similarity.py
+    survey_ops="C9,A7(scale)",
+    tables=("embeddings",),
+)
+def vec_lsh_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed similarity join: equi-join on sign-bucket, exact verify
+    in-bucket — replaces the cross join at scale (SURVEY §2 A7 mapping)."""
+    return lsh_self_join(
+        spark.table("embeddings"), threshold=0.45, n_planes=4
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "vec_lsh_topk",
+    sql=None,  # approximate: rows-only; recall pytest-asserted
+    survey_ops="A7(scale),H1,K7",
+    tables=("embeddings",),
+)
+def vec_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via hyperplane-LSH bucket pruning + multiprobe."""
+    return lsh_topk(
+        spark.table("embeddings"), _anchor_vec(spark), k=10, n_planes=6
+    )
+
+
+@query(
+    "vec_centroid_per_label",
+    sql="""
+    SELECT label, CAST(pos AS INT) AS pos,
+           CAST(round(avg(val), 6) AS DOUBLE) AS mean_val
+    FROM (
+      SELECT label, p.pos AS pos,
+             CAST(embedding AS DOUBLE[])[p.pos] AS val
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos) p
+    )
+    GROUP BY label, pos
+    ORDER BY label, pos
+    """,
+    survey_ops="I9(ext),D3",
+    tables=("embeddings",),
+)
+def vec_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components via posexplode + groupBy avg — the
+    set-oriented form of a vector UDAF (SURVEY §2.I9 extension). At scale
+    this is one shuffle keyed (label, pos) with map-side partial avg."""
+    e = spark.table("embeddings")
+    return (
+        e.select(
+            "label",
+            F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+                "pos0", "val"
+            ),
+        )
+        .select("label", (F.col("pos0") + 1).cast("int").alias("pos"), "val")
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("mean_val"))
+        .orderBy("label", "pos")
+    )
+
+
+@query(
+    "vec_knn_per_label_anchor",
+    sql=f"""
+    SELECT label, vec_id, score, CAST(rn AS INT) AS rn
+    FROM (
+      SELECT label, vec_id,
+             CAST(round({_COS.format(anchor=_ANCHOR_SQL)}, 6) AS DOUBLE) AS score,
+             row_number() OVER (
+               PARTITION BY label
+               ORDER BY round({_COS.format(anchor=_ANCHOR_SQL)}, 6) DESC, vec_id ASC
+             ) AS rn
+      FROM embeddings
+    ) WHERE rn <= 3
+    ORDER BY label, rn
+    """,
+    survey_ops="E(ext),H1,K7",
+    tables=("embeddings",),
+)
+def vec_knn_per_label_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 nearest to the anchor per label — windowed top-k over a
+    similarity column (the two-phase search+profile shape K7 where the
+    profile dimension is the label)."""
+    from pyspark.sql import Window
+
+    e = spark.table("embeddings")
+    anchor = _anchor_vec(spark)
+    scored = e.select(
+        "label",
+        "vec_id",
+        F.round(cosine_similarity(F.col("embedding"), anchor), 6).alias("score"),
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("label", "vec_id", "score", F.col("rn").cast("int").alias("rn"))
+        .orderBy("label", "rn")
+    )

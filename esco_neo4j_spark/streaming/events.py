@@ -1,0 +1,76 @@
+"""Structured Streaming pipelines over the events table.
+
+The reference has NO streaming surface (SURVEY.md §2.J); these extensions
+give the engine the streaming half of the north-star pipeline. Each
+pipeline's batch twin lives in plans/event_queries.py and is DuckDB-oracle
+checked; tests/test_streaming.py asserts stream == batch on the same
+input, closing the loop.
+
+Local testing drives a parquet file source through a memory sink with
+processAllAvailable(); on a cluster the same code points at Kafka/files
+with a real trigger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENT_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of event parquet (maxFilesPerTrigger bounds each
+    micro-batch; schema pinned — streaming sources must not infer)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def tumbling_counts(events: DataFrame, window: str = "6 hours",
+                    watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of plans/event_queries.events_tumbling_window:
+    watermarked tumbling-window counts per event type. With watermarking,
+    late rows beyond 1h are dropped and closed windows emit finalized."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon —
+    dropDuplicatesWithinWatermark bounds state (the streaming face of the
+    dedup operator family)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> None:
+    """Drive a bounded file-source stream to completion into a memory sink
+    (deterministic in tests: processAllAvailable blocks until drained).
+    Aggregations use 'complete'; pass 'append' for row streams."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
