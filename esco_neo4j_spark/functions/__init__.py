@@ -15,6 +15,7 @@ from esco_neo4j_spark.functions.text import (  # noqa: F401
     embedding_text,
     jaccard,
     ngram_shingles,
+    word_shingles,
     normalize_ws,
     quality_features,
     token_count,

@@ -79,6 +79,28 @@ def ngram_shingles(c: Column, n: int = 3) -> Column:
     )
 
 
+def word_shingles(c: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles (Broder shingling) of the tokenized text.
+
+    Word shingles (not char n-grams) are the discriminative unit for
+    document dedup: on a corpus with a small character-level alphabet,
+    char shingles saturate (every doc contains most of the universe) and
+    LSH degenerates to O(n^2) candidates; word shingles keep the shingle
+    universe ~vocab^n. Docs shorter than n words get one whole-text shingle.
+    """
+    ws = word_tokens(c)
+    return F.when(
+        F.size(ws) < n, F.array(F.concat_ws(" ", ws))
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+            )
+        )
+    )
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Jaccard similarity of two array columns (as sets)."""
     inter = F.size(F.array_intersect(a, b))

@@ -27,11 +27,16 @@ from esco_neo4j_spark.plans.registry import query
 
 # --- shared SQL fragments (mirror functions/text.py + operators/dedup.py) --
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_WORDS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), "
+    "x -> x <> '')"
+)
+# word-3 shingles (Broder); docs under 3 words -> one whole-text shingle
 _SHINGLES = f"""
-  CASE WHEN length({_NORM}) < 3 THEN [{_NORM}]
+  CASE WHEN len({_WORDS}) < 3 THEN [array_to_string({_WORDS}, ' ')]
        ELSE list_distinct(list_transform(
-              generate_series(1, length({_NORM}) - 2),
-              i -> {_NORM}[i:i+2]))
+              generate_series(1, len({_WORDS}) - 2),
+              i -> {_WORDS}[i] || ' ' || {_WORDS}[i+1] || ' ' || {_WORDS}[i+2]))
   END
 """
 _TOKENS = (
@@ -93,6 +98,7 @@ _MINHASH_SQL = f"""
                    sig[13]||'-'||sig[14]||'-'||sig[15]||'-'||sig[16]
                  ]) AS band_key
         ) b
+      QUALIFY count(*) OVER (PARTITION BY b.band_id, b.band_key) <= 64
     ),
     cands AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -118,9 +124,10 @@ _MINHASH_SQL = f"""
     tables=("documents",),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(16) + 4-band LSH candidates + exact-Jaccard verify >= 0.5.
-    The oracle reproduces the identical signatures and banding, so the
-    approximate pipeline itself is correctness-checked, not just sampled."""
+    """MinHash(16) + 4-band LSH candidates (bucket cap 64) + exact-Jaccard
+    verify >= 0.5, over word-3 shingles. The oracle reproduces the identical
+    signatures, banding, and bucket cap, so the approximate pipeline itself
+    is correctness-checked, not just sampled."""
     return minhash_dedup_pairs(
         spark.table("documents"), "text", "doc_id",
         threshold=0.5, num_hashes=16, bands=4,
@@ -144,9 +151,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables=("documents",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard pairs >= 0.7 via inverted-index join (no cross
-    join: pairs sharing no shingle never meet — the scalable exact path).
-    The brute-force SQL oracle must agree exactly."""
+    """Exact word-3-gram Jaccard pairs >= 0.7 via inverted-index join (no
+    cross join: pairs sharing no shingle never meet — the scalable exact
+    path). The brute-force SQL oracle must agree exactly."""
     return ngram_jaccard_pairs(
         spark.table("documents"), "text", "doc_id", threshold=0.7
     ).orderBy("id_a", "id_b")
