@@ -33,6 +33,7 @@ class Query:
     survey_ops: str = ""  # SURVEY.md §2 operator ids covered
     bench: bool = False  # include in bench.py headline set
     tables: tuple[str, ...] = field(default_factory=tuple)
+    esco: bool = False  # query runs on the ESCO warehouse, not sf_dir tables
 
 
 REGISTRY: dict[str, Query] = {}
@@ -44,6 +45,7 @@ def query(
     survey_ops: str = "",
     bench: bool = False,
     tables: tuple[str, ...] = (),
+    esco: bool = False,
 ):
     """Decorator: register a (spark, sf_dir) callable under ``name``.
 
@@ -54,7 +56,14 @@ def query(
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         def target(spark: SparkSession, sf_dir: str) -> DataFrame:
             tune(spark)
-            if tables:
+            if esco:
+                # ESCO-warehouse queries ignore sf_dir: they run on the
+                # ingested reference graph (sources/esco.py); the oracle
+                # SQL reads the same warehouse parquet by absolute path.
+                from esco_neo4j_spark.sources import ensure_warehouse, load_graph
+
+                load_graph(spark, ensure_warehouse(spark))
+            elif tables:
                 load_tables(spark, sf_dir, tables)
             else:
                 load_tables(spark, sf_dir)
@@ -63,7 +72,7 @@ def query(
         target.__name__ = name
         REGISTRY[name] = Query(
             name=name, fn=target, sql=sql, survey_ops=survey_ops,
-            bench=bench, tables=tables,
+            bench=bench, tables=tables, esco=esco,
         )
         return target
 

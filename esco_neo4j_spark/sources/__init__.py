@@ -1,0 +1,6 @@
+from esco_neo4j_spark.sources.esco import (  # noqa: F401
+    ensure_warehouse,
+    ingest,
+    load_graph,
+    read_esco_csv,
+)
