@@ -10,4 +10,5 @@ from esco_neo4j_spark.plans import text_queries  # noqa: F401
 from esco_neo4j_spark.plans import graph_queries  # noqa: F401
 from esco_neo4j_spark.plans import event_queries  # noqa: F401
 from esco_neo4j_spark.plans import udf_queries  # noqa: F401
+from esco_neo4j_spark.plans import multimodal_queries  # noqa: F401
 from esco_neo4j_spark.plans import esco_queries  # noqa: F401

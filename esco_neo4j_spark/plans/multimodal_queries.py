@@ -1,0 +1,180 @@
+"""Multimodal-column query corpus (north-star LLM-pipeline extension).
+
+The reference is text-only, so this whole family is an extension (SURVEY.md
+§2 coverage note). Binary payloads are deterministically synthesized from
+the documents table (operators/multimodal.py header spec), so the DuckDB
+oracle re-derives every output from (doc_id, n_chars, text) WITHOUT binary
+support — what the parity check then proves is that the Spark side really
+round-trips the bytes: build payload -> Arrow batch -> parse bytes ->
+metadata/features/frames must land on the oracle's arithmetic exactly.
+
+Rounding: pandas-side uses floor(x*1e6 + 0.5)/1e6 (half-up on the double),
+the same tie behavior as DuckDB ``round(x, 6)`` on positive doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from esco_neo4j_spark.operators.multimodal import (
+    attach_payload,
+    decode_media,
+    extract_features,
+    resize_dims,
+    sample_frames,
+)
+from esco_neo4j_spark.plans.registry import query
+
+# --- shared SQL fragments (mirror operators/multimodal.py header spec) ----
+_MODALITY = (
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+    "ELSE 'video' END"
+)
+_D1 = (
+    "CASE doc_id % 3 WHEN 0 THEN 64 + (doc_id * 7) % 960 "
+    "WHEN 1 THEN 8000 + (doc_id % 5) * 1000 "
+    "ELSE 12 + (doc_id % 3) * 6 END"
+)
+_D2 = (
+    "CASE doc_id % 3 WHEN 0 THEN 64 + n_chars % 540 "
+    "WHEN 1 THEN 500 + n_chars * 3 "
+    "ELSE 24 + n_chars % 240 END"
+)
+_BODY = "regexp_replace(text, '[^ -~]', '', 'g')"
+
+
+@query(
+    "mm_decode_metadata",
+    sql=f"""
+    SELECT doc_id, {_MODALITY} AS modality,
+           CAST({_D1} AS BIGINT) AS d1, CAST({_D2} AS BIGINT) AS d2,
+           CAST(20 + length({_BODY}) AS BIGINT) AS payload_bytes,
+           CAST(length({_BODY}) AS BIGINT) AS body_bytes
+    FROM documents
+    ORDER BY doc_id
+    """,
+    survey_ops="multimodal-decode,I9(ext)",
+    tables=("documents",),
+)
+def mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build binary media payloads, then parse the bytes back into typed
+    metadata with mapInPandas — the oracle proves the byte round-trip is
+    exact. Narrow map, no shuffle; at 100 TB this is the per-file decode
+    pass of a media ETL."""
+    media = attach_payload(spark.table("documents"))
+    return decode_media(media).orderBy("doc_id")
+
+
+@query(
+    "mm_feature_extract",
+    sql=f"""
+    WITH body AS (
+      SELECT doc_id, {_BODY} AS b FROM documents WHERE length({_BODY}) > 0
+    ),
+    codes AS (
+      SELECT doc_id, length(b) AS body_bytes,
+             list_transform(string_split(b, ''), c -> unicode(c)) AS cs
+      FROM body
+    )
+    SELECT doc_id, CAST(body_bytes AS BIGINT) AS body_bytes,
+           CAST(floor(list_avg(cs) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS mean_byte,
+           CAST(floor(len(list_filter(cs, c -> c = 32)) * 1.0 / body_bytes
+                      * 1e6 + 0.5) / 1e6 AS DOUBLE) AS ws_frac
+    FROM codes
+    ORDER BY doc_id
+    """,
+    survey_ops="multimodal-features,I1(ext)",
+    tables=("documents",),
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric features from raw payload bytes (numpy over Arrow batches):
+    mean byte value + whitespace fraction — the featurizer shape (binary in,
+    fixed-width numerics out) a CLIP/wav2vec stage drops into."""
+    media = attach_payload(spark.table("documents"))
+    return extract_features(media).orderBy("doc_id")
+
+
+@query(
+    "mm_frame_sample",
+    sql=f"""
+    WITH vids AS (
+      SELECT doc_id, {_D1} AS fps, {_D2} AS n_frames
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+           CAST(f * 1000 // fps AS BIGINT) AS t_offset_ms
+    FROM vids, LATERAL (
+      SELECT unnest(generate_series(0, n_frames - 1, 10)) AS f
+    )
+    ORDER BY doc_id, frame_idx
+    """,
+    survey_ops="multimodal-framesample,I9(ext)",
+    tables=("documents",),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-10th-frame sampling over video payloads: multiple rows out per
+    binary row in (UDTF shape via mapInPandas), frame timestamps from the
+    parsed fps header field."""
+    media = attach_payload(spark.table("documents"))
+    return sample_frames(media, every=10).orderBy("doc_id", "frame_idx")
+
+
+@query(
+    "mm_resize_dims",
+    sql=f"""
+    WITH imgs AS (
+      SELECT doc_id, {_D1} AS w, {_D2} AS h
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(CASE WHEN greatest(w, h) <= 256 THEN w
+                     ELSE w * 256 // greatest(w, h) END AS BIGINT) AS out_w,
+           CAST(CASE WHEN greatest(w, h) <= 256 THEN h
+                     ELSE h * 256 // greatest(w, h) END AS BIGINT) AS out_h
+    FROM imgs
+    ORDER BY doc_id
+    """,
+    survey_ops="multimodal-resize",
+    tables=("documents",),
+)
+def mm_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving downscale plan (max dim 256) for image payloads,
+    integer-exact; the pixel resample itself sits behind the clearly-marked
+    decode stub (operators/multimodal.py:decode_image_pixels)."""
+    media = attach_payload(spark.table("documents"))
+    return resize_dims(media, max_dim=256).orderBy("doc_id")
+
+
+@query(
+    "mm_modality_stats",
+    sql=f"""
+    SELECT {_MODALITY} AS modality,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(20 + length({_BODY})) AS BIGINT) AS total_bytes,
+           CAST(floor(avg(length({_BODY})) * 1e6 + 0.5) / 1e6 AS DOUBLE)
+             AS avg_body_bytes
+    FROM documents
+    GROUP BY 1 ORDER BY 1
+    """,
+    survey_ops="multimodal-catalog,D2",
+    tables=("documents",),
+)
+def mm_modality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog rollup per modality over decoded metadata — the partition
+    -planning stats (count, bytes) a media lakehouse keys storage layout on.
+    Composes decode_media with a JVM-side groupBy: mapInPandas feeds
+    whole-stage-codegen agg."""
+    media = attach_payload(spark.table("documents"))
+    meta = decode_media(media)
+    return (
+        meta.groupBy("modality")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("payload_bytes").alias("total_bytes"),
+            (F.floor(F.avg("body_bytes") * 1e6 + F.lit(0.5)) / 1e6)
+            .cast("double")
+            .alias("avg_body_bytes"),
+        )
+        .orderBy("modality")
+    )
