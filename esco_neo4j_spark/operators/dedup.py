@@ -353,3 +353,65 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    dim: int = 128,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= thr).
+
+    The embedding comes from the model UDF pipeline (operators/textmodel
+    .embed_column — real sentence-transformer when available, deterministic
+    hash embedding here). Cosine is computed SPARSELY via an inverted index
+    on the non-zero buckets: pairs that share no bucket have dot = 0 and
+    never meet in the join — the same no-cross-join trick as
+    ngram_jaccard_pairs, so the plan scales: explode (one narrow map),
+    shuffle on bucket, partial-agg dot products, join per-doc norms.
+
+    At 100 TB the bucket join is the only shuffle; hot buckets (stopword-
+    dominated) would be capped or IDF-weighted — at this corpus size the
+    exact join is the oracle-checkable choice.
+    """
+    from esco_neo4j_spark.operators.textmodel import embed_column
+
+    emb = embed_column(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")),
+        "_t",
+        dim=dim,
+    )
+    # sparse (id, bucket, val) rows; buckets are 0-indexed positions
+    sparse = (
+        emb.select("id", F.posexplode("embedding").alias("bucket", "val"))
+        .filter(F.col("val") != 0)
+        .select("id", "bucket", F.col("val").cast("double").alias("val"))
+    )
+    norms = sparse.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
+    )
+    a = sparse.select(
+        F.col("id").alias("id_a"), "bucket", F.col("val").alias("va")
+    )
+    b = sparse.select(
+        F.col("id").alias("id_b"), "bucket", F.col("val").alias("vb")
+    )
+    dots = (
+        a.join(b, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "score", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+        )
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )

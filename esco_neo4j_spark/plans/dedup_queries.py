@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from esco_neo4j_spark.operators.dedup import (
     MINHASH_PRIME,
+    embedding_neardup_pairs,
     SIMHASH_BITS,
     exact_dedup,
     minhash_dedup_pairs,
@@ -44,6 +45,10 @@ _TOKENS = (
     "regexp_split_to_array(lower(text), '[^a-z0-9'']+'), x -> x <> ''))"
 )
 _H28 = "(('0x' || substr(md5(s), 1, 7))::BIGINT)"
+_TOKENS_ALL_RAW = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'), "
+    "x -> x <> '')"
+)
 _H60 = "(('0x' || substr(md5(t), 1, 15))::BIGINT)"
 
 
@@ -213,4 +218,53 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return df.select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_embedding_cosine",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS_ALL_RAW}) AS t FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(t), 1, 7))::BIGINT AS h FROM tok
+    ),
+    contrib AS (
+      SELECT doc_id, h % 128 AS bucket,
+             CASE WHEN (h >> 27) & 1 = 1 THEN 1 ELSE -1 END AS sgn
+      FROM hashed
+    ),
+    buckets AS (
+      SELECT doc_id, bucket, CAST(sum(sgn) AS DOUBLE) AS val
+      FROM contrib GROUP BY 1, 2 HAVING sum(sgn) <> 0
+    ),
+    norms AS (
+      SELECT doc_id, sqrt(sum(val * val)) AS nrm FROM buckets GROUP BY 1
+    ),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.val * b.val) AS dot
+      FROM buckets a JOIN buckets b
+        ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(round(dot / (na.nrm * nb.nrm), 6) AS DOUBLE) AS score
+    FROM dots
+    JOIN norms na ON id_a = na.doc_id
+    JOIN norms nb ON id_b = nb.doc_id
+    WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.9
+    ORDER BY id_a, id_b
+    """,
+    survey_ops="dedup-embedding,C9,I1",
+    tables=("documents",),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (>= 0.9) over 128-dim hash
+    embeddings from the model-UDF pipeline. Cosine is computed sparsely
+    via an inverted index on non-zero buckets (no cross join) — the same
+    candidate-pruning shape the 100 TB path needs; the oracle rebuilds
+    the identical embedding and score in SQL."""
+    return embedding_neardup_pairs(
+        spark.table("documents"), "text", "doc_id", threshold=0.9, dim=128
     ).orderBy("id_a", "id_b")

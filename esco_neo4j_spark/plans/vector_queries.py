@@ -186,3 +186,48 @@ def vec_knn_per_label_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", "vec_id", "score", F.col("rn").cast("int").alias("rn"))
         .orderBy("label", "rn")
     )
+
+
+@query(
+    "vec_ivf_topk",
+    sql=f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id < 8
+    ),
+    probe AS (
+      SELECT cid FROM cents
+      ORDER BY list_cosine_similarity(cvec, {_ANCHOR_SQL}) DESC, cid ASC
+      LIMIT 2
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid AS cell
+      FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), c.cvec) DESC, c.cid ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, CAST(round({_COS.format(anchor=_ANCHOR_SQL)}, 6) AS DOUBLE) AS score
+    FROM assign
+    WHERE cell IN (SELECT cid FROM probe)
+    ORDER BY score DESC, vec_id ASC
+    LIMIT 10
+    """,
+    survey_ops="A7(scale),H1,K7",
+    tables=("embeddings",),
+)
+def vec_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: deterministic coarse centroids (first 8 vectors —
+    production trains k-means offline), broadcast argmax cell assignment,
+    nprobe=2 probe, exact re-rank in-cell. Fully deterministic, so this
+    ANN scale path is value-hash oracle-checked, not just rows-only."""
+    from esco_neo4j_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        spark.table("embeddings"), _anchor_vec(spark), k=10, n_cells=8, nprobe=2
+    )
