@@ -74,3 +74,51 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     )
     q.processAllAvailable()
     q.stop()
+
+
+SESSION_OUT_SCHEMA = "user_id bigint, n_sessions bigint, n_events bigint"
+SESSION_STATE_SCHEMA = "last_ts double, n_sessions bigint, n_events bigint"
+
+
+def sessionize_stateful(events: DataFrame, gap_s: float = 3600.0) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization via
+    applyInPandasWithState (the north-star 'custom stateful operator'
+    slot — J extension; batch twin: plans/event_queries.events_sessionization).
+
+    Per-user state = (last event time, session count, event count); a gap
+    > gap_s opens a new session. Events are sorted inside each group/batch,
+    so results are exact when micro-batches preserve time order (the file
+    source in tests delivers one ordered batch; production would pair this
+    with a watermark-driven ordering stage)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            last_ts, n_sessions, n_events = state.get
+        else:
+            last_ts, n_sessions, n_events = None, 0, 0
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for ts in rows["ts"]:
+            t = ts.timestamp()
+            if last_ts is None or t - last_ts > gap_s:
+                n_sessions += 1
+            last_ts = t
+            n_events += 1
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [n_sessions],
+                "n_events": [n_events],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        SESSION_OUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

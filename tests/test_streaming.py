@@ -1,0 +1,97 @@
+"""Structured Streaming == batch parity (SURVEY.md §2.J extension).
+
+Each streaming pipeline in esco_neo4j_spark/streaming/events.py has a
+batch twin that IS DuckDB-oracle checked (plans/event_queries.py); these
+tests close the loop by asserting the streaming plan produces the same
+result as the batch plan on the same input, driven through a real file
+source -> memory sink with processAllAvailable().
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from esco_neo4j_spark.catalog import load_table
+from esco_neo4j_spark.streaming.events import (
+    read_event_stream,
+    run_to_memory,
+    sessionize_stateful,
+    streaming_dedup,
+    tumbling_counts,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    """Events as a parquet DIRECTORY (streaming file source needs a dir),
+    with the nanos->timestamp fix applied at write time."""
+    path = str(tmp_path_factory.mktemp("events_stream") / "events")
+    load_table(spark, SF_DIR, "events").repartition(1).write.parquet(path)
+    return path
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_streaming_tumbling_equals_batch(spark, event_dir):
+    stream = tumbling_counts(read_event_stream(spark, event_dir))
+    run_to_memory(stream, "t_tumbling", output_mode="complete")
+    got = _rows(spark.table("t_tumbling"))
+    want = _rows(tumbling_counts(spark.read.parquet(event_dir)))
+    assert got == want and len(got) > 0
+
+
+def test_streaming_dedup_equals_batch(spark, event_dir):
+    stream = streaming_dedup(read_event_stream(spark, event_dir))
+    run_to_memory(stream, "t_dedup", output_mode="append")
+    got = sorted(r["event_id"] for r in spark.table("t_dedup").collect())
+    want = sorted(
+        r["event_id"]
+        for r in spark.read.parquet(event_dir)
+        .dropDuplicates(["event_id"])
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_stateful_sessionization_equals_batch(spark, event_dir):
+    """applyInPandasWithState sessionization == the window-function batch
+    twin (events_sessionization, itself DuckDB-checked)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    stream = sessionize_stateful(read_event_stream(spark, event_dir))
+    run_to_memory(stream, "t_sessions", output_mode="update")
+    # update-mode memory sink appends one row per user per micro-batch;
+    # the final state per user is the last row emitted
+    got = _rows(
+        spark.table("t_sessions")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_sessions").alias("n_sessions"),
+            F.max("n_events").alias("n_events"),
+        )
+    )
+
+    ev = spark.read.parquet(event_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.col("ts").cast("double") - F.col("prev_ts").cast("double") > 3600.0),
+            1,
+        ).otherwise(0),
+    )
+    want = _rows(
+        flagged.groupBy("user_id").agg(
+            F.sum("new_session").cast("bigint").alias("n_sessions"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+    )
+    assert got == want and len(got) > 0
