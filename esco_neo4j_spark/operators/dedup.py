@@ -114,6 +114,11 @@ def minhash_signature(
     hashed = shingled(df, text_col, id_col, shingle_n).select(
         "id", F.transform("sh", md5_int28).alias("hs")
     )
+    return _minhash_sig_from_hashed(hashed, num_hashes)
+
+
+def _minhash_sig_from_hashed(hashed: DataFrame, num_hashes: int) -> DataFrame:
+    """(id, hs array<bigint>) -> (id, sig array<bigint>)."""
 
     # NB: the lambda must be single-arg — F.transform passes the element
     # INDEX as a second argument, which would shadow a default-bound i.
@@ -203,9 +208,14 @@ def minhash_dedup_pairs(
     (id_a, id_b, jaccard) for pairs >= threshold. Word-shingle based.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band, max_bucket)
+    # NB: shingles appear in three plan branches (signature + both verify
+    # joins); measured head-to-head, recomputing them beats .cache() —
+    # the tokenize+shingle+md5 projection is cheaper than serializing the
+    # shingle arrays into the block store (2.4s vs 8.1s first-run at sf0.1)
     sh = shingled(df, text_col, id_col, shingle_n)
+    hashed = sh.select("id", F.transform("sh", md5_int28).alias("hs"))
+    sigs = _minhash_sig_from_hashed(hashed, num_hashes)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band, max_bucket)
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
     union = F.size(F.array_union(F.col("sa"), F.col("sb"))).cast("double")
     return (
