@@ -1,0 +1,252 @@
+"""Command-line surface mirroring the reference CLI (src/esco_cli.py:181-381).
+
+Subcommand parity:
+
+  ingest      reference: src/esco_cli.py:273-289  -> CSV -> Parquet warehouse
+  search      reference: src/esco_cli.py:291-360  -> embedding cosine top-k
+  translate   reference: src/esco_cli.py:362-374  -> property translate + write-back
+  query       (ours) run any named analysis query (the analysis_queries.md
+              corpus, reference-side documented not executable)
+  list        (ours) enumerate the query registry with SURVEY.md §2 tags
+
+Output sinks per SURVEY.md §2.A9/A10: human-readable terminal formatting
+(score, label, truncated description — reference src/esco_cli.py:48-91)
+or ``--json`` (json.dumps, ensure_ascii=False — src/esco_cli.py:92-94).
+
+Usage:  python -m esco_neo4j_spark.cli <subcommand> [options]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _spark(cpus: str | None = None) -> SparkSession:
+    if cpus:
+        os.environ["SPARK_GRAFT_CPUS"] = cpus
+    from esco_neo4j_spark.session import get_spark
+
+    return get_spark("esco_neo4j_spark_cli")
+
+
+def _print_df(df: DataFrame, as_json: bool, limit: int = 50) -> None:
+    rows = df.limit(limit).collect()
+    if as_json:
+        print(
+            json.dumps(
+                [r.asDict(recursive=True) for r in rows],
+                indent=2,
+                ensure_ascii=False,
+                default=str,
+            )
+        )
+    else:
+        df.limit(limit).show(limit, truncate=97)
+
+
+def cmd_ingest(args) -> int:
+    from esco_neo4j_spark.sources import ensure_warehouse
+    from esco_neo4j_spark.sources.esco import DEFAULT_WAREHOUSE, validate
+
+    spark = _spark(args.cpus)
+    wh = args.warehouse or DEFAULT_WAREHOUSE
+    if args.force and os.path.exists(wh):
+        shutil.rmtree(wh)  # A5 delete-all (reference src/esco_ingest.py:48-65)
+    ensure_warehouse(spark, wh)
+    counts = validate(spark, wh)  # A6 constraints as validation job
+    print(json.dumps({"warehouse": wh, "counts": counts}, indent=2))
+    return 0
+
+
+def cmd_search(args) -> int:
+    """Semantic search (reference: src/semantic_search.py:39-109): embed the
+    query text with the same model UDF pipeline used at ingest, cosine
+    against every embedded node of the requested type(s), threshold,
+    top-k. One scan; top-k via TakeOrderedAndProject."""
+    import pandas as pd
+
+    from esco_neo4j_spark.operators.similarity import brute_force_topk
+    from esco_neo4j_spark.operators.textmodel import _hash_embed_rows
+    from esco_neo4j_spark.sources import ensure_warehouse, load_graph
+
+    spark = _spark(args.cpus)
+    views = load_graph(spark, ensure_warehouse(spark))
+    # query-text embedding, client-side like the reference (
+    # src/semantic_search.py:54-58); same hash-embed fallback as ingest
+    qvec = [float(x) for x in _hash_embed_rows(pd.Series([args.text]), 32)[0]]
+
+    # B2 label-disjunction scan: skill / occupation / both
+    if args.node_type == "skill":
+        nodes = views["esco_skill"]
+    elif args.node_type == "occupation":
+        nodes = views["esco_occupation"]
+    else:
+        nodes = views["esco_skill"].select(
+            "conceptUri", "preferredLabel", "description", "labels", "embedding"
+        ).unionByName(
+            views["esco_occupation"].select(
+                "conceptUri", "preferredLabel", "description", "labels", "embedding"
+            )
+        )
+    from esco_neo4j_spark.functions.vector import l2_norm
+
+    nodes = nodes.select(
+        F.col("conceptUri").alias("uri"),
+        F.col("preferredLabel").alias("label"),
+        F.element_at("labels", 1).alias("type"),  # H2 labels(n)[0]
+        "embedding",
+    ).filter(
+        # zero-norm embeddings (empty text) would divide-by-zero under
+        # ANSI; the reference's IS NOT NULL guard (B3) maps to norm > 0
+        F.col("embedding").isNotNull() & (l2_norm(F.col("embedding")) > 0)
+    )
+    hits = brute_force_topk(
+        nodes,
+        qvec,
+        k=args.limit,
+        threshold=args.threshold,
+        id_col="uri",
+        vec_col="embedding",
+    ).join(nodes.select("uri", "label", "type"), "uri")
+    _print_df(
+        hits.select("uri", "label", "type", "score").orderBy(
+            F.desc("score"), "uri"
+        ),
+        args.json,
+    )
+    return 0
+
+
+def cmd_translate(args) -> int:
+    """Translate a node property and write it back (reference:
+    src/esco_translate.py:385-419): distinct-before-compute, pandas-UDF
+    translate, key-join write-back — then atomically swap the node table
+    (the set-oriented form of the reference's per-node SET n.prop_he)."""
+    from esco_neo4j_spark.operators.textmodel import translate_column
+    from esco_neo4j_spark.sources import ensure_warehouse
+
+    spark = _spark(args.cpus)
+    wh = ensure_warehouse(spark)
+    table = {"skill": "nodes_skill", "occupation": "nodes_occupation",
+             "isco": "nodes_isco_group"}[args.node_type]
+    path = os.path.join(wh, table)
+    df = spark.read.parquet(path)
+    out_col = f"{args.property}_{args.lang}"
+    translated = translate_column(
+        df.drop(out_col) if out_col in df.columns else df,
+        args.property,
+        out_col=out_col,
+        lang=args.lang,
+    )
+    if args.dry_run:
+        _print_df(
+            translated.select("conceptUri", args.property, out_col), args.json,
+            limit=args.limit,
+        )
+        return 0
+    tmp = path + "__translating"
+    translated.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    n = spark.read.parquet(path).filter(F.col(out_col).isNotNull()).count()
+    print(json.dumps({"table": table, "column": out_col, "translated": n}))
+    return 0
+
+
+def cmd_query(args) -> int:
+    from esco_neo4j_spark.plans import REGISTRY
+
+    if args.name not in REGISTRY:
+        print(f"unknown query '{args.name}' — see `list`", file=sys.stderr)
+        return 2
+    spark = _spark(args.cpus)
+    df = REGISTRY[args.name].fn(spark, args.sf_dir)
+    _print_df(df, args.json, limit=args.limit)
+    return 0
+
+
+def cmd_list(args) -> int:
+    from esco_neo4j_spark.plans import REGISTRY
+
+    rows = [
+        {
+            "name": q.name,
+            "survey_ops": q.survey_ops,
+            "oracle": q.sql is not None,
+            "bench": q.bench,
+            "corpus": "esco" if q.esco else "synthetic",
+        }
+        for q in REGISTRY.values()
+    ]
+    if args.json:
+        print(json.dumps(rows, indent=2))
+    else:
+        w = max(len(r["name"]) for r in rows)
+        for r in sorted(rows, key=lambda r: r["name"]):
+            tags = ("oracle" if r["oracle"] else "rows-only") + (
+                ",bench" if r["bench"] else ""
+            )
+            print(f"{r['name']:<{w}}  [{r['corpus']}] [{tags}]  {r['survey_ops']}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="esco-spark", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    p.add_argument("--cpus", help="local[N] parallelism (default: all cores)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    i = sub.add_parser("ingest", help="ESCO CSVs -> Parquet warehouse")
+    i.add_argument("--warehouse", help="warehouse directory")
+    i.add_argument("--force", action="store_true", help="rebuild from scratch")
+    i.set_defaults(fn=cmd_ingest)
+
+    s = sub.add_parser("search", help="semantic cosine search")
+    s.add_argument("text")
+    s.add_argument("--node-type", choices=["skill", "occupation", "both"],
+                   default="both")
+    s.add_argument("--limit", type=int, default=10)
+    s.add_argument("--threshold", type=float, default=0.0)
+    s.add_argument("--json", action="store_true")
+    s.set_defaults(fn=cmd_search)
+
+    t = sub.add_parser("translate", help="translate a node property")
+    t.add_argument("--node-type", choices=["skill", "occupation", "isco"],
+                   default="occupation")
+    t.add_argument("--property", default="preferredLabel")
+    t.add_argument("--lang", default="he")
+    t.add_argument("--dry-run", action="store_true")
+    t.add_argument("--limit", type=int, default=20)
+    t.add_argument("--json", action="store_true")
+    t.set_defaults(fn=cmd_translate)
+
+    q = sub.add_parser("query", help="run a named analysis query")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    q.add_argument("--limit", type=int, default=50)
+    q.add_argument("--json", action="store_true")
+    q.set_defaults(fn=cmd_query)
+
+    ls = sub.add_parser("list", help="list registered queries")
+    ls.add_argument("--json", action="store_true")
+    ls.set_defaults(fn=cmd_list)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
