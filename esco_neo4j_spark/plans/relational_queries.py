@@ -574,3 +574,102 @@ def aq_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(50)
     )
+
+
+@query(
+    "ext_customers_no_urgent_orders",
+    sql="""
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ORDER BY custkey
+    """,
+    survey_ops="G3(ext)",
+    tables=("orders",),
+)
+def ext_customers_no_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op (SURVEY §2.G3 extension) — customers who ordered but
+    never urgently. EXCEPT plans as distinct + left-anti: one shuffle on
+    the key, and both branches prune to the two scanned columns."""
+    o = spark.table("orders")
+    return (
+        o.select(F.col("o_custkey").alias("custkey"))
+        .subtract(  # EXCEPT (distinct) — exceptAll would be bag semantics
+            o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+                F.col("o_custkey").alias("custkey")
+            )
+        )
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "ext_orders_monthly",
+    sql="""
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mon,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY 1, 2, 3
+    ORDER BY yr, mon
+    """,
+    survey_ops="H10(ext),D2",
+    tables=("orders",),
+)
+def ext_orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup via date scalar functions (SURVEY §2.H10 —
+    absent from the reference, whose modifiedDate is an opaque string).
+    Single scan of (o_orderdate, o_totalprice) only — column pruning
+    reaches the parquet reader — one shuffle keyed on (yr, mon, qtr) with
+    map-side partial aggregation."""
+    o = spark.table("orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mon"),
+            F.quarter("o_orderdate").cast("int").alias("qtr"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("yr", "mon")
+    )
+
+
+@query(
+    "ext_cube_status_priority",
+    sql="""
+    SELECT coalesce(o_orderstatus, '(all)') AS status,
+           coalesce(o_orderpriority, '(all)') AS priority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(avg(o_totalprice), 2) AS DOUBLE) AS avg_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+    survey_ops="D9(ext)",
+    tables=("orders",),
+)
+def ext_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) — all four grouping sets in ONE pass
+    (SURVEY §2.D9 extension; completes rollup from
+    ext_rollup_region_nation). Spark expands the cube before the shuffle,
+    so it is still a single exchange with partial aggregation."""
+    o = spark.table("orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "n",
+            "avg_price",
+        )
+        .orderBy("status", "priority")
+    )

@@ -1,0 +1,77 @@
+"""Physical-plan quality audits (the 100 TB checklist, not just results):
+
+- predicate pushdown reaches the parquet scan (PushedFilters),
+- column pruning reaches the scan (ReadSchema),
+- small-dimension joins broadcast (no shuffle of the big side),
+- ORDER BY ... LIMIT plans as TakeOrderedAndProject (no full sort),
+- the hot aggregation path stays inside whole-stage codegen.
+
+These assert on plan STRUCTURE so a regression that silently de-optimizes
+a query (e.g. a cast that blocks pushdown, a join that stops
+broadcasting) fails CI even while results stay correct.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+
+import pytest
+
+from esco_neo4j_spark.plans import REGISTRY
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_point_lookup_pushes_equality_to_scan(spark):
+    plan = _plan(spark, "aq_point_lookup")
+    assert "EqualTo(c_custkey,42)" in plan, "point predicate must reach parquet"
+
+
+def test_date_rollup_prunes_columns(spark):
+    plan = _plan(spark, "ext_orders_monthly")
+    sched = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "o_totalprice" in sched and "o_orderdate" in sched
+    assert "o_orderpriority" not in sched and "o_custkey" not in sched, (
+        "scan must read only the 2 referenced columns"
+    )
+
+
+def test_dim_join_broadcasts(spark):
+    plan = _plan(spark, "aq_top_parts_by_lines")
+    assert "BroadcastHashJoin" in plan, "part-dim join must broadcast"
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_avoids_full_sort(spark):
+    plan = _plan(spark, "vec_cosine_topk")
+    assert "TakeOrderedAndProject" in plan, (
+        "ORDER BY+LIMIT must plan as top-k, not global sort"
+    )
+
+
+def test_agg_partial_and_codegen(spark):
+    df = REGISTRY["tpch_q1_pricing_summary"].fn(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    assert "partial_sum" in buf.getvalue(), (
+        "agg must combine map-side before the shuffle"
+    )
+    # codegen spans only appear on the AQE-final plan — execute, then check
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # '*(N)' operator prefixes are the whole-stage-codegen spans in the
+    # AQE-final plan string
+    assert "*(" in executed and "HashAggregate" in executed, (
+        "hot agg path must run inside whole-stage codegen"
+    )
