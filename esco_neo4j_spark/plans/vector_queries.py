@@ -92,10 +92,11 @@ def vec_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables=("embeddings",),
 )
 def vec_lsh_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed similarity join: equi-join on sign-bucket, exact verify
-    in-bucket — replaces the cross join at scale (SURVEY §2 A7 mapping)."""
+    """Multi-table LSH similarity join (OR-of-AND banding): equi-join on
+    (table, sign-bucket), exact verify on deduped candidates — replaces
+    the cross join at scale (SURVEY §2 A7 mapping)."""
     return lsh_self_join(
-        spark.table("embeddings"), threshold=0.45, n_planes=4
+        spark.table("embeddings"), threshold=0.45, n_planes=4, n_tables=16
     ).orderBy("id_a", "id_b")
 
 
@@ -106,9 +107,10 @@ def vec_lsh_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables=("embeddings",),
 )
 def vec_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k via hyperplane-LSH bucket pruning + multiprobe."""
+    """ANN top-k via multi-table hyperplane-LSH bucket pruning."""
     return lsh_topk(
-        spark.table("embeddings"), _anchor_vec(spark), k=10, n_planes=6
+        spark.table("embeddings"), _anchor_vec(spark), k=10, n_planes=4,
+        n_tables=8,
     )
 
 
