@@ -502,7 +502,7 @@ def esco_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN part ON o.conceptUri = part.o_uri
     ORDER BY n_essential DESC, label, uri LIMIT 20
     """,
-    survey_ops="C2,C7,D6,D7,K6",
+    survey_ops="C2,C7,D6,D7,F4,K6",
     bench=True,
     esco=True,
 )
@@ -590,7 +590,7 @@ def esco_occupation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN ess e ON r.s_uri = e.s_uri
     ORDER BY n_related DESC, label, uri LIMIT 20
     """,
-    survey_ops="C2,C3,C7,D5,D6,D7,K6",
+    survey_ops="C2,C3,C7,D5,D6,D7,F4,K6",
     esco=True,
 )
 def esco_skill_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -673,3 +673,33 @@ def ext_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status", "priority")
     )
+
+
+@query(
+    "ext_map_projection",
+    sql="""
+    SELECT c_custkey AS custkey, c_name AS name, 'Customer' AS type
+    FROM customer
+    ORDER BY custkey LIMIT 50
+    """,
+    survey_ops="B10,B9",
+    tables=("customer",),
+)
+def ext_map_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cypher map projection ``c {.name, type:'Customer'}`` (SURVEY §2.B10,
+    AQ:490-496): build the struct with a literal type tag, then project
+    its fields back out — flattened for oracle comparability (DuckDB and
+    Spark hash struct values differently)."""
+    c = spark.table("customer")
+    ent = c.select(
+        F.struct(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.lit("Customer").alias("type"),
+        ).alias("ent")
+    )
+    return (
+        ent.select("ent.custkey", "ent.name", "ent.type")
+        .orderBy("custkey")
+        .limit(50)
+    )
