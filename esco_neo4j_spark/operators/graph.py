@@ -121,11 +121,22 @@ def transitive_closure(
 
     Per-source BFS run simultaneously for all sources: state is keyed by
     (origin, id). DuckDB ``WITH RECURSIVE`` is the oracle for this operator.
+
+    Physical strategy: the native recursive CTE (Spark >= 4.0) enumerates
+    WALKS (UNION ALL; UNION-dedup inside recursion is not supported yet),
+    taking min(depth) only at the end — on an undirected or cyclic input
+    the intermediate walk count grows exponentially with max_depth (an
+    undirected edge oscillates a-b-a-b...). So the CTE fast path is used
+    ONLY for directed inputs with a modest depth cap; undirected views and
+    deep traversals take the frontier-BFS path, whose per-round anti-join
+    against the visited set dedups every level (state stays proportional
+    to the reachable pair set — the scale-safe shape).
     """
     e = edges.select("src", "dst") if directed else undirected(edges)
-    cte = _closure_via_recursive_cte(e, max_depth)
-    if cte is not None:
-        return cte
+    if directed and max_depth <= 12:
+        cte = _closure_via_recursive_cte(e, max_depth)
+        if cte is not None:
+            return cte
     # Fallback (Spark < 4.0): frontier-expansion BFS, one materializing
     # job per round — the anti-join against the visited set is the cycle
     # guard, and `reached` stays a union of already-checkpointed
@@ -164,10 +175,16 @@ def _closure_via_recursive_cte(e: DataFrame, max_depth: int) -> DataFrame | None
     pipeline — ~2x faster locally than the hand-rolled frontier loop and
     the idiomatic cluster plan. Semantics mirror the DuckDB oracle
     exactly: enumerate walks up to max_depth (the depth cap is the cycle
-    bound), then min(depth) per pair.
+    bound), then min(depth) per pair. Caller (transitive_closure) gates
+    this to directed inputs with modest max_depth — see its docstring.
     """
+    import uuid
+
     spark = e.sparkSession
-    view = "__tc_edges__"
+    # Unique per call: a fixed name is shared session-wide, so two
+    # concurrent closures could rebind each other's edge set between view
+    # creation and analysis.
+    view = f"__tc_edges_{uuid.uuid4().hex}__"
     try:
         e.createOrReplaceTempView(view)
         out = spark.sql(
@@ -183,10 +200,16 @@ def _closure_via_recursive_cte(e: DataFrame, max_depth: int) -> DataFrame | None
             FROM d GROUP BY src, dst
             """
         )
-        # force analysis so parse errors on old Spark fall through
+        # force analysis so parse errors on old Spark fall through; the
+        # analyzed plan holds the resolved child, so the view can go
         out.schema
+        spark.catalog.dropTempView(view)
         return out
     except Exception:  # pragma: no cover - Spark < 4.0 only
+        try:
+            spark.catalog.dropTempView(view)
+        except Exception:
+            pass
         return None
 
 

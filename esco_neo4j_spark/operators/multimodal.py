@@ -55,12 +55,21 @@ HEADER_LEN = 20
 #          d2 = n_frames    = 24 + n_chars % 240
 
 
+# Both header fields are clamped mod 1e8: the %08d slices below are FIXED
+# 8-byte offsets and format_string does not truncate, so an unclamped value
+# (audio d2 = 500 + n_chars*3 exceeds 8 digits past ~33M chars) would grow
+# the header and silently shift every downstream byte-offset parse. The
+# oracle SQL applies the same modulus.
+_FIELD_MOD = 100_000_000
+
+
 def _d1_expr():
     return (
         F.when(F.col("modality") == "image", 64 + (F.col("doc_id") * 7) % 960)
         .when(F.col("modality") == "audio", 8000 + (F.col("doc_id") % 5) * 1000)
         .otherwise(12 + (F.col("doc_id") % 3) * 6)
         .cast("bigint")
+        % _FIELD_MOD
     )
 
 
@@ -70,6 +79,7 @@ def _d2_expr():
         .when(F.col("modality") == "audio", 500 + F.col("n_chars") * 3)
         .otherwise(24 + F.col("n_chars") % 240)
         .cast("bigint")
+        % _FIELD_MOD
     )
 
 

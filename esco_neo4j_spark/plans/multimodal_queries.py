@@ -31,15 +31,17 @@ _MODALITY = (
     "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
     "ELSE 'video' END"
 )
+# % 100000000 mirrors operators/multimodal.py _FIELD_MOD: header fields are
+# fixed 8-digit slices, so both sides clamp identically.
 _D1 = (
-    "CASE doc_id % 3 WHEN 0 THEN 64 + (doc_id * 7) % 960 "
+    "((CASE doc_id % 3 WHEN 0 THEN 64 + (doc_id * 7) % 960 "
     "WHEN 1 THEN 8000 + (doc_id % 5) * 1000 "
-    "ELSE 12 + (doc_id % 3) * 6 END"
+    "ELSE 12 + (doc_id % 3) * 6 END) % 100000000)"
 )
 _D2 = (
-    "CASE doc_id % 3 WHEN 0 THEN 64 + n_chars % 540 "
+    "((CASE doc_id % 3 WHEN 0 THEN 64 + n_chars % 540 "
     "WHEN 1 THEN 500 + n_chars * 3 "
-    "ELSE 24 + n_chars % 240 END"
+    "ELSE 24 + n_chars % 240 END) % 100000000)"
 )
 _BODY = "regexp_replace(text, '[^ -~]', '', 'g')"
 

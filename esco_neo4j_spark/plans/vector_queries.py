@@ -194,8 +194,11 @@ def vec_knn_per_label_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vec_ivf_topk",
     sql=f"""
     WITH cents AS (
+      -- first 8 rows by id (mirrors _fetch_centroids: works for string or
+      -- sparse ids, not just dense integers from 0)
       SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
-      FROM embeddings WHERE vec_id < 8
+      FROM embeddings WHERE embedding IS NOT NULL
+      ORDER BY vec_id LIMIT 8
     ),
     probe AS (
       SELECT cid FROM cents

@@ -17,6 +17,7 @@ from esco_neo4j_spark.operators.graph import (
     label_propagation,
     pagerank,
     shortest_path,
+    transitive_closure,
 )
 
 
@@ -107,6 +108,36 @@ def test_shortest_path_unreachable_is_empty(spark):
     pairs = [("b", "a")]
     out = shortest_path(_edges(spark, pairs), "a", "b", directed=True)
     assert out.count() == 0
+
+
+def test_transitive_closure_undirected_dense_graph_terminates(spark):
+    # Complete graph K8, undirected, max_depth=20: the recursive-CTE walk
+    # enumeration would generate ~7^20 intermediate rows (every walk
+    # oscillates), so this input MUST take the frontier-BFS path, which
+    # dedups per round and finishes instantly. All 8*7 ordered pairs are
+    # at distance 1.
+    nodes = [str(i) for i in range(8)]
+    pairs = [(a, b) for a in nodes for b in nodes if a < b]
+    got = {
+        (r["src"], r["dst"]): r["depth"]
+        for r in transitive_closure(
+            _edges(spark, pairs), max_depth=20, directed=False
+        ).collect()
+    }
+    # 56 ordered distinct pairs at depth 1 + 8 self-pairs (a-b-a) at depth 2
+    assert len(got) == 8 * 8
+    for (s, d), depth in got.items():
+        assert depth == (2 if s == d else 1)
+
+
+def test_transitive_closure_directed_cycle(spark):
+    # directed 3-cycle: closure must terminate and report min depths
+    pairs = [("a", "b"), ("b", "c"), ("c", "a")]
+    got = {
+        (r["src"], r["dst"]): r["depth"]
+        for r in transitive_closure(_edges(spark, pairs), max_depth=10).collect()
+    }
+    assert got[("a", "b")] == 1 and got[("a", "c")] == 2 and got[("a", "a")] == 3
 
 
 def test_connected_components_two_islands(spark):

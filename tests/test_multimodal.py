@@ -30,6 +30,16 @@ def test_payload_roundtrip_and_header(spark):
     assert (meta[1]["d1"], meta[1]["d2"]) == (9000, 503)
 
 
+def test_header_fields_clamped_to_8_digits(spark):
+    # audio d2 = 500 + n_chars*3 would be 120000500 (9 digits) for a 40M-char
+    # doc; the %08d slice is a fixed offset, so the field must clamp mod 1e8
+    # or every downstream byte-offset parse silently shifts.
+    docs = _docs(spark, [(1, "tiny body", 40_000_000)])
+    row = decode_media(attach_payload(docs)).collect()[0]
+    assert row["d2"] == (500 + 40_000_000 * 3) % 100_000_000
+    assert row["payload_bytes"] == HEADER_LEN + 9  # header did not grow
+
+
 def test_non_ascii_stripped_from_body(spark):
     docs = _docs(spark, [(3, "aéb\nc", 5)])  # é and newline dropped
     row = decode_media(attach_payload(docs)).collect()[0]
