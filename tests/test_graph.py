@@ -87,6 +87,32 @@ def test_betweenness_star_graph(spark):
     assert all(got[f"l{i}"] == 0.0 for i in (1, 2, 3))
 
 
+def test_betweenness_sampled_preserves_golden_ranking(spark):
+    # Brandes-Pich sampling (the registered query's scale path) must rank
+    # the goldens like the exact algorithm: star center strictly dominates
+    # with zero-score leaves, and the path graph's middle vertex is argmax.
+    star = [("c", f"l{i}") for i in range(1, 6)]
+    got = {
+        r["id"]: r["betweenness"]
+        for r in betweenness_centrality(
+            _edges(spark, star), directed=False, sample_k=2
+        ).collect()
+    }
+    assert got["c"] > 0.0
+    assert all(got[f"l{i}"] == 0.0 for i in range(1, 6))
+    assert got["c"] == max(got.values())
+
+    path = [(str(i), str(i + 1)) for i in range(1, 7)]  # path 1-2-...-7
+    got = {
+        r["id"]: r["betweenness"]
+        for r in betweenness_centrality(
+            _edges(spark, path), directed=False, sample_k=3
+        ).collect()
+    }
+    assert max(got, key=got.get) == "4"  # middle vertex still argmax
+    assert got["1"] == 0.0 and got["7"] == 0.0  # endpoints never inner
+
+
 def test_shortest_path_returns_node_sequence(spark):
     # diamond a-b-d / a-c-d plus tail d-e: two shortest a->e paths exist;
     # the min-predecessor tiebreak must pick the lexicographically smaller
