@@ -28,12 +28,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _spark(cpus: str | None = None) -> SparkSession:
-    if cpus:
-        os.environ["SPARK_GRAFT_CPUS"] = cpus
+def _spark(args) -> SparkSession:
+    if getattr(args, "cpus", None):
+        os.environ["SPARK_GRAFT_CPUS"] = args.cpus
     from esco_neo4j_spark.session import get_spark
 
-    return get_spark("esco_neo4j_spark_cli")
+    return get_spark("esco_neo4j_spark_cli", config=getattr(args, "_cfg", None))
 
 
 def _print_df(df: DataFrame, as_json: bool, limit: int = 50) -> None:
@@ -55,7 +55,7 @@ def cmd_ingest(args) -> int:
     from esco_neo4j_spark.sources import ensure_warehouse
     from esco_neo4j_spark.sources.esco import DEFAULT_WAREHOUSE, validate
 
-    spark = _spark(args.cpus)
+    spark = _spark(args)
     wh = args.warehouse or DEFAULT_WAREHOUSE
     if args.force and os.path.exists(wh):
         shutil.rmtree(wh)  # A5 delete-all (reference src/esco_ingest.py:48-65)
@@ -76,7 +76,7 @@ def cmd_search(args) -> int:
     from esco_neo4j_spark.operators.textmodel import _hash_embed_rows
     from esco_neo4j_spark.sources import ensure_warehouse, load_graph
 
-    spark = _spark(args.cpus)
+    spark = _spark(args)
     views = load_graph(spark, ensure_warehouse(spark))
     # query-text embedding, client-side like the reference (
     # src/semantic_search.py:54-58); same hash-embed fallback as ingest
@@ -134,7 +134,7 @@ def cmd_translate(args) -> int:
     from esco_neo4j_spark.operators.textmodel import translate_column
     from esco_neo4j_spark.sources import ensure_warehouse
 
-    spark = _spark(args.cpus)
+    spark = _spark(args)
     wh = ensure_warehouse(spark)
     table = {"skill": "nodes_skill", "occupation": "nodes_occupation",
              "isco": "nodes_isco_group"}[args.node_type]
@@ -175,7 +175,7 @@ def cmd_query(args) -> int:
     if args.name not in REGISTRY:
         print(f"unknown query '{args.name}' — see `list`", file=sys.stderr)
         return 2
-    spark = _spark(args.cpus)
+    spark = _spark(args)
     df = REGISTRY[args.name].fn(spark, args.sf_dir)
     _print_df(df, args.json, limit=args.limit)
     return 0
@@ -212,6 +212,20 @@ def build_parser() -> argparse.ArgumentParser:
         formatter_class=argparse.RawDescriptionHelpFormatter,
     )
     p.add_argument("--cpus", help="local[N] parallelism (default: all cores)")
+    p.add_argument(
+        "--config",
+        help="engine YAML config file (profiles + env override, A8; "
+        "default: config/engine_config.yaml if present)",
+    )
+    p.add_argument(
+        "--profile",
+        help="config profile name (default: $SPARK_GRAFT_PROFILE or 'default')",
+    )
+    p.add_argument("--log-dir", help="log directory (A11; default: ./logs)")
+    p.add_argument(
+        "--log-level",
+        help="log level (default: config log_level or INFO)",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     i = sub.add_parser("ingest", help="ESCO CSVs -> Parquet warehouse")
@@ -253,7 +267,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
+    from esco_neo4j_spark.config import load_config
+    from esco_neo4j_spark.logging_config import setup_logging
+
     args = build_parser().parse_args(argv)
+    args._cfg = load_config(args.config, args.profile)
+    logger = setup_logging(
+        args.log_level or str(args._cfg.get("log_level") or "INFO"),
+        args.log_dir,
+    )
+    logger.info(
+        "command=%s profile=%s", args.cmd, args._cfg.get("profile")
+    )
     return args.fn(args)
 
 

@@ -56,20 +56,48 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def get_spark(app_name: str = "esco_neo4j_spark", master: str | None = None) -> SparkSession:
+def conf_from_config(config: dict | None) -> dict[str, str]:
+    """Map an engine config (config.load_config) onto Spark builder conf.
+
+    Pure function so the profile->conf translation is unit-testable without
+    constructing a session. Falsy config values fall back to the engine
+    defaults (env vars / all-cores local master).
+    """
+    cfg = config or {}
+    cpus = int(cfg.get("cpus") or default_parallelism())
+    return {
+        "spark.master": str(cfg.get("master") or f"local[{cpus}]"),
+        "spark.sql.shuffle.partitions": str(
+            cfg.get("shuffle_partitions") or cpus
+        ),
+        "spark.driver.memory": str(
+            cfg.get("driver_memory")
+            or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+        ),
+        "spark.driver.maxResultSize": str(cfg.get("max_result_size") or "4g"),
+    }
+
+
+def get_spark(
+    app_name: str = "esco_neo4j_spark",
+    master: str | None = None,
+    config: dict | None = None,
+) -> SparkSession:
     """Create (or get) the engine SparkSession.
 
-    Local mode: one JVM, N threads, driver memory is the only knob.
+    ``config`` is an engine config dict from ``config.load_config`` (YAML
+    profile + env merge, A8); explicit ``master`` wins over it. Local
+    mode: one JVM, N threads, driver memory is the only knob.
     """
-    cpus = default_parallelism()
+    conf = conf_from_config(config)
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master or f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .master(master or conf.pop("spark.master"))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.maxResultSize", "4g")
     )
+    conf.pop("spark.master", None)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
     for k, v in _RUNTIME_CONF.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -10,11 +10,13 @@ from esco_neo4j_spark.cli import main
 
 
 @pytest.fixture(autouse=True)
-def _reuse_session(spark, monkeypatch):
-    """CLI creates its own session; reuse the test session instead."""
+def _reuse_session(spark, monkeypatch, tmp_path):
+    """CLI creates its own session; reuse the test session instead. Keep
+    the A11 log sink inside the test tmpdir."""
     import esco_neo4j_spark.cli as cli
 
-    monkeypatch.setattr(cli, "_spark", lambda cpus=None: spark)
+    monkeypatch.setattr(cli, "_spark", lambda args=None: spark)
+    monkeypatch.setenv("SPARK_GRAFT_LOG_DIR", str(tmp_path / "logs"))
 
 
 def test_list_queries(capsys):
@@ -47,6 +49,24 @@ def test_search_subcommand(capsys):
     # scores sorted descending
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_config_profile_load_and_log_sink(tmp_path, capsys):
+    """A8 profile selection + A11 file log sink through the CLI."""
+    cfg = tmp_path / "engine.yaml"
+    cfg.write_text(
+        "default:\n  shuffle_partitions: 7\n"
+        "cluster:\n  shuffle_partitions: 99\n  log_level: 'INFO'\n"
+        "sf_dir: '/root/testdata/sf0.001'\n"
+    )
+    logdir = tmp_path / "cli_logs"
+    rc = main(
+        ["--config", str(cfg), "--profile", "cluster",
+         "--log-dir", str(logdir), "list", "--json"]
+    )
+    assert rc == 0
+    log = (logdir / "esco.log").read_text()
+    assert "command=list profile=cluster" in log
 
 
 def test_translate_dry_run(capsys):
