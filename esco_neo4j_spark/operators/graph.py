@@ -430,6 +430,156 @@ def label_propagation(edges: DataFrame, max_iter: int = 10) -> DataFrame:
     return state
 
 
+def modularity(edges: DataFrame, communities: DataFrame) -> float:
+    """Newman modularity Q = sum_c [ E_c/m - (tot_c/(2m))^2 ] of an
+    undirected partition: E_c intra-community edges, tot_c sum of member
+    degrees, m total edges. Driver-side scalar (one small agg collect) —
+    used by the Louvain refinement tests and as a quality metric.
+
+    ``communities``: (id, community).
+    """
+    und = undirected(edges).distinct()
+    m = und.count() / 2.0
+    if m == 0:
+        return 0.0
+    deg = und.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    intra = (
+        und.join(communities.withColumnRenamed("id", "src"), "src")
+        .withColumnRenamed("community", "c_src")
+        .join(
+            communities.select(
+                F.col("id").alias("dst"), F.col("community").alias("c_dst")
+            ),
+            "dst",
+        )
+        .filter(F.col("c_src") == F.col("c_dst"))
+        .count()
+        / 2.0
+    )
+    tot = (
+        communities.join(deg, "id")
+        .groupBy("community")
+        .agg(F.sum("deg").alias("tot"))
+        .agg(F.sum(F.col("tot") * F.col("tot")).alias("sq"))
+        .first()["sq"]
+    )
+    return intra / m - float(tot) / (4.0 * m * m)
+
+
+def louvain_communities(
+    edges: DataFrame, max_iter: int = 10, refine_iter: int = 4
+) -> DataFrame:
+    """Community detection: LPA initialization + synchronous modularity
+    refinement — the distributed stand-in for the reference's sequential
+    Louvain (gds.louvain.stream, analysis_queries.md:233-246) whose
+    documented deviation this shrinks (SURVEY.md §7 K5).
+
+    Each refinement round evaluates, per vertex v and candidate community
+    c (current + neighbor communities), the standard Louvain move gain
+
+        dQ(v->c) = k_{v,c}/m - deg_v * (tot_c - [c==cur]*deg_v) / (2 m^2)
+
+    and applies the strictly-best positive moves SYNCHRONOUSLY for half
+    the vertices per round (hash-parity checkerboard — the standard guard
+    against two adjacent vertices swapping communities forever). All state
+    transitions are keyed joins/groupBys; nothing is driver-side, so the
+    pass scales like LPA itself. Returns (id, community).
+    """
+    state = label_propagation(edges, max_iter=max_iter)
+    return modularity_refine(edges, state, refine_iter=refine_iter)
+
+
+def modularity_refine(
+    edges: DataFrame, communities: DataFrame, refine_iter: int = 4
+) -> DataFrame:
+    """The Louvain local-move phase on an existing partition — see
+    louvain_communities for the gain formula and synchronization scheme.
+    Public so any initial partition (LPA, a previous run, a hash bucket)
+    can be refined; golden tests start it from a deliberately bad split.
+    """
+    state = communities.select("id", "community")
+    und = _checkpoint(undirected(edges).distinct())
+    m = und.count() / 2.0
+    if m == 0:
+        return state
+    deg = und.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    deg = _checkpoint(deg)
+
+    for rnd in range(refine_iter):
+        tot = (
+            state.join(deg, "id")
+            .groupBy("community")
+            .agg(F.sum("deg").alias("tot"))
+        )
+        # k_{v,c}: edges from v into community c
+        nbr = (
+            und.join(
+                state.select(
+                    F.col("id").alias("dst"), F.col("community").alias("c")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"), "c")
+            .agg(F.count("*").alias("k_vc"))
+        )
+        cur = state.select("id", F.col("community").alias("cur_c"))
+        # candidate set = neighbor communities U current community (k=0 row
+        # so a vertex with no intra-community neighbor can still stay put)
+        cand = (
+            nbr.join(cur, "id", "inner")
+            .unionByName(
+                cur.select(
+                    "id", F.col("cur_c").alias("c"),
+                    F.lit(0).cast("bigint").alias("k_vc"), "cur_c",
+                )
+            )
+            .groupBy("id", "c", "cur_c")
+            .agg(F.max("k_vc").alias("k_vc"))
+        )
+        gains = (
+            cand.join(deg, "id")
+            .join(tot.withColumnRenamed("community", "c"), "c")
+            .withColumn(
+                "gain",
+                F.col("k_vc") / F.lit(m)
+                - F.col("deg")
+                * (
+                    F.col("tot")
+                    - F.when(F.col("c") == F.col("cur_c"), F.col("deg"))
+                    .otherwise(F.lit(0))
+                )
+                / F.lit(2.0 * m * m),
+            )
+        )
+        w = Window.partitionBy("id").orderBy(
+            F.desc("gain"), F.asc("c")
+        )
+        best = (
+            gains.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", F.col("c").alias("best_c"), "cur_c")
+        )
+        # checkerboard: only even-(hash+round) vertices move this round
+        move_ok = (F.pmod(F.hash("id") + F.lit(rnd), F.lit(2)) == 0)
+        new_state = best.select(
+            "id",
+            F.when(move_ok, F.col("best_c"))
+            .otherwise(F.col("cur_c"))
+            .alias("community"),
+        )
+        new_state = _checkpoint(new_state)
+        changed = (
+            new_state.alias("n")
+            .join(state.alias("o"), "id")
+            .filter(F.col("n.community") != F.col("o.community"))
+            .isEmpty()
+        )
+        state = new_state
+        if changed:
+            break
+    return state
+
+
 def betweenness_centrality(
     edges: DataFrame,
     directed: bool = False,

@@ -274,6 +274,24 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "graph_louvain",
+    sql=None,  # iterative modularity optimization; golden-checked in
+    # tests/test_graph.py (refinement recovers the optimal partition and
+    # never lands below the LPA baseline)
+    survey_ops="K5",
+    tables=("events",),
+)
+def graph_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain-style communities (AQ:233-246): LPA initialization + the
+    synchronous Louvain local-move phase — the documented K5 deviation
+    shrunk from 'LPA stand-in' to 'LPA + modularity refinement'."""
+    from esco_neo4j_spark.operators.graph import louvain_communities
+
+    lv = louvain_communities(_edges(spark), max_iter=10, refine_iter=4)
+    return lv.orderBy("id")
+
+
+@query(
     "graph_betweenness",
     sql=None,  # Brandes; golden-checked in tests/test_graph.py
     survey_ops="K4",

@@ -15,10 +15,20 @@ from esco_neo4j_spark.operators.graph import (
     betweenness_centrality,
     connected_components,
     label_propagation,
+    louvain_communities,
+    modularity,
+    modularity_refine,
     pagerank,
     shortest_path,
     transitive_closure,
 )
+
+# two triangles 1-2-3 and 4-5-6 joined by the bridge 3-4
+BRIDGE_GRAPH = [
+    ("1", "2"), ("2", "3"), ("3", "1"),
+    ("4", "5"), ("5", "6"), ("6", "4"),
+    ("3", "4"),
+]
 
 
 def _edges(spark, pairs):
@@ -85,6 +95,34 @@ def test_betweenness_star_graph(spark):
     }
     assert got["c"] == 3.0
     assert all(got[f"l{i}"] == 0.0 for i in (1, 2, 3))
+
+
+def test_modularity_refine_recovers_optimal_partition(spark):
+    # start from a deliberately wrong split of the bridge graph (one
+    # vertex of each triangle swapped): refinement must climb to the
+    # optimal two-triangle partition, Q = 0.357...
+    e = _edges(spark, BRIDGE_GRAPH)
+    bad = spark.createDataFrame(
+        [("1", "a"), ("2", "a"), ("4", "a"), ("3", "b"), ("5", "b"), ("6", "b")],
+        "id string, community string",
+    )
+    q_bad = modularity(e, bad)
+    refined = modularity_refine(e, bad, refine_iter=6)
+    q_ref = modularity(e, refined)
+    assert q_ref > q_bad
+    got = {r["id"]: r["community"] for r in refined.collect()}
+    assert got["1"] == got["2"] == got["3"]
+    assert got["4"] == got["5"] == got["6"]
+    assert got["1"] != got["4"]
+    assert abs(q_ref - 5.0 / 14.0) < 1e-9  # optimal Q on this graph
+
+
+def test_louvain_never_below_lpa_modularity(spark):
+    e = _edges(spark, BRIDGE_GRAPH)
+    q_lpa = modularity(e, label_propagation(e, max_iter=10))
+    q_louvain = modularity(e, louvain_communities(e, max_iter=10))
+    assert q_louvain >= q_lpa
+    assert abs(q_louvain - 5.0 / 14.0) < 1e-9
 
 
 def test_betweenness_sampled_preserves_golden_ranking(spark):
