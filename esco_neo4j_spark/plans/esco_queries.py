@@ -265,6 +265,7 @@ def esco_multihop_skill_isco(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=f"""
     WITH ess AS (
       SELECT src_uri, dst_uri FROM {_EDGES} WHERE rel_type = 'ESSENTIAL_FOR'
+      QUALIFY count(*) OVER (PARTITION BY dst_uri) <= 256
     )
     SELECT a.src_uri AS uri_a, b.src_uri AS uri_b,
            CAST(count(*) AS BIGINT) AS n_shared
@@ -277,9 +278,16 @@ def esco_multihop_skill_isco(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def esco_skill_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AQ:127-131 skill co-occurrence: self-join of essential edges on the
-    occupation (shuffle keyed on dst_uri; per-occupation fan-out is small,
-    so no skew salt needed), s1 < s2 dedup of unordered pairs."""
-    ess = _edges(spark, "ESSENTIAL_FOR").select("src_uri", "dst_uri")
+    occupation (shuffle keyed on dst_uri), s1 < s2 dedup of unordered
+    pairs. cap_key_fanout (mirrored in the oracle's QUALIFY) drops
+    degenerate hub occupations so a hot key cannot go quadratic at 100x;
+    real per-occupation fan-out is tens of skills, far under the cap."""
+    from esco_neo4j_spark.operators.skew import cap_key_fanout
+
+    ess = cap_key_fanout(
+        _edges(spark, "ESSENTIAL_FOR").select("src_uri", "dst_uri"),
+        ["dst_uri"],
+    )
     a = ess.select(F.col("src_uri").alias("uri_a"), F.col("dst_uri").alias("o"))
     b = ess.select(F.col("src_uri").alias("uri_b"), F.col("dst_uri").alias("o"))
     return (

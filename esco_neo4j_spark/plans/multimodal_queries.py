@@ -57,6 +57,7 @@ _BODY = "regexp_replace(text, '[^ -~]', '', 'g')"
     ORDER BY doc_id
     """,
     survey_ops="multimodal-decode,I9(ext)",
+    bench=True,  # the multimodal headline: binary build + Arrow round-trip
     tables=("documents",),
 )
 def mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -186,9 +186,13 @@ def aq_multihop_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "aq_part_cooccurrence",
     sql="""
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem
+      QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256
+    )
     SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
            CAST(count(*) AS BIGINT) AS n_orders
-    FROM lineitem a JOIN lineitem b
+    FROM li a JOIN li b
       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     GROUP BY a.l_partkey, b.l_partkey
     ORDER BY n_orders DESC, part_a ASC, part_b ASC
@@ -201,8 +205,16 @@ def aq_multihop_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def aq_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-join co-occurrence with theta predicate (AQ:127-131 skills
     sharing occupations; s1 <> s2 tightened to < to halve the pairs).
-    Shuffles once on l_orderkey; pair-count agg follows."""
-    li = spark.table("lineitem").select("l_orderkey", "l_partkey")
+    Shuffles once on l_orderkey; pair-count agg follows. cap_key_fanout
+    (mirrored in the oracle's QUALIFY) drops degenerate hot orders so one
+    mega-key cannot go quadratic at 100x — TPC-H orders have <= 7 lines,
+    so the cap never binds at test scale."""
+    from esco_neo4j_spark.operators.skew import cap_key_fanout
+
+    li = cap_key_fanout(
+        spark.table("lineitem").select("l_orderkey", "l_partkey"),
+        ["l_orderkey"],
+    )
     a = li.alias("a")
     b = li.alias("b")
     return (

@@ -75,3 +75,12 @@ def test_agg_partial_and_codegen(spark):
     assert "*(" in executed and "HashAggregate" in executed, (
         "hot agg path must run inside whole-stage codegen"
     )
+
+
+def test_cooccurrence_has_fanout_cap(spark):
+    # the skew guard (operators/skew.py cap_key_fanout) must appear in the
+    # plan: a windowed count over the join key followed by the cap filter,
+    # BEFORE the self-join — one hot key must not go quadratic at 100x
+    plan = _plan(spark, "aq_part_cooccurrence")
+    assert "Window" in plan, "fan-out cap window missing from plan"
+    assert "_fanout" in plan, "cap filter column missing from plan"
