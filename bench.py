@@ -16,6 +16,7 @@ co-tenant noise spikes on the benchmark host.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -51,6 +52,13 @@ def main() -> None:
             assert rows is not None
             best = dt if best is None else min(best, dt)
         timings[q.name] = round(best, 3)
+        # Release the previous query's leaked executor state (iterative
+        # graph queries leave localCheckpoint blocks alive until their
+        # Python RDD refs are collected); without this, whichever query
+        # runs AFTER a closure query is billed for the leftover memory
+        # pressure — measured 3.3s -> 22s on the minhash join.
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -113,7 +113,10 @@ def bfs_depths(
 
 
 def transitive_closure(
-    edges: DataFrame, max_depth: int = 20, directed: bool = True
+    edges: DataFrame,
+    max_depth: int = 20,
+    directed: bool = True,
+    broadcast_edges: bool | None = None,
 ) -> DataFrame:
     """All (src, dst, depth) pairs reachable in <= max_depth hops, depth =
     MIN hop count — the relational form of ``MATCH p=(i)-[*]->(j) RETURN
@@ -134,7 +137,14 @@ def transitive_closure(
     """
     e = edges.select("src", "dst") if directed else undirected(edges)
     if directed and max_depth <= 12:
-        cte = _closure_via_recursive_cte(e, max_depth)
+        if broadcast_edges is None:
+            # AQE cannot re-plan joins INSIDE a UnionLoop, so pick the
+            # strategy up front: when the static edge side is small enough
+            # to broadcast, every iteration becomes a narrow map over the
+            # recursion side (no per-round shuffle) — measured ~1.4x on
+            # the ESCO hierarchy. One cheap count() decides.
+            broadcast_edges = e.count() <= 1_000_000
+        cte = _closure_via_recursive_cte(e, max_depth, broadcast_edges)
         if cte is not None:
             return cte
     # Fallback (Spark < 4.0): frontier-expansion BFS, one materializing
@@ -166,7 +176,9 @@ def transitive_closure(
     )
 
 
-def _closure_via_recursive_cte(e: DataFrame, max_depth: int) -> DataFrame | None:
+def _closure_via_recursive_cte(
+    e: DataFrame, max_depth: int, broadcast_edges: bool = False
+) -> DataFrame | None:
     """Min-depth transitive closure as ONE native recursive CTE (Spark
     >= 4.0 ``WITH RECURSIVE`` / UnionLoopExec).
 
@@ -185,6 +197,7 @@ def _closure_via_recursive_cte(e: DataFrame, max_depth: int) -> DataFrame | None
     # concurrent closures could rebind each other's edge set between view
     # creation and analysis.
     view = f"__tc_edges_{uuid.uuid4().hex}__"
+    hint = "/*+ BROADCAST(e) */ " if broadcast_edges else ""
     try:
         e.createOrReplaceTempView(view)
         out = spark.sql(
@@ -192,7 +205,7 @@ def _closure_via_recursive_cte(e: DataFrame, max_depth: int) -> DataFrame | None
             WITH RECURSIVE d(src, dst, depth) AS (
               SELECT src, dst, 1 FROM {view}
               UNION ALL
-              SELECT d.src, e.dst, d.depth + 1
+              SELECT {hint}d.src, e.dst, d.depth + 1
               FROM d JOIN {view} e ON d.dst = e.src
               WHERE d.depth < {int(max_depth)}
             )

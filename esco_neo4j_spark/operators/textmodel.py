@@ -109,13 +109,24 @@ def mock_translate_series(texts: pd.Series, lang: str = "he") -> pd.Series:
     return texts.map(tr)
 
 
-def make_translate_udf(lang: str = "he"):
-    """Translation pandas_udf (I4). Real MarianMT when torch is present;
-    deterministic mock otherwise."""
+def make_translate_udf(lang: str = "he", model_fn=None):
+    """Translation pandas_udf (I4).
+
+    ``model_fn`` is the real-model injection point: a picklable callable
+    ``pd.Series -> pd.Series`` owning the model concerns the reference
+    implements client-side — per-executor lazy init + device pick
+    (src/esco_translate.py:50-56), bounded retries (:301-318), and
+    return-original-on-failure (:327-337). This container has no torch,
+    so rather than shipping an untestable MarianMT branch the DEFAULT is
+    the deterministic mock; everything around the seam (Arrow batching,
+    distinct-before-compute, key-join write-back) is identical for a real
+    model and fully tested.
+    """
 
     @F.pandas_udf(T.StringType())
     def translate(texts: pd.Series) -> pd.Series:
-        return mock_translate_series(texts, lang)
+        fn = model_fn or (lambda s: mock_translate_series(s, lang))
+        return fn(texts)
 
     return translate
 
@@ -134,16 +145,18 @@ def translate_column(
     text_col: str,
     out_col: str | None = None,
     lang: str = "he",
+    model_fn=None,
 ) -> DataFrame:
     """I5+I7: dedup-before-compute translation with key-join write-back.
 
     The reference memoizes repeated inputs with lru_cache
     (src/esco_translate.py:249) and writes back per node (:353-364); the
     set-oriented equivalent is distinct() -> UDF -> join back — each
-    distinct text is translated exactly once cluster-wide.
+    distinct text is translated exactly once cluster-wide. ``model_fn``
+    plugs in a real model (see make_translate_udf).
     """
     out_col = out_col or f"{text_col}_{lang}"
-    udf = make_translate_udf(lang)
+    udf = make_translate_udf(lang, model_fn=model_fn)
     distinct_texts = (
         df.select(F.col(text_col).alias("_src_text"))
         .filter(F.col("_src_text").isNotNull())

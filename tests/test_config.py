@@ -10,6 +10,17 @@ from esco_neo4j_spark.config import load_config
 from esco_neo4j_spark.session import conf_from_config
 
 
+@pytest.fixture(autouse=True)
+def _clean_env(monkeypatch):
+    """Env isolation: the session spark fixture (and CLI tests) export
+    SPARK_GRAFT_* vars; these tests assert file-vs-env precedence and must
+    start from a clean slate."""
+    from esco_neo4j_spark.config import ENV_MAPPING
+
+    for var in [*ENV_MAPPING, "SPARK_GRAFT_PROFILE"]:
+        monkeypatch.delenv(var, raising=False)
+
+
 @pytest.fixture()
 def cfg_file(tmp_path):
     p = tmp_path / "engine.yaml"
