@@ -82,8 +82,9 @@ def _minhash_sig_sql(num_hashes: int) -> str:
     return f"[{terms}]"
 
 
-_MINHASH_SQL = f"""
-    WITH sh AS (
+# CTE chain shared by the pair query and the canonical-docs rollup
+_MINHASH_CTES = f"""
+    sh AS (
       SELECT doc_id AS id, {_SHINGLES} AS sh FROM documents
     ),
     hashed AS (
@@ -110,6 +111,9 @@ _MINHASH_SQL = f"""
       FROM banded a JOIN banded b
         ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.id < b.id
     )
+"""
+
+_MINHASH_PAIRS_SELECT = """
     SELECT c.id_a, c.id_b,
            CAST(round(len(list_intersect(x.sh, y.sh))::DOUBLE /
                 (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6)
@@ -117,6 +121,11 @@ _MINHASH_SQL = f"""
     FROM cands c JOIN sh x ON c.id_a = x.id JOIN sh y ON c.id_b = y.id
     WHERE round(len(list_intersect(x.sh, y.sh))::DOUBLE /
           (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) >= 0.5
+"""
+
+_MINHASH_SQL = f"""
+    WITH {_MINHASH_CTES}
+    {_MINHASH_PAIRS_SELECT}
     ORDER BY id_a, id_b
 """
 
@@ -268,3 +277,66 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(
         spark.table("documents"), "text", "doc_id", threshold=0.9, dim=128
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_canonical_docs",
+    sql=f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs AS ({_MINHASH_PAIRS_SELECT}),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    -- transitive closure over the (sparse) near-dup pair graph; UNION
+    -- dedups rows so this is linear in reachable pairs, and dup clusters
+    -- are tiny by construction
+    walk AS (
+      SELECT src AS id, dst AS reach FROM und
+      UNION
+      SELECT w.id, u.dst FROM walk w JOIN und u ON w.reach = u.src
+    ),
+    comp AS (
+      SELECT id, least(id, min(reach)) AS comp FROM walk GROUP BY id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(c.comp, d.doc_id) AS BIGINT) AS canonical_id,
+           (coalesce(c.comp, d.doc_id) <> d.doc_id) AS is_duplicate
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    ORDER BY d.doc_id
+    """,
+    survey_ops="dedup-canonical,K5-adjacent,C2",
+    tables=("documents",),
+)
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup CAPSTONE a training pipeline actually runs: MinHash-LSH
+    near-dup pairs -> connected components over the pair graph -> keep the
+    min-id doc per duplicate cluster. Composes the banded LSH join with
+    the iterative hash-min CC operator; the oracle recomputes identical
+    pairs and a recursive-closure min per cluster, so the whole
+    composition is value-hash-checked end to end. At 100 TB the pair
+    graph is orders of magnitude smaller than the corpus (only near-dups
+    appear), so the CC iterations run on a tiny edge set."""
+    from esco_neo4j_spark.operators.dedup import minhash_dedup_pairs
+    from esco_neo4j_spark.operators.graph import connected_components
+
+    docs = spark.table("documents")
+    pairs = minhash_dedup_pairs(
+        docs, "text", "doc_id", threshold=0.5, num_hashes=16, bands=4
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(cc, docs["doc_id"] == cc["id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id"))
+            .cast("bigint")
+            .alias("canonical_id"),
+            (
+                F.coalesce(F.col("component"), F.col("doc_id"))
+                != F.col("doc_id")
+            ).alias("is_duplicate"),
+        )
+        .orderBy("doc_id")
+    )

@@ -478,6 +478,85 @@ def esco_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "esco_shortest_path_nodes",
+    sql=f"""
+    WITH RECURSIVE rel AS (
+      SELECT src_uri AS src, dst_uri AS dst FROM {_EDGES}
+      WHERE rel_type = 'RELATED_SKILL'
+    ),
+    und AS (
+      SELECT src, dst FROM rel UNION SELECT dst, src FROM rel
+    ),
+    anchor AS (SELECT min(src) AS a FROM und),
+    bfs AS (
+      SELECT u.dst AS node, 1 AS depth FROM und u, anchor WHERE u.src = anchor.a
+      UNION ALL
+      SELECT u.dst, b.depth + 1 FROM bfs b JOIN und u ON b.node = u.src
+      WHERE b.depth < 6
+    ),
+    dist0 AS (
+      SELECT a AS node, 0 AS dist FROM anchor
+      UNION ALL
+      SELECT node, min(depth) FROM bfs, anchor
+      WHERE node <> anchor.a GROUP BY node
+    ),
+    -- deterministic endpoint: lexicographically last reachable node
+    target AS (SELECT max(node) AS t FROM dist0, anchor WHERE node <> anchor.a),
+    -- shortest-path DAG predecessor with min-id tiebreak (mirrors the
+    -- Spark operator's deterministic predecessor tracking)
+    preds AS (
+      SELECT e.dst AS node, min(e.src) AS pred
+      FROM und e
+      JOIN dist0 d1 ON e.src = d1.node
+      JOIN dist0 d2 ON e.dst = d2.node
+      WHERE d2.dist = d1.dist + 1
+      GROUP BY e.dst
+    ),
+    wb AS (
+      SELECT t AS node, (SELECT dist FROM dist0 WHERE node = t) AS k
+      FROM target
+      UNION ALL
+      SELECT p.pred, wb.k - 1 FROM wb JOIN preds p ON p.node = wb.node
+      WHERE wb.k > 0
+    )
+    SELECT (SELECT a FROM anchor) AS src, (SELECT t FROM target) AS dst,
+           CAST((SELECT dist FROM dist0, target WHERE node = t) AS INT)
+             AS distance,
+           (SELECT string_agg(node, '->' ORDER BY k) FROM wb) AS path
+    """,
+    survey_ops="K2,C3,G2,H4",
+    esco=True,
+)
+def esco_shortest_path_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQ:136-141 ``shortestPath((s1)-[*]-(s2)) RETURN nodes(path)`` — the
+    reference query returns the path's node sequence, and so do we (K2
+    full parity on the warehouse). Endpoints are deterministic: the
+    lexicographically first RELATED_SKILL node to the lexicographically
+    last node reachable within 6 hops. Spark runs predecessor-tracking
+    BFS (min-id tiebreak); the oracle reconstructs the identical path from
+    BFS levels + min-pred walk-back — independent computations."""
+    from esco_neo4j_spark.operators.graph import shortest_path
+
+    rel = _edges(spark, "RELATED_SKILL").select(
+        F.col("src_uri").alias("src"), F.col("dst_uri").alias("dst")
+    )
+    und = undirected(rel).distinct()
+    anchor = und.agg(F.min("src")).first()[0]
+    sources = spark.createDataFrame([(anchor,)], ["id"])
+    reach = bfs_depths(und, sources, max_depth=6, directed=True)
+    target = (
+        reach.filter(F.col("id") != anchor).agg(F.max("id")).first()[0]
+    )
+    sp = shortest_path(und, anchor, target, max_depth=6, directed=True)
+    return sp.select(
+        "src",
+        "dst",
+        F.col("distance").cast("int").alias("distance"),
+        F.array_join("path", "->").alias("path"),
+    )
+
+
 # --------------------------------------------------------------------------
 # semantic_search.py profiles (C7/D7/K6) and vector search (H1/C9/K7)
 # --------------------------------------------------------------------------

@@ -213,3 +213,83 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), F.asc("fingerprint"))
         .limit(100)
     )
+
+
+# per-language keep-rate (percent) for the training-mix sample below
+_MIX_RATES = {"en": 50, "de": 30, "es": 20, "fr": 10}
+_RATE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{l}' THEN {r}" for l, r in _MIX_RATES.items())
+    + " ELSE 0 END"
+)
+
+
+@query(
+    "text_stratified_sample",
+    sql=f"""
+    SELECT doc_id, lang,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+                % 100 AS INT) AS bucket
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100
+          < {_RATE_SQL}
+    ORDER BY doc_id
+    """,
+    survey_ops="text-sampling,B6",
+    tables=("documents",),
+)
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for training-mix construction:
+    each doc hashes to a stable 0-99 bucket (md5 of its id) and survives
+    iff bucket < the per-language keep rate. Unlike df.sample this is
+    reproducible run-to-run and join-stable across tables keyed on the
+    same id — the property a multi-pass 100 TB pipeline needs — and it is
+    a pure filter: no shuffle, pushdown-friendly, exactly mirrored in
+    SQL."""
+    d = spark.table("documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("bigint") % 100
+    ).cast("int")
+    rate = F.lit(0)
+    for lang, r in _MIX_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return (
+        d.select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < rate)
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_length_quantiles",
+    sql="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(round(quantile_cont(n_chars, 0.5), 4) AS DOUBLE) AS p50,
+           CAST(round(quantile_cont(n_chars, 0.9), 4) AS DOUBLE) AS p90,
+           CAST(round(quantile_cont(n_chars, 0.99), 4) AS DOUBLE) AS p99
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    survey_ops="text-quantiles,D8",
+    tables=("documents",),
+)
+def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact length percentiles per source (linear interpolation — Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the definition, so
+    this is value-hash-checked). The sequence-length budget planner of a
+    training pipeline; at 100 TB swap in approx_percentile and trade the
+    oracle for a tolerance test."""
+    d = spark.table("documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(n_chars, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("source")
+    )
