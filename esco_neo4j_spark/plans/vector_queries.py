@@ -236,3 +236,67 @@ def vec_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         spark.table("embeddings"), _anchor_vec(spark), k=10, n_cells=8, nprobe=2
     )
+
+
+@query(
+    "vec_pq_topk",
+    sql=f"""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE embedding IS NOT NULL
+    ),
+    cb AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+      WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16
+    ),
+    subs AS (SELECT unnest(generate_series(0, 7)) AS s),
+    dists AS (
+      SELECT t.vec_id, subs.s, cb.cid,
+             round(list_aggregate(list_transform(generate_series(1, 8),
+                   i -> (t.v[subs.s*8 + i] - cb.cv[subs.s*8 + i])^2),
+                   'sum'), 9) AS d
+      FROM vecs t, subs, cb
+    ),
+    codes AS (
+      SELECT vec_id, s, cid AS code FROM dists
+      QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) = 1
+    ),
+    q AS (SELECT {_ANCHOR_SQL} AS v),
+    adc AS (
+      SELECT c.vec_id,
+             sum(list_aggregate(list_transform(generate_series(1, 8),
+                 i -> q.v[c.s*8 + i] * cb.cv[c.s*8 + i]), 'sum')) AS dot,
+             sum(list_aggregate(list_transform(generate_series(1, 8),
+                 i -> cb.cv[c.s*8 + i] * cb.cv[c.s*8 + i]), 'sum')) AS n2
+      FROM codes c JOIN cb ON cb.cid = c.code CROSS JOIN q
+      GROUP BY c.vec_id
+    ),
+    nq AS (
+      SELECT sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS n
+      FROM q
+    ),
+    cand AS (
+      SELECT vec_id FROM adc, nq
+      ORDER BY round(dot / (nq.n * sqrt(n2)), 9) DESC, vec_id LIMIT 30
+    )
+    SELECT e.vec_id,
+           CAST(round({_COS.format(anchor=_ANCHOR_SQL)}, 6) AS DOUBLE) AS score
+    FROM embeddings e JOIN cand USING (vec_id)
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+    survey_ops="A7(scale),H1,K7",
+    tables=("embeddings",),
+)
+def vec_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-k (8 subspaces x 16 codes, ADC
+    scoring, exact re-rank of the best 30): the memory-bound 100 TB ANN
+    path — the scan touches PQ codes only, raw vectors are read for just
+    the re-rank candidates. Deterministic codebooks + 9dp rounding before
+    every ranking make the whole approximate pipeline value-hash
+    oracle-checked, like vec_ivf_topk."""
+    from esco_neo4j_spark.operators.similarity import pq_topk
+
+    return pq_topk(
+        spark.table("embeddings"), _anchor_vec(spark),
+        k=10, rerank=30, m=8, n_codes=16,
+    )

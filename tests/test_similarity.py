@@ -88,3 +88,20 @@ def test_cosine_self_similarity_is_one(spark):
         [([1.0, 2.0, -3.0],), ([0.5, 0.0, 9.0],)], "v array<float>"
     ).select(F.round(cosine_similarity(F.col("v"), F.col("v")), 9).alias("c"))
     assert all(r["c"] == 1.0 for r in df.collect())
+
+
+def test_pq_topk_subset_and_recall(emb, anchor):
+    from esco_neo4j_spark.operators.similarity import pq_topk
+
+    # PQ re-ranks candidates exactly, so every hit carries its TRUE score
+    full = {
+        r.vec_id: r.score
+        for r in brute_force_topk(emb, anchor, k=emb.count()).collect()
+    }
+    hits = pq_topk(emb, anchor, k=10, rerank=30).collect()
+    assert all(full.get(r.vec_id) == r.score for r in hits)
+    # the anchor itself is in the table: PQ must rank it first (cos == 1)
+    assert hits[0].vec_id == 0 and hits[0].score == 1.0
+    top10 = [r.vec_id for r in brute_force_topk(emb, anchor, k=10).collect()]
+    recall = len({r.vec_id for r in hits} & set(top10)) / 10
+    assert recall >= 0.6  # 8x16 codebook on 64-dim, rerank=30
