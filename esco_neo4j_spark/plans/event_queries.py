@@ -205,3 +205,138 @@ def events_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+@query(
+    "ext_asof_join",
+    sql="""
+    WITH ev AS (SELECT * REPLACE (make_timestamp(epoch_ns(ts)//1000) AS ts) FROM events),
+    clicks AS (
+      SELECT user_id, ts, event_id FROM ev WHERE event_type = 'click'
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) = 1
+    ),
+    purch AS (
+      SELECT event_id AS purchase_id, user_id, ts FROM ev
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           c.event_id AS click_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+    FROM purch p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.purchase_id
+    """,
+    survey_ops="asof-join(ext),E(ext)",
+    tables=("events",),
+)
+def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join — an operator Spark lacks natively (north-star custom
+    operator): each purchase matched to the user's most recent click at or
+    before it. Idiomatic scale-safe composition instead of a per-row range
+    scan: tag and UNION the two streams, one shuffle on user_id, then
+    ``last(click, ignorenulls)`` over an unbounded-preceding row window —
+    O(n log n) within each user partition, no theta join anywhere. The
+    oracle is DuckDB's NATIVE ASOF JOIN, an algorithmically independent
+    implementation. Same-(user, ts) clicks are deduped to min event_id so
+    the match is deterministic on both engines."""
+    from pyspark.sql import Window
+
+    ev = spark.table("events")
+    w0 = Window.partitionBy("user_id", "ts").orderBy("event_id")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w0))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    tagged = clicks.select(
+        "user_id", "ts", F.lit(0).alias("tag"),
+        F.col("event_id").alias("cid"),
+        F.lit(None).cast("bigint").alias("purchase_id"),
+    ).unionByName(
+        purch.select(
+            "user_id", "ts", F.lit(1).alias("tag"),
+            F.lit(None).cast("bigint").alias("cid"), "purchase_id",
+        )
+    )
+    # same-ts ordering: click (tag 0) sorts before purchase (tag 1), so a
+    # click at exactly the purchase ts is visible to it
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "cid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.last(
+        F.when(
+            F.col("tag") == 0,
+            F.struct(F.col("cid"), F.col("ts").alias("cts")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        tagged.withColumn("lc", last_click)
+        .filter(F.col("tag") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.date_format("ts", _FMT_SPARK).alias("purchase_ts"),
+            F.col("lc.cid").alias("click_id"),
+            (F.unix_micros("ts") - F.unix_micros("lc.cts")).alias("gap_us"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+@query(
+    "ext_range_join",
+    sql="""
+    WITH ev AS (SELECT * REPLACE (make_timestamp(epoch_ns(ts)//1000) AS ts) FROM events)
+    SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,
+           CAST(abs(epoch_us(a.ts) - epoch_us(b.ts)) AS BIGINT) AS gap_us
+    FROM ev a JOIN ev b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND b.ts BETWEEN a.ts - INTERVAL 60 SECOND AND a.ts + INTERVAL 60 SECOND
+    ORDER BY id_a, id_b
+    """,
+    survey_ops="range-join(ext),B7",
+    tables=("events",),
+)
+def ext_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded RANGE join — pairs of same-user events within 60 seconds of
+    each other. The naive plan is a per-user theta join (quadratic in the
+    hot user); the scale-safe shape implemented here buckets time into
+    60s bins and probes each event against bins {b-1, b, b+1} via an
+    EQUI-join (explode 3 keys on one side), then refines with the exact
+    predicate — every true pair meets exactly once, so no dedup pass.
+    DuckDB plans the same query with its native range-join optimizer —
+    independent implementations, identical pairs."""
+    ev = spark.table("events").select(
+        "event_id", "user_id", "ts",
+        F.floor(F.unix_micros("ts") / 60_000_000).alias("bucket"),
+    )
+    probe = ev.select(
+        F.col("event_id").alias("id_a"),
+        F.col("user_id"),
+        F.col("ts").alias("ts_a"),
+        F.explode(
+            F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
+        ).alias("bucket"),
+    )
+    build = ev.select(
+        F.col("event_id").alias("id_b"),
+        F.col("user_id"),
+        F.col("ts").alias("ts_b"),
+        "bucket",
+    )
+    gap = F.abs(F.unix_micros("ts_a") - F.unix_micros("ts_b"))
+    return (
+        probe.join(build, ["user_id", "bucket"])
+        .filter((F.col("id_a") < F.col("id_b")) & (gap <= 60_000_000))
+        .select("id_a", "id_b", "user_id", gap.alias("gap_us"))
+        .orderBy("id_a", "id_b")
+    )
