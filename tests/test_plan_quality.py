@@ -84,3 +84,16 @@ def test_cooccurrence_has_fanout_cap(spark):
     plan = _plan(spark, "aq_part_cooccurrence")
     assert "Window" in plan, "fan-out cap window missing from plan"
     assert "_fanout" in plan, "cap filter column missing from plan"
+
+
+def test_ann_paths_are_shuffle_free(spark):
+    # IVF assignment + PQ encode embed their centroids/codebooks as
+    # literals in pure column expressions: the whole ANN probe must plan
+    # as scan -> project -> filter -> TakeOrderedAndProject with ZERO
+    # exchanges and no window (the round-1 IVF used a Window argmax,
+    # which shuffled)
+    for name in ("vec_ivf_topk", "vec_pq_topk"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, f"{name}: ANN probe must not shuffle"
+        assert "Window" not in plan, f"{name}: argmax must be a column expr"
+        assert "TakeOrderedAndProject" in plan, f"{name}: top-k must be partial"
