@@ -54,9 +54,12 @@ def main() -> None:
         timings[q.name] = round(best, 3)
         # Release the previous query's leaked executor state (iterative
         # graph queries leave localCheckpoint blocks alive until their
-        # Python RDD refs are collected); without this, whichever query
-        # runs AFTER a closure query is billed for the leftover memory
-        # pressure — measured 3.3s -> 22s on the minhash join.
+        # Python RDD refs are collected, and recursive-CTE runs cache
+        # per-iteration blocks); without this, whichever query runs AFTER
+        # a closure query is billed for the leftover memory pressure —
+        # measured 3.3s -> 22s on the minhash join, and the CTE cache
+        # alone took its min-of-2 from 3.8s to 7.5s.
+        spark.catalog.clearCache()
         gc.collect()
         spark.sparkContext._jvm.System.gc()
 

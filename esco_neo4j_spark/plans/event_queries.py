@@ -293,6 +293,58 @@ def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_interval_join",
+    sql="""
+    WITH ev AS (SELECT * REPLACE (make_timestamp(epoch_ns(ts)//1000) AS ts) FROM events)
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+    FROM ev p JOIN ev c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL 600 SECOND AND p.ts
+    ORDER BY purchase_id, click_id
+    """,
+    survey_ops="J(ext),range-join(ext)",
+    tables=("events",),
+)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.interval_join (stream-stream attribution
+    join): every (purchase, click) pair for the same user with the click
+    in the 10 minutes up to the purchase. Scale-safe shape: time is bucketed
+    at the bound width (600 s) so the range predicate becomes an EQUI-join
+    on (user_id, bucket) — each purchase probes buckets {b-1, b}, which
+    cover the whole one-sided window — then the exact predicate refines.
+    Each true pair meets in exactly one probe bucket (the click's own), so
+    no dedup pass is needed. The streaming version keeps the range as
+    watermarked join state; the DuckDB oracle plans it natively."""
+    ev = spark.table("events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.floor(F.unix_micros("ts") / 600_000_000).alias("bucket"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.explode(
+            F.array(
+                F.floor(F.unix_micros("ts") / 600_000_000) - 1,
+                F.floor(F.unix_micros("ts") / 600_000_000),
+            )
+        ).alias("bucket"),
+    )
+    gap = F.unix_micros("p_ts") - F.unix_micros("c_ts")
+    return (
+        purchases.join(clicks, ["user_id", "bucket"])
+        .filter((gap >= 0) & (gap <= 600_000_000))
+        .select("purchase_id", "click_id", "user_id", gap.alias("gap_us"))
+        .orderBy("purchase_id", "click_id")
+    )
+
+
+@query(
     "ext_range_join",
     sql="""
     WITH ev AS (SELECT * REPLACE (make_timestamp(epoch_ns(ts)//1000) AS ts) FROM events)

@@ -76,6 +76,53 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     q.stop()
 
 
+def interval_join(
+    events: DataFrame,
+    bound_s: int = 600,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream INTERVAL join (the attribution join every event
+    pipeline runs): each purchase paired with every click by the same user
+    in the ``bound_s`` seconds up to the purchase. Batch twin:
+    plans/event_queries.events_interval_join (DuckDB-oracle checked);
+    tests/test_streaming.py asserts stream == batch.
+
+    Both sides carry a watermark and the join condition bounds event time
+    in both directions, so Spark can expire join state: a buffered click
+    is dropped once the purchase-side watermark passes c_ts + bound_s.
+    Without that pair (watermark + time-range condition) a stream-stream
+    join's state grows without bound — THE scale failure mode at 100 TB.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    cond = F.expr(
+        f"p_user = c_user AND c_ts >= p_ts - interval {int(bound_s)} seconds"
+        " AND c_ts <= p_ts"
+    )
+    return purchases.join(clicks, cond, "inner").select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+
+
 SESSION_OUT_SCHEMA = "user_id bigint, n_sessions bigint, n_events bigint"
 SESSION_STATE_SCHEMA = "last_ts double, n_sessions bigint, n_events bigint"
 

@@ -15,6 +15,7 @@ import pytest
 
 from esco_neo4j_spark.catalog import load_table
 from esco_neo4j_spark.streaming.events import (
+    interval_join,
     read_event_stream,
     run_to_memory,
     sessionize_stateful,
@@ -57,6 +58,24 @@ def test_streaming_dedup_equals_batch(spark, event_dir):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_interval_join_equals_batch(spark, event_dir):
+    """Stream-stream interval join (watermarked on both sides) == the
+    banded-bucket batch twin (events_interval_join, itself DuckDB-checked)."""
+    stream = interval_join(read_event_stream(spark, event_dir))
+    run_to_memory(stream, "t_ivjoin", output_mode="append")
+    got = _rows(spark.table("t_ivjoin"))
+    want = _rows(interval_join(spark.read.parquet(event_dir)))
+    assert got == want and len(got) > 0
+
+    # ... and against the REGISTRY batch twin, which computes the same
+    # pairs via the banded (user, time-bucket) equi-join — an
+    # algorithmically independent plan that is itself DuckDB-checked.
+    from esco_neo4j_spark.plans import REGISTRY
+
+    twin = _rows(REGISTRY["events_interval_join"].fn(spark, SF_DIR))
+    assert got == twin
 
 
 def test_stateful_sessionization_equals_batch(spark, event_dir):
