@@ -392,3 +392,38 @@ def ext_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "user_id", gap.alias("gap_us"))
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "events_approx_distinct_rollup",
+    sql=None,  # HLL estimates are sketch-implementation-specific; no
+    # cross-engine value oracle exists. tests/test_sketches.py bounds the
+    # estimate against the exact distinct count instead.
+    survey_ops="sketch(ext),D5",
+    tables=("events",),
+)
+def events_approx_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — THE count-distinct pattern at 100 TB:
+    exact COUNT(DISTINCT) re-shuffles raw keys for every question asked,
+    while HLL sketches are built once per (type, day) partition, persist
+    at ~KB each, and answer any day-range distinct-user question by
+    MERGING sketches — no second pass over raw data, error ~1.6%% at
+    lgK=12. Two-level plan: partial hll_sketch_agg per day (map-side
+    combinable), hll_union_agg across days, estimate at the end.
+    Deterministic (hash-based, no RNG), so the driver's rows-only check
+    is stable run to run."""
+    spark.table("events")  # registered by the decorator
+    return spark.sql(
+        """
+        WITH daily AS (
+          SELECT event_type, date_trunc('day', ts) AS d,
+                 hll_sketch_agg(user_id, 12) AS sk
+          FROM events GROUP BY 1, 2
+        )
+        SELECT event_type,
+               CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)
+                 AS approx_users,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY 1 ORDER BY 1
+        """
+    )

@@ -715,3 +715,45 @@ def ext_map_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("custkey")
         .limit(50)
     )
+
+
+@query(
+    "ext_bucketed_join",
+    sql="""
+    SELECT o.o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY priority
+    """,
+    survey_ops="C1,D3,layout(ext)",
+    tables=(),
+)
+def ext_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders x lineitem revenue per priority over BUCKETED tables
+    (sources/bucketed.py): both sides pre-hashed into co-located buckets
+    on the order key, so the fact-fact join runs with ZERO exchanges —
+    the only shuffle in the whole plan is the final 5-group aggregate.
+    At 100 TB this is the difference between re-shuffling both fact
+    tables per query and a bucket-local merge join; the layout cost is
+    paid once at ingest. Result is identical to the plain-table join, so
+    the DuckDB oracle doubles as a bucketing-correctness check (every
+    row lands in the bucket its hash says; none dropped or doubled)."""
+    from esco_neo4j_spark.sources.bucketed import ensure_bucketed
+
+    names = ensure_bucketed(spark, sf_dir)
+    o = spark.table(names["orders"])
+    li = spark.table(names["lineitem"])
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("priority")
+    )

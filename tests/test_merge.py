@@ -1,0 +1,68 @@
+"""Incremental upsert (sources/merge.py) — MERGE INTO semantics for the
+node tables, mirroring the reference's ``MERGE ... SET n += $props``
+(reference: src/esco_ingest.py:93-171): insert-new, update-wins-per-key,
+explicit-null overwrite, base-only columns carried, schema evolution."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from esco_neo4j_spark.sources.merge import merge_upsert, upsert_parquet
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [
+            ("u1", "alpha", 1.0),
+            ("u2", "beta", 2.0),
+            ("u3", "gamma", 3.0),
+        ],
+        "uri string, label string, score double",
+    )
+
+
+def _updates(spark):
+    return spark.createDataFrame(
+        [
+            ("u2", "BETA"),      # changed value
+            ("u3", None),        # explicit null must overwrite
+            ("u4", "delta"),     # brand-new key -> insert
+        ],
+        "uri string, label string",
+    )
+
+
+def test_merge_upsert_semantics(spark):
+    got = {
+        r["uri"]: (r["label"], r["score"])
+        for r in merge_upsert(_base(spark), _updates(spark), ["uri"]).collect()
+    }
+    assert got == {
+        "u1": ("alpha", 1.0),   # untouched
+        "u2": ("BETA", 2.0),    # label updated, base-only score carried
+        "u3": (None, 3.0),      # explicit null overwrote
+        "u4": ("delta", None),  # inserted; base-only column null
+    }
+
+
+def test_merge_upsert_schema_evolution(spark):
+    upd = _updates(spark).withColumn("rank", F.lit(7))
+    rows = {
+        r["uri"]: r["rank"]
+        for r in merge_upsert(_base(spark), upd, ["uri"]).collect()
+    }
+    assert rows == {"u1": None, "u2": 7, "u3": 7, "u4": 7}
+
+
+def test_upsert_parquet_in_place(spark, tmp_path):
+    path = str(tmp_path / "nodes")
+    _base(spark).write.parquet(path)
+    n = upsert_parquet(spark, path, _updates(spark), ["uri"])
+    assert n == 4
+    back = {r["uri"]: r["label"] for r in spark.read.parquet(path).collect()}
+    assert back == {"u1": "alpha", "u2": "BETA", "u3": None, "u4": "delta"}
+    # crash-safe swap leaves no droppings
+    assert not os.path.exists(path + "__merging")
+    assert not os.path.exists(path + "__old")

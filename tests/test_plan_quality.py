@@ -97,3 +97,35 @@ def test_ann_paths_are_shuffle_free(spark):
         assert "Exchange" not in plan, f"{name}: ANN probe must not shuffle"
         assert "Window" not in plan, f"{name}: argmax must be a column expr"
         assert "TakeOrderedAndProject" in plan, f"{name}: top-k must be partial"
+
+
+def test_bucketed_join_has_zero_exchanges(spark):
+    # the bucketed layout (sources/bucketed.py) exists to eliminate the
+    # fact-fact join shuffle: with both tables bucketed+sorted on the
+    # order key, the JOIN subplan must contain ZERO Exchange nodes even
+    # with broadcast disabled (the full query's only shuffle is the final
+    # group-by). Bucket scans self-identify via 'Bucketed: true'.
+    from esco_neo4j_spark.sources.bucketed import ensure_bucketed
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        names = ensure_bucketed(spark, SF_DIR)
+        o = spark.table(names["orders"])
+        li = spark.table(names["lineitem"])
+        joined = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+            "o_orderkey", "o_orderpriority", "l_extendedprice"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert plan.count("Bucketed: true") == 2, (
+            "both scans must report the bucketed layout"
+        )
+        assert "Exchange" not in plan, (
+            "bucket-key join must not shuffle either side"
+        )
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
