@@ -427,3 +427,42 @@ def events_approx_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
         FROM daily GROUP BY 1 ORDER BY 1
         """
     )
+
+
+@query(
+    "events_partition_pruned_week",
+    sql="""
+    WITH ev AS (SELECT * REPLACE (make_timestamp(epoch_ns(ts)//1000) AS ts) FROM events)
+    SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(value), 2) AS DOUBLE) AS total_value
+    FROM ev
+    WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+    GROUP BY 1 ORDER BY 1
+    """,
+    survey_ops="layout(ext),B6,D2",
+    tables=("events",),
+)
+def events_partition_pruned_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily totals for one week over the DATE-PARTITIONED events layout
+    (sources/partitioned.py): the date predicate prunes at the directory
+    level, so 7 of 30 partitions are listed and read — at 100 TB this is
+    the difference between scanning a month and scanning a week. The
+    DuckDB oracle computes the same week from the flat table, proving the
+    re-layout lost/duplicated nothing. Plan-tested: PartitionFilters on
+    the scan, exactly 7 files read (tests/test_plan_quality.py)."""
+    from esco_neo4j_spark.sources.partitioned import events_by_date
+
+    ev = events_by_date(spark, sf_dir)
+    return (
+        ev.filter(
+            (F.col("event_date") >= "2024-01-08")
+            & (F.col("event_date") < "2024-01-15")
+        )
+        .groupBy(F.date_format("event_date", "yyyy-MM-dd").alias("event_date"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_date")
+    )

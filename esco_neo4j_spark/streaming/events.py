@@ -13,6 +13,8 @@ with a real trigger.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -120,6 +122,31 @@ def interval_join(
         "click_id",
         F.col("p_user").alias("user_id"),
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+
+
+def upsert_sink(stream_df: DataFrame, path: str, keys: list[str], checkpoint: str):
+    """foreachBatch sink that MERGEs each micro-batch into a parquet table
+    (sources/merge.py upsert) — the streaming face of the incremental
+    upsert path. foreachBatch only guarantees at-least-once delivery; the
+    keyed merge makes replays idempotent, so the sink is effectively
+    exactly-once — the standard recipe when the target isn't a
+    transactional sink. Returns the started StreamingQuery (caller
+    processAllAvailable()+stop()s it, or leaves it running with a real
+    trigger)."""
+    from esco_neo4j_spark.sources.merge import upsert_parquet
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not os.path.exists(path):
+            batch_df.dropDuplicates(keys).write.mode("overwrite").parquet(path)
+        else:
+            upsert_parquet(batch_df.sparkSession, path, batch_df, keys)
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
     )
 
 

@@ -66,3 +66,20 @@ def test_upsert_parquet_in_place(spark, tmp_path):
     # crash-safe swap leaves no droppings
     assert not os.path.exists(path + "__merging")
     assert not os.path.exists(path + "__old")
+
+
+def test_compact_parquet(spark, tmp_path):
+    """Small-file compaction (sources/partitioned.py): 16 writer files
+    collapse to 1, rows intact, crash-safe swap leaves no droppings."""
+    from esco_neo4j_spark.sources.partitioned import compact_parquet
+
+    path = str(tmp_path / "frag")
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    df.repartition(16).write.parquet(path)
+    before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert before == 16
+    n_files = compact_parquet(spark, path)
+    assert n_files == 1
+    assert spark.read.parquet(path).count() == 10_000
+    assert not os.path.exists(path + "__compacting")
+    assert not os.path.exists(path + "__old")

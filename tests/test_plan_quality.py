@@ -129,3 +129,30 @@ def test_bucketed_join_has_zero_exchanges(spark):
         assert "SortMergeJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_partitioned_scan_prunes_directories(spark):
+    # the date-partitioned layout (sources/partitioned.py) must turn the
+    # week filter into directory-level pruning: PartitionFilters on the
+    # scan, and only the 7 matching date partitions' files actually read
+    # (one file per partition by construction)
+    df = REGISTRY["events_partition_pruned_week"].fn(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "event_date" in pf and "2024-01-08" in pf, (
+        "date predicate must reach PartitionFilters"
+    )
+    from esco_neo4j_spark.sources.partitioned import events_by_date
+
+    week = events_by_date(spark, SF_DIR).filter(
+        "event_date >= '2024-01-08' AND event_date < '2024-01-15'"
+    )
+    # inputFiles() lists the whole relation pre-pruning; count the files
+    # the executed scan actually touches instead
+    from pyspark.sql import functions as F
+
+    n_read = week.select(F.input_file_name()).distinct().count()
+    assert n_read == 7, f"must read exactly the 7 pruned days, read {n_read}"

@@ -114,3 +114,34 @@ def test_stateful_sessionization_equals_batch(spark, event_dir):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_foreach_batch_upsert_sink(spark, tmp_path):
+    """Streaming MERGE sink: micro-batches upserted into a parquet table
+    via foreachBatch end at exactly the batch dedup result, and replaying
+    the same input into the same table is a no-op (idempotence — the
+    property that turns at-least-once delivery into effectively-once)."""
+    from esco_neo4j_spark.streaming.events import upsert_sink
+
+    src = str(tmp_path / "src")
+    load_table(spark, SF_DIR, "events").repartition(4).write.parquet(src)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    q = upsert_sink(read_event_stream(spark, src), sink, ["event_id"], ckpt)
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(r["event_id"] for r in spark.read.parquet(sink).collect())
+    want = sorted(
+        r["event_id"]
+        for r in spark.read.parquet(src).dropDuplicates(["event_id"]).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # replay from a fresh checkpoint: every batch re-merges, table unchanged
+    q2 = upsert_sink(
+        read_event_stream(spark, src), sink, ["event_id"], str(tmp_path / "ckpt2")
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    again = sorted(r["event_id"] for r in spark.read.parquet(sink).collect())
+    assert again == want
