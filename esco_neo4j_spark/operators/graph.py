@@ -729,3 +729,56 @@ def betweenness_centrality(
             ),
         )
     )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count via DEGREE-ORDERED edge orientation — the
+    shape that survives power-law graphs at scale.
+
+    The naive wedge join explodes on hubs: a degree-d vertex contributes
+    d^2 wedge rows. Orienting every edge from its lower-(degree, id)
+    endpoint to the higher one caps every vertex's OUT-degree at O(sqrt(m))
+    [Suri & Vassilvitskii, "Counting Triangles and the Curse of the Last
+    Reducer", WWW'11], so the wedge join emits O(m^1.5) rows total no
+    matter how skewed the degree distribution is. Each triangle is counted
+    exactly once (its unique rank-ordering), so no dedup pass.
+
+    Three shuffles total: degree agg, wedge self-join on the apex, closing
+    equi-join on the (v, w) pair. The DuckDB oracle enumerates id-ordered
+    triangles directly — algorithmically independent of the orientation.
+    Cypher analog: MATCH (a)--(b)--(c)--(a) (no triangle query in the
+    reference corpus; extension per SURVEY §2.K).
+    """
+    canon = (
+        undirected(edges)
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = canon.union(canon.select(F.col("b"), F.col("a")))
+    deg = und.groupBy("a").agg(F.count("*").alias("deg")).withColumnRenamed("a", "id")
+    e = (
+        canon.join(deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    # orient low-rank -> high-rank, rank = (degree, id)
+    src_low = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    fwd = e.select(
+        F.when(src_low, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(src_low, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(src_low, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    x, y = fwd.alias("x"), fwd.alias("y")
+    rank_lt = (F.col("x.dv") < F.col("y.dv")) | (
+        (F.col("x.dv") == F.col("y.dv")) & (F.col("x.v") < F.col("y.v"))
+    )
+    wedges = x.join(y, (F.col("x.u") == F.col("y.u")) & rank_lt).select(
+        F.col("x.v").alias("u"), F.col("y.v").alias("v")
+    )
+    return wedges.join(fwd.select("u", "v"), ["u", "v"]).agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )

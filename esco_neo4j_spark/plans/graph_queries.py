@@ -356,3 +356,120 @@ def graph_reachable_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reached.filter(F.col("depth") > 0).agg(
         F.countDistinct("id").alias("n_descendants")
     )
+
+
+# Denser derived graph for triangle structure: parent edges u -> u//2 plus
+# predecessor edges u -> u-1. Odd u closes the triangle {u, u-1, u//2}
+# (u-1's parent is also u//2), so the graph has real triangle structure
+# while staying deterministic.
+_TRI_EDGES_SQL = """
+    SELECT DISTINCT user_id AS src, user_id // 2 AS dst
+    FROM events WHERE user_id >= 1
+    UNION
+    SELECT DISTINCT user_id AS src, user_id - 1 AS dst
+    FROM events WHERE user_id >= 2
+"""
+
+
+@query(
+    "graph_triangle_count",
+    sql=f"""
+    WITH edges AS ({_TRI_EDGES_SQL}),
+    canon AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM canon e1
+    JOIN canon e2 ON e2.a = e1.a AND e2.b > e1.b
+    JOIN canon e3 ON e3.a = e1.b AND e3.b = e2.b
+    """,
+    survey_ops="K(ext),C4",
+    tables=("events",),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count over the parent+predecessor graph using the
+    degree-ordered orientation operator (operators/graph.py
+    triangle_count — O(m^1.5) wedge bound regardless of skew). The DuckDB
+    oracle enumerates id-ordered triangles with plain joins, an
+    algorithmically independent method."""
+    from esco_neo4j_spark.operators.graph import triangle_count
+
+    ev = spark.table("events")
+    parents = (
+        ev.filter(F.col("user_id") >= 1)
+        .select(
+            F.col("user_id").alias("src"),
+            (F.col("user_id") / 2).cast("bigint").alias("dst"),
+        )
+    )
+    preds = ev.filter(F.col("user_id") >= 2).select(
+        F.col("user_id").alias("src"),
+        (F.col("user_id") - 1).cast("bigint").alias("dst"),
+    )
+    return triangle_count(parents.union(preds).distinct())
+
+
+@query(
+    "graph_clustering_coeff",
+    sql=f"""
+    WITH edges AS ({_TRI_EDGES_SQL}),
+    canon AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst
+    ),
+    und AS (SELECT a, b FROM canon UNION ALL SELECT b, a FROM canon),
+    deg AS (SELECT a AS id, count(*) AS d FROM und GROUP BY a),
+    tri AS (
+      SELECT count(*) AS n FROM canon e1
+      JOIN canon e2 ON e2.a = e1.a AND e2.b > e1.b
+      JOIN canon e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    wedge AS (SELECT sum(d * (d - 1) / 2) AS n FROM deg)
+    SELECT CAST(round(3.0 * tri.n / wedge.n, 6) AS DOUBLE)
+             AS clustering_coeff,
+           CAST(tri.n AS BIGINT) AS n_triangles,
+           CAST(wedge.n AS BIGINT) AS n_wedges
+    FROM tri, wedge
+    """,
+    survey_ops="K(ext),D1",
+    tables=("events",),
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient = 3 * triangles / wedges (wedges =
+    sum over vertices of deg*(deg-1)/2). Reuses the degree-oriented
+    triangle operator; the wedge count is one degree aggregation — no
+    extra join. Both inputs to the ratio are exact, so the oracle is
+    value-exact too."""
+    from esco_neo4j_spark.operators.graph import triangle_count, undirected
+
+    ev = spark.table("events")
+    parents = ev.filter(F.col("user_id") >= 1).select(
+        F.col("user_id").alias("src"),
+        (F.col("user_id") / 2).cast("bigint").alias("dst"),
+    )
+    preds = ev.filter(F.col("user_id") >= 2).select(
+        F.col("user_id").alias("src"),
+        (F.col("user_id") - 1).cast("bigint").alias("dst"),
+    )
+    edges = parents.union(preds).distinct()
+    canon = (
+        undirected(edges)
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = canon.union(canon.select(F.col("b"), F.col("a")))
+    wedges = (
+        und.groupBy("a")
+        .agg(F.count("*").alias("d"))
+        .agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("nw"))
+    )
+    tri = triangle_count(edges).withColumnRenamed("n_triangles", "nt")
+    return tri.crossJoin(wedges).select(
+        F.round(3.0 * F.col("nt") / F.col("nw"), 6).alias("clustering_coeff"),
+        F.col("nt").alias("n_triangles"),
+        F.col("nw").alias("n_wedges"),
+    )

@@ -211,3 +211,20 @@ def test_connected_components_two_islands(spark):
         for r in connected_components(_edges(spark, pairs)).collect()
     }
     assert got == {"1": "1", "2": "1", "3": "1", "7": "7", "8": "7"}
+
+
+def test_triangle_count_goldens(spark):
+    """Degree-oriented triangle count on graphs with known answers: two
+    triangles sharing an edge, a triangle-free square, K4 (4 triangles),
+    and invariance to duplicate/reversed/self-loop input edges."""
+    from esco_neo4j_spark.operators.graph import triangle_count
+
+    def n(edges):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return triangle_count(df).collect()[0]["n_triangles"]
+
+    assert n([(1, 2), (2, 3), (1, 3), (2, 4), (3, 4)]) == 2
+    assert n([(1, 2), (2, 3), (3, 4), (4, 1)]) == 0
+    assert n([(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]) == 4
+    # duplicates, reversals, self-loops must not change the count
+    assert n([(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (1, 1), (1, 2)]) == 1
