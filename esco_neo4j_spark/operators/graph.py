@@ -782,3 +782,49 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return wedges.join(fwd.select("u", "v"), ["u", "v"]).agg(
         F.count("*").cast("bigint").alias("n_triangles")
     )
+
+
+def k_core(edges: DataFrame, k: int = 2, max_iter: int = 50) -> DataFrame:
+    """Vertices of the k-core (maximal subgraph where every vertex has
+    degree >= k), by iterative peeling: drop sub-k vertices, recompute
+    degrees on the induced subgraph, repeat to fixpoint. Returns
+    (id, core_degree) — the vertex's degree WITHIN the final core.
+
+    Iterative-with-recomputed-aggregates, so not expressible as a SQL
+    recursion (the recursive term would need a GROUP BY over the shrinking
+    edge set); golden-tested against hand-computed cores instead
+    (tests/test_graph.py). Each round is one degree aggregation plus two
+    semi-joins on the shrinking edge set, checkpointed to cut lineage —
+    the same per-round shape as connected_components. Rounds needed =
+    peeling depth, typically O(10) on real graphs; vertices outside the
+    core leave the computation entirely, so per-round cost shrinks.
+    Cypher analog: none in the reference (extension per SURVEY §2.K).
+    """
+    und_c = (
+        undirected(edges)
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    cur = und_c.union(und_c.select(F.col("b"), F.col("a"))).toDF("src", "dst")
+    prev_n = -1
+    for _ in range(max_iter):
+        deg = cur.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select(F.col("src").alias("id"))
+        keep = _checkpoint(keep)
+        n = keep.count()
+        if n == 0:
+            return keep.withColumn("core_degree", F.lit(0).cast("bigint")).limit(0)
+        if n == prev_n:
+            break
+        prev_n = n
+        cur = _checkpoint(
+            cur.join(keep.withColumnRenamed("id", "src"), "src", "leftsemi").join(
+                keep.withColumnRenamed("id", "dst"), "dst", "leftsemi"
+            )
+        )
+    return (
+        cur.groupBy("src")
+        .agg(F.count("*").cast("bigint").alias("core_degree"))
+        .select(F.col("src").alias("id"), "core_degree")
+    )

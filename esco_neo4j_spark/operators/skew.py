@@ -34,3 +34,34 @@ def cap_key_fanout(
         .filter(F.col("_fanout") <= max_fanout)
         .drop("_fanout")
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    keys: list[str],
+    n_salts: int = 32,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with manual key salting — the fix for the case AQE's
+    skew-split cannot handle: ONE join key so hot that a single shuffle
+    partition exceeds an executor, while the other side is too large to
+    broadcast. The big side gets a per-row salt in [0, n_salts); the
+    small side is replicated once per salt value; joining on
+    (keys + salt) spreads the hot key over n_salts partitions. Output
+    rows are identical to the unsalted join (salts match by
+    construction), so this is a pure physical rewrite — n_salts× small-
+    side duplication buys n_salts× hot-key parallelism.
+
+    The salt is a deterministic hash of the big side's full row, so the
+    plan stays reproducible run to run (F.rand would not be); rows of a
+    hot key spread as long as ANY non-key column varies, which is what
+    makes a key hot in practice. (A key whose rows are bit-identical
+    duplicates should be pre-aggregated, not salted.)
+    """
+    salt = F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    big_s = big.withColumn("_salt", salt)
+    small_s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return big_s.join(small_s, [*keys, "_salt"], how).drop("_salt")

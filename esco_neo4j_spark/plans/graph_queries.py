@@ -473,3 +473,31 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nt").alias("n_triangles"),
         F.col("nw").alias("n_wedges"),
     )
+
+
+@query(
+    "graph_kcore",
+    sql=None,  # iterative peeling recomputes aggregates per round — not
+    # expressible as a SQL recursion; golden-tested in tests/test_graph.py
+    survey_ops="K(ext)",
+    tables=("events",),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the parent+predecessor graph (operators/graph.py k_core):
+    the dense backbone that survives after iteratively peeling vertices
+    with fewer than 3 neighbors."""
+    from esco_neo4j_spark.operators.graph import k_core
+
+    ev = spark.table("events")
+    parents = ev.filter(F.col("user_id") >= 1).select(
+        F.col("user_id").alias("src"),
+        (F.col("user_id") / 2).cast("bigint").alias("dst"),
+    )
+    preds = ev.filter(F.col("user_id") >= 2).select(
+        F.col("user_id").alias("src"),
+        (F.col("user_id") - 1).cast("bigint").alias("dst"),
+    )
+    return (
+        k_core(parents.union(preds).distinct(), k=3)
+        .orderBy("id")
+    )

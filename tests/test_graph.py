@@ -228,3 +228,25 @@ def test_triangle_count_goldens(spark):
     assert n([(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]) == 4
     # duplicates, reversals, self-loops must not change the count
     assert n([(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (1, 1), (1, 2)]) == 1
+
+
+def test_k_core_goldens(spark):
+    """Iterative peeling against hand-computed cores: pendant vertices
+    peel out of the 2-core, cascades propagate (peeling one vertex can
+    drop another below k), K4 is its own 3-core, and a path has no
+    2-core."""
+    from esco_neo4j_spark.operators.graph import k_core
+
+    def run(edges, k):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return sorted((r["id"], r["core_degree"]) for r in k_core(df, k).collect())
+
+    shared = [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4), (1, 5)]
+    assert run(shared, 2) == [(1, 2), (2, 3), (3, 3), (4, 2)]
+    assert run(shared, 3) == []
+    # cascade: 5-4-... chain hanging off a triangle peels one by one
+    cascade = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    assert run(cascade, 2) == [(1, 2), (2, 2), (3, 2)]
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    assert run(k4, 3) == [(1, 3), (2, 3), (3, 3), (4, 3)]
+    assert run([(1, 2), (2, 3), (3, 4)], 2) == []

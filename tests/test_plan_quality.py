@@ -156,3 +156,29 @@ def test_partitioned_scan_prunes_directories(spark):
 
     n_read = week.select(F.input_file_name()).distinct().count()
     assert n_read == 7, f"must read exactly the 7 pruned days, read {n_read}"
+
+
+def test_salted_join_matches_plain_join(spark):
+    # salting is a pure physical rewrite: a 5000-row hot key joined
+    # through salted_join must produce exactly the plain join's rows,
+    # and the join must actually key on the salt (hot key spread over
+    # n_salts partitions instead of one)
+    from pyspark.sql import functions as F
+
+    from esco_neo4j_spark.operators.skew import salted_join
+
+    big = spark.range(6000).select(
+        F.when(F.col("id") < 5000, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    got = sorted(map(tuple, salted_join(big, small, ["k"]).collect()))
+    want = sorted(map(tuple, big.join(small, "k").collect()))
+    assert got == want and len(got) > 0
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        salted_join(big, small, ["k"]).explain("formatted")
+    assert "_salt" in buf.getvalue(), "join must key on the salt column"
