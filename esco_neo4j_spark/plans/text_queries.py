@@ -134,25 +134,18 @@ def _langid_sql() -> str:
     """
 
 
-@query(
-    "text_langid",
-    sql=_langid_sql(),
-    survey_ops="text-langid",
-    tables=("documents",),
-)
-def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-marker language-ID heuristic with a deterministic
-    preference order (en > de > es > fr on ties). The tagged lang column is
-    carried through for downstream accuracy checks."""
-    d = spark.table("documents")
-    toks = word_tokens(F.col("text"))
+def _predicted_lang(text_col):
+    """Stopword-marker language-ID expression with a deterministic
+    preference order (en > de > es > fr on ties); shared by text_langid
+    and the training-mix pipeline capstone."""
+    toks = word_tokens(text_col)
     hits = {
         lang: F.size(
             F.array_intersect(toks, F.array(*[F.lit(w) for w in ws]))
         )
         for lang, ws in _LANG_MARKERS.items()
     }
-    predicted = (
+    return (
         F.when(
             (hits["en"] >= hits["de"])
             & (hits["en"] >= hits["es"])
@@ -163,11 +156,24 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(hits["es"] >= hits["fr"], "es")
         .otherwise("fr")
     )
+
+
+@query(
+    "text_langid",
+    sql=_langid_sql(),
+    survey_ops="text-langid",
+    tables=("documents",),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language-ID heuristic (see _predicted_lang). The
+    tagged lang column is carried through for downstream accuracy
+    checks."""
+    d = spark.table("documents")
     return (
         d.select(
             "doc_id",
             F.col("lang").alias("tagged_lang"),
-            predicted.alias("predicted_lang"),
+            _predicted_lang(F.col("text")).alias("predicted_lang"),
         )
         .orderBy("doc_id")
     )
@@ -292,4 +298,120 @@ def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("percentile(n_chars, 0.99)"), 4).alias("p99"),
         )
         .orderBy("source")
+    )
+
+
+# ---- training-mix pipeline capstone ---------------------------------------
+
+_PLANG_HITS = ",\n             ".join(
+    f"len(list_intersect({_TOKENS}, {_sql_list(ws)})) AS hits_{lang}"
+    for lang, ws in _LANG_MARKERS.items()
+)
+_PLANG_CASE = """CASE
+           WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+           WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+           WHEN hits_es >= hits_fr THEN 'es'
+           ELSE 'fr'
+         END"""
+_RATE_SQL_PLANG = (
+    "CASE plang "
+    + " ".join(f"WHEN '{l}' THEN {r}" for l, r in _MIX_RATES.items())
+    + " ELSE 0 END"
+)
+
+
+def _pipeline_sql() -> str:
+    from esco_neo4j_spark.plans.dedup_queries import (
+        _MINHASH_CTES,
+        _MINHASH_PAIRS_SELECT,
+    )
+
+    minhash = _MINHASH_CTES.replace("FROM documents", "FROM filtered")
+    return f"""
+    WITH RECURSIVE
+    scored AS (
+      SELECT doc_id, text, len({_TOKENS}) AS nt,
+             {_PLANG_HITS}
+      FROM documents
+    ),
+    filtered AS (
+      SELECT doc_id, text, {_PLANG_CASE} AS plang
+      FROM scored WHERE nt >= 20
+    ),
+    {minhash},
+    pairs AS ({_MINHASH_PAIRS_SELECT}),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    walk AS (
+      SELECT src AS id, dst AS reach FROM und
+      UNION
+      SELECT w.id, u.dst FROM walk w JOIN und u ON w.reach = u.src
+    ),
+    comp AS (SELECT id, least(id, min(reach)) AS comp FROM walk GROUP BY id),
+    kept AS (
+      SELECT f.doc_id, f.plang
+      FROM filtered f LEFT JOIN comp c ON f.doc_id = c.id
+      WHERE coalesce(c.comp, f.doc_id) = f.doc_id
+    ),
+    bucketed AS (
+      SELECT doc_id, plang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100
+               AS bucket
+      FROM kept
+    )
+    SELECT doc_id, plang AS lang, CAST(bucket AS INT) AS bucket
+    FROM bucketed
+    WHERE bucket < {_RATE_SQL_PLANG}
+    ORDER BY doc_id
+    """
+
+
+@query(
+    "pipeline_training_mix",
+    sql=_pipeline_sql(),
+    survey_ops="pipeline(ext),text-quality,text-langid,dedup-canonical,text-sampling",
+    tables=("documents",),
+)
+def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data prep — the pipeline the north-star
+    operators exist FOR, composed as one lazy plan: (1) quality gate
+    (>= 20 tokens), (2) language-ID, (3) MinHash-LSH near-dup
+    canonicalization keeping each cluster's min-id doc, (4) deterministic
+    per-language stratified sampling. Every stage is an already-oracle-
+    checked operator; this query value-checks their COMPOSITION end to
+    end (one DuckDB CTE chain recomputes all four stages independently).
+    Catalyst fuses the gates into the scan, the LSH join is the banded
+    equi-join, CC runs on the tiny near-dup pair graph, and the sampler
+    is a pure filter — the whole mix costs ~the LSH join at 100 TB."""
+    from esco_neo4j_spark.operators.dedup import minhash_dedup_pairs
+    from esco_neo4j_spark.operators.graph import connected_components
+
+    d = spark.table("documents")
+    filtered = d.filter(F.size(word_tokens(F.col("text"))) >= 20).select(
+        "doc_id", "text", _predicted_lang(F.col("text")).alias("plang")
+    )
+    pairs = minhash_dedup_pairs(
+        filtered, "text", "doc_id", threshold=0.5, num_hashes=16, bands=4
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components(pairs)
+    kept = (
+        filtered.join(cc, filtered["doc_id"] == cc["id"], "left")
+        .filter(
+            F.coalesce(F.col("component"), F.col("doc_id")) == F.col("doc_id")
+        )
+        .select("doc_id", "plang")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("bigint") % 100
+    ).cast("int")
+    rate = F.lit(0)
+    for lang, r in _MIX_RATES.items():
+        rate = F.when(F.col("plang") == lang, F.lit(r)).otherwise(rate)
+    return (
+        kept.select("doc_id", F.col("plang").alias("lang"), bucket.alias("bucket"))
+        .filter(F.col("bucket") < rate)
+        .orderBy("doc_id")
     )
