@@ -784,6 +784,73 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
 
 
+def sssp_weighted(
+    edges: DataFrame,
+    source,
+    weight_col: str = "weight",
+    max_iter: int = 50,
+    directed: bool = True,
+) -> DataFrame:
+    """Single-source shortest paths with non-negative edge weights —
+    the weighted generalization of ``shortestPath`` (reference K2,
+    analysis_queries.md:136-141 is the unweighted case).
+
+    Distributed Bellman-Ford with frontier-restricted relaxation: only
+    vertices whose tentative distance improved last round emit relaxations
+    this round (delta-stepping's key pruning, without the bucket queue —
+    a priority queue is inherently sequential, so Dijkstra proper doesn't
+    distribute; frontier Bellman-Ford is the standard cluster formulation).
+    Each round is one equi-join frontier⋈edges + a min-aggregate + a
+    min-merge into the distance table — all shuffles on the vertex id, no
+    driver-side state beyond the loop counter. Converges in at most
+    (longest shortest-path hop count) rounds on non-negative weights;
+    checkpointed per round to cut lineage.
+
+    edges: (src, dst, <weight_col>). Returns (id, dist) for every vertex
+    reachable from ``source`` (the source itself at dist 0).
+    """
+    if directed:
+        e = edges.select("src", "dst", F.col(weight_col).alias("w"))
+    else:
+        fwd = edges.select("src", "dst", F.col(weight_col).alias("w"))
+        e = fwd.union(fwd.select(F.col("dst"), F.col("src"), F.col("w")))
+    id_type = e.schema["src"].dataType
+    spark = edges.sparkSession
+    dist = spark.range(1).select(
+        F.lit(source).cast(id_type).alias("id"),
+        F.lit(0).cast("double").alias("dist"),
+    )
+    dist = _checkpoint(dist)
+    frontier = dist
+    for _ in range(max_iter):
+        cand = (
+            e.join(
+                frontier.select(
+                    F.col("id").alias("src"), F.col("dist").alias("d0")
+                ),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("id"), (F.col("d0") + F.col("w")).alias("nd")
+            )
+            .groupBy("id")
+            .agg(F.min("nd").alias("nd"))
+        )
+        improved = (
+            cand.join(dist, "id", "left")
+            .filter(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
+            .select("id", F.col("nd").alias("dist"))
+        )
+        improved = _checkpoint(improved)
+        if improved.isEmpty():
+            break
+        dist = _checkpoint(
+            dist.join(improved.select("id"), "id", "left_anti").union(improved)
+        )
+        frontier = improved
+    return dist
+
+
 def k_core(edges: DataFrame, k: int = 2, max_iter: int = 50) -> DataFrame:
     """Vertices of the k-core (maximal subgraph where every vertex has
     degree >= k), by iterative peeling: drop sub-k vertices, recompute

@@ -476,6 +476,71 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "graph_sssp_weighted",
+    sql="""
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT user_id AS src, user_id // 2 AS dst,
+             1 + user_id % 7 AS w
+      FROM events WHERE user_id >= 1
+      UNION
+      SELECT DISTINCT user_id AS src, user_id // 4 AS dst,
+             1 + user_id % 11 AS w
+      FROM events WHERE user_id >= 4
+    ),
+    walk AS (
+      SELECT src AS id, dst AS cur, w AS cost FROM edges
+      UNION ALL
+      SELECT wk.id, e.dst, wk.cost + e.w
+      FROM walk wk JOIN edges e ON wk.cur = e.src
+    )
+    SELECT id, CAST(min(cost) AS BIGINT) AS dist
+    FROM walk WHERE cur = 0 GROUP BY id
+    UNION ALL
+    SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist
+    ORDER BY id
+    """,
+    survey_ops="K2(ext,weighted),C6",
+    tables=("events",),
+)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest-path distances from the root to every vertex of a
+    layered DAG: the parent edges (u -> u//2) plus shortcut edges
+    (u -> u//4), weights derived deterministically from the child id.
+    Shortcuts sometimes beat the two-hop parent route and sometimes not,
+    so the min-cost choice is non-trivial at every level.
+
+    Spark runs the GENERIC frontier Bellman-Ford (operators/graph.py
+    sssp_weighted) from vertex 0 over the REVERSED edges (root outward);
+    the oracle enumerates root-ward walks in a DuckDB recursive CTE and
+    takes min(cost) — the DAG's strictly-decreasing vertex ids bound the
+    recursion, so walk enumeration terminates without a depth guard.
+    Weighted K2 extension (the reference's shortestPath is hop-count only,
+    analysis_queries.md:136-141)."""
+    from esco_neo4j_spark.operators.graph import sssp_weighted
+
+    ev = spark.table("events")
+    parents = ev.filter(F.col("user_id") >= 1).select(
+        F.col("user_id").alias("src"),
+        (F.col("user_id") / 2).cast("bigint").alias("dst"),
+        (1 + F.col("user_id") % 7).cast("double").alias("weight"),
+    )
+    shortcuts = ev.filter(F.col("user_id") >= 4).select(
+        F.col("user_id").alias("src"),
+        (F.col("user_id") / 4).cast("bigint").alias("dst"),
+        (1 + F.col("user_id") % 11).cast("double").alias("weight"),
+    )
+    edges = parents.union(shortcuts).distinct()
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+    )
+    return (
+        sssp_weighted(rev, 0, max_iter=20)
+        .select("id", F.col("dist").cast("bigint").alias("dist"))
+        .orderBy("id")
+    )
+
+
+@query(
     "graph_kcore",
     sql=None,  # iterative peeling recomputes aggregates per round — not
     # expressible as a SQL recursion; golden-tested in tests/test_graph.py

@@ -250,3 +250,38 @@ def test_k_core_goldens(spark):
     k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
     assert run(k4, 3) == [(1, 3), (2, 3), (3, 3), (4, 3)]
     assert run([(1, 2), (2, 3), (3, 4)], 2) == []
+
+
+def test_sssp_weighted_prefers_cheap_detour(spark):
+    """Classic Dijkstra shape: the direct edge (cost 10) loses to the
+    2-hop detour (3 + 4); unreachable vertices are absent."""
+    from esco_neo4j_spark.operators.graph import sssp_weighted
+
+    e = spark.createDataFrame(
+        [("a", "b", 10.0), ("a", "c", 3.0), ("c", "b", 4.0),
+         ("b", "d", 2.0), ("x", "y", 1.0)],
+        "src string, dst string, weight double",
+    )
+    got = {r["id"]: r["dist"] for r in sssp_weighted(e, "a").collect()}
+    assert got == {"a": 0.0, "b": 7.0, "c": 3.0, "d": 9.0}
+
+
+def test_sssp_weighted_undirected_and_zero_weights(spark):
+    from esco_neo4j_spark.operators.graph import sssp_weighted
+
+    e = spark.createDataFrame(
+        [("a", "b", 10.0), ("a", "c", 3.0), ("c", "b", 4.0),
+         ("b", "d", 2.0)],
+        "src string, dst string, weight double",
+    )
+    # undirected: reach the source's ancestors too
+    got = {r["id"]: r["dist"]
+           for r in sssp_weighted(e, "d", directed=False).collect()}
+    assert got == {"d": 0.0, "b": 2.0, "c": 6.0, "a": 9.0}
+
+    z = spark.createDataFrame(
+        [("a", "b", 0.0), ("b", "c", 0.0)],
+        "src string, dst string, weight double",
+    )
+    gotz = {r["id"]: r["dist"] for r in sssp_weighted(z, "a").collect()}
+    assert gotz == {"a": 0.0, "b": 0.0, "c": 0.0}
