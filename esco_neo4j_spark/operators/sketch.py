@@ -1,0 +1,104 @@
+"""Count-min sketch as a DISTRIBUTED TABLE (row, bucket, cnt).
+
+The classic CMS is a d x w counter matrix held in memory; at 100 TB the
+Spark-native shape is the same matrix AS A DATAFRAME: build it with one
+explode(d) + groupBy (map-side combinable, output bounded at d*w rows no
+matter the input size), persist it like any table, MERGE sketches by
+union + groupBy sum, and answer point queries by joining candidate keys
+against the (tiny, broadcastable) sketch table and taking min over the d
+rows. Nothing ever holds per-key state: memory is O(d*w) regardless of
+input cardinality, and the one-sided error bound (est >= true,
+est <= true + eps*N w.h.p., eps = e/w) is the textbook CMS guarantee.
+
+Hashing uses the universal family h_j(x) = ((a_j*x + b_j) mod P) mod w
+with P = 2^31-1 — pure integer arithmetic, so a DuckDB oracle can
+reproduce every bucket (and therefore every estimate) EXACTLY; no
+engine-specific hash is involved (contrast HLL in
+plans/event_queries.events_approx_distinct_rollup, which is rows-only
+for that reason).
+
+Reference has no sketch surface (extension per SURVEY.md §2); the CMS /
+heavy-hitter pattern is standard large-scale-pipeline equipment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CMS_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+# (a_j, b_j) per hash row — small odd multipliers, arbitrary fixed offsets;
+# mirrored verbatim in every oracle SQL that checks a CMS query.
+CMS_PARAMS: list[tuple[int, int]] = [
+    (4_967, 11),
+    (7_121, 223),
+    (10_627, 401),
+    (15_289, 607),
+]
+
+
+def _bucket(a: int, b: int, key_col, width: int):
+    return ((F.lit(a) * key_col + F.lit(b)) % CMS_P) % width
+
+
+def cms_build(df: DataFrame, key_col: str, width: int = 1024) -> DataFrame:
+    """Build the sketch table (sketch_row, bucket, cnt) over an integer
+    key column. One narrow explode (x depth) then a groupBy whose output
+    is bounded at depth*width rows — partial aggregation does almost all
+    the work map-side."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("sketch_row"),
+                _bucket(a, b, F.col(key_col), width).alias("bucket"),
+            )
+            for j, (a, b) in enumerate(CMS_PARAMS)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("rb"))
+        .groupBy(
+            F.col("rb.sketch_row").alias("sketch_row"),
+            F.col("rb.bucket").alias("bucket"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with the same params: element-wise counter sum
+    (union + groupBy). CMS(A) + CMS(B) == CMS(A union B) exactly."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("sketch_row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, width: int = 1024
+) -> DataFrame:
+    """Point-query estimates for each key in ``keys``: min over the d
+    sketch rows of the counter at the key's bucket. The sketch table is
+    at most depth*width rows, so it is broadcast — the key side never
+    shuffles. Keys whose buckets are all absent estimate 0 (coalesce),
+    preserving est >= true for unseen keys too."""
+    probes = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("sketch_row"),
+                        _bucket(a, b, F.col(key_col), width).alias("bucket"),
+                    )
+                    for j, (a, b) in enumerate(CMS_PARAMS)
+                ]
+            )
+        ).alias("rb"),
+    ).select(key_col, F.col("rb.sketch_row").alias("sketch_row"),
+             F.col("rb.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["sketch_row", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

@@ -345,6 +345,57 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_enriched_rollup",
+    sql="""
+    WITH ev AS (SELECT * REPLACE (make_timestamp(epoch_ns(ts)//1000) AS ts) FROM events)
+    SELECT strftime(to_timestamp(floor(epoch(ev.ts) / 21600) * 21600),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           c.c_mktsegment AS segment,
+           ev.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(ev.value), 2) AS DOUBLE) AS total_value
+    FROM ev JOIN customer c ON ev.user_id = c.c_custkey
+    GROUP BY 1, 2, 3
+    ORDER BY window_start, segment, event_type
+    """,
+    survey_ops="J(ext),C1,D2",
+    tables=("events", "customer"),
+)
+def events_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.enrich_segments (stream-static dimension
+    enrichment): events joined to the broadcast customer dimension, then
+    tumbling-window revenue per (segment, event_type). The dimension side
+    is explicitly broadcast — the fact scan never shuffles for the join;
+    only the window aggregation exchanges on its grouping key."""
+    ev = spark.table("events")
+    dim = F.broadcast(
+        spark.table("customer").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+    )
+    return (
+        ev.join(dim, "user_id")
+        .groupBy(
+            F.window("ts", "6 hours").alias("w"),
+            "c_mktsegment",
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.col("c_mktsegment").alias("segment"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "segment", "event_type")
+    )
+
+
+@query(
     "ext_range_join",
     sql="""
     WITH ev AS (SELECT * REPLACE (make_timestamp(epoch_ns(ts)//1000) AS ts) FROM events)
@@ -426,6 +477,64 @@ def events_approx_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
                CAST(count(*) AS BIGINT) AS n_days
         FROM daily GROUP BY 1 ORDER BY 1
         """
+    )
+
+
+@query(
+    "events_cms_heavy_hitters",
+    sql="""
+    WITH hash_rows(j, a, b) AS (
+      VALUES (0, 4967, 11), (1, 7121, 223), (2, 10627, 401), (3, 15289, 607)
+    ),
+    build AS (
+      SELECT r.j, ((r.a * e.user_id + r.b) % 2147483647) % 64 AS bucket,
+             count(*) AS cnt
+      FROM events e CROSS JOIN hash_rows r
+      GROUP BY 1, 2
+    ),
+    keys AS (SELECT DISTINCT user_id FROM events),
+    est AS (
+      SELECT k.user_id, min(b.cnt) AS est
+      FROM keys k CROSS JOIN hash_rows r
+      JOIN build b
+        ON b.j = r.j
+       AND b.bucket = ((r.a * k.user_id + r.b) % 2147483647) % 64
+      GROUP BY 1
+    ),
+    exact AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+    SELECT e.user_id, CAST(e.est AS BIGINT) AS est_n,
+           CAST(x.n AS BIGINT) AS exact_n
+    FROM est e JOIN exact x USING (user_id)
+    ORDER BY est_n DESC, user_id LIMIT 20
+    """,
+    survey_ops="sketch(ext),D2",
+    tables=("events",),
+)
+def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a count-min sketch (operators/sketch.py): build
+    the d=4 x w=64 sketch TABLE over events.user_id (bounded at 256 rows
+    no matter the input size), estimate every candidate key by joining
+    the broadcast sketch, rank by ESTIMATE and keep the top 20. The exact
+    count rides along to expose the one-sided error (est >= exact always;
+    the deliberately small width forces real collisions). The universal
+    hash family is plain integer arithmetic, so the DuckDB oracle
+    reproduces every bucket — and therefore every estimate — exactly."""
+    from esco_neo4j_spark.operators.sketch import cms_build, cms_estimate
+
+    ev = spark.table("events")
+    sketch = cms_build(ev, "user_id", width=64)
+    keys = ev.select("user_id").distinct()
+    est = cms_estimate(sketch, keys, "user_id", width=64)
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            F.col("est").cast("bigint").alias("est_n"),
+            F.col("exact_n").cast("bigint").alias("exact_n"),
+        )
+        .orderBy(F.desc("est_n"), "user_id")
+        .limit(20)
     )
 
 

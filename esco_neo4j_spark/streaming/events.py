@@ -64,6 +64,42 @@ def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def enrich_segments(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static enrichment join + windowed rollup: each event joined
+    to its customer's market segment (static dimension snapshot), then
+    tumbling-window revenue per (segment, event_type). Batch twin:
+    plans/event_queries.events_enriched_rollup (DuckDB-oracle checked);
+    tests/test_streaming.py asserts stream == batch.
+
+    Stream-static joins keep NO join state — the static side is re-read
+    (and here explicitly broadcast) per micro-batch, so this scales with
+    the dimension size only, never with stream history. That makes it THE
+    pattern for dimension enrichment at 100 TB: the fact stream never
+    shuffles; only the watermarked window aggregation holds state.
+    """
+    dim = F.broadcast(
+        customers.select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+    )
+    return (
+        events.withWatermark("ts", "1 hour")
+        .join(dim, "user_id")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.col("c_mktsegment").alias("segment"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> None:
     """Drive a bounded file-source stream to completion into a memory sink
     (deterministic in tests: processAllAvailable blocks until drained).

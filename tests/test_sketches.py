@@ -41,3 +41,56 @@ def test_hll_rollup_deterministic(spark):
     a = sorted(map(tuple, q.fn(spark, SF_DIR).collect()))
     b = sorted(map(tuple, q.fn(spark, SF_DIR).collect()))
     assert a == b
+
+
+def test_cms_one_sided_error_and_bound(spark):
+    """CMS guarantee on real data: est >= true for EVERY key, and
+    est <= true + eps*N with eps = e/width (the textbook bound holds
+    deterministically here because depth=4 min cuts the collision tail)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from esco_neo4j_spark.catalog import load_table
+    from esco_neo4j_spark.operators.sketch import cms_build, cms_estimate
+
+    ev = load_table(spark, SF_DIR, "events")
+    n = ev.count()
+    width = 64
+    sketch = cms_build(ev, "user_id", width=width)
+    est = {
+        r["user_id"]: r["est"]
+        for r in cms_estimate(
+            sketch, ev.select("user_id").distinct(), "user_id", width=width
+        ).collect()
+    }
+    exact = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(est) == set(exact) and len(est) > 0
+    eps_n = (math.e / width) * n
+    for k, e in est.items():
+        assert e >= exact[k], f"undercount at {k}"
+        assert e <= exact[k] + eps_n, f"overcount beyond eps*N at {k}"
+
+
+def test_cms_merge_equals_whole(spark):
+    """Mergeability: CMS(first half) + CMS(second half) == CMS(all) —
+    counter-exact, the property that makes per-partition sketch build +
+    rollup merge valid at scale."""
+    from pyspark.sql import functions as F
+
+    from esco_neo4j_spark.catalog import load_table
+    from esco_neo4j_spark.operators.sketch import cms_build, cms_merge
+
+    ev = load_table(spark, SF_DIR, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = sorted(
+        tuple(r) for r in cms_merge(
+            cms_build(a, "user_id", width=64), cms_build(b, "user_id", width=64)
+        ).collect()
+    )
+    whole = sorted(tuple(r) for r in cms_build(ev, "user_id", width=64).collect())
+    assert merged == whole and len(whole) > 0

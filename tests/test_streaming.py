@@ -15,6 +15,7 @@ import pytest
 
 from esco_neo4j_spark.catalog import load_table
 from esco_neo4j_spark.streaming.events import (
+    enrich_segments,
     interval_join,
     read_event_stream,
     run_to_memory,
@@ -75,6 +76,23 @@ def test_stream_stream_interval_join_equals_batch(spark, event_dir):
     from esco_neo4j_spark.plans import REGISTRY
 
     twin = _rows(REGISTRY["events_interval_join"].fn(spark, SF_DIR))
+    assert got == twin
+
+
+def test_stream_static_enrich_equals_batch(spark, event_dir):
+    """Stream-static broadcast enrichment join + windowed rollup == the
+    same composition on the batch read, and == the REGISTRY batch twin
+    (events_enriched_rollup), which is itself DuckDB-checked."""
+    customers = load_table(spark, SF_DIR, "customer")
+    stream = enrich_segments(read_event_stream(spark, event_dir), customers)
+    run_to_memory(stream, "t_enrich", output_mode="complete")
+    got = _rows(spark.table("t_enrich"))
+    want = _rows(enrich_segments(spark.read.parquet(event_dir), customers))
+    assert got == want and len(got) > 0
+
+    from esco_neo4j_spark.plans import REGISTRY
+
+    twin = _rows(REGISTRY["events_enriched_rollup"].fn(spark, SF_DIR))
     assert got == twin
 
 
