@@ -102,3 +102,50 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+def bloom_build(df: DataFrame, key_col: str, width: int = 65_536) -> DataFrame:
+    """Bloom filter as a distributed bit table: the DISTINCT (sketch_row,
+    bucket) pairs set by any key. At most depth*width rows regardless of
+    input size; same arithmetic hash family as the CMS so an oracle can
+    reproduce membership decisions exactly if it ever needs to."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("sketch_row"),
+                _bucket(a, b, F.col(key_col), width).alias("bucket"),
+            )
+            for j, (a, b) in enumerate(CMS_PARAMS)
+        ]
+    )
+    return df.select(F.explode(rows).alias("rb")).select(
+        F.col("rb.sketch_row").alias("sketch_row"),
+        F.col("rb.bucket").alias("bucket"),
+    ).distinct()
+
+
+def bloom_prune(df: DataFrame, key_col: str, bloom: DataFrame,
+                width: int = 65_536) -> DataFrame:
+    """Semi-join REDUCTION: keep only rows whose key hits the bloom filter
+    in all depth positions (possible false positives, never false
+    negatives — a later exact join removes the former, so composing
+    bloom_prune + join is EXACT while shuffling only the surviving
+    fraction of the big side). This is the manual form of Spark's runtime
+    row-level bloom pruning, usable when the build side is a separate
+    pipeline stage (e.g. yesterday's key set) rather than the same query.
+
+    The bit table is bounded (depth*width rows) and broadcast, so the
+    probe is a narrow map-side filter: no shuffle of ``df`` happens here.
+    """
+    bits = F.broadcast(bloom)
+    probe = df
+    for j, (a, b) in enumerate(CMS_PARAMS):
+        bj = bits.filter(F.col("sketch_row") == j).select(
+            F.col("bucket").alias(f"__b{j}")
+        )
+        probe = probe.join(
+            bj,
+            _bucket(a, b, F.col(key_col), width) == F.col(f"__b{j}"),
+            "left_semi",
+        )
+    return probe

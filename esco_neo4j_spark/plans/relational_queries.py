@@ -757,3 +757,148 @@ def ext_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@query(
+    "ext_bloom_semijoin",
+    sql="""
+    SELECT l.l_linestatus AS linestatus,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_linestatus
+    ORDER BY linestatus
+    """,
+    survey_ops="C8,sketch(ext),D3",
+    tables=("orders", "lineitem"),
+)
+def ext_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction (operators/sketch.py): build a
+    bounded bit table from the SELECTIVE side (urgent orders), broadcast
+    it, and prune the fact scan to keys that hit all hash positions
+    BEFORE the exact shuffle join. False positives survive the prune but
+    die in the join, so the result is exactly the plain join — which is
+    what the oracle runs. At 100 TB the win is shuffling ~selectivity of
+    the fact table instead of all of it, with a build side that stays
+    KB-sized however many keys it summarizes (unlike a broadcast IN-list,
+    which grows linearly and falls over past ~10M keys)."""
+    from esco_neo4j_spark.operators.sketch import bloom_build, bloom_prune
+
+    urgent = spark.table("orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    bloom = bloom_build(urgent, "o_orderkey")
+    li = bloom_prune(spark.table("lineitem"), "l_orderkey", bloom)
+    return (
+        li.join(
+            urgent.select("o_orderkey"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("linestatus")
+    )
+
+
+@query(
+    "ext_pivot_priority_by_status",
+    sql="""
+    SELECT o_orderstatus AS status,
+           CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT)
+             AS urgent,
+           CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT)
+             AS high,
+           CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT)
+             AS medium,
+           CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT)
+             AS notspec,
+           CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT)
+             AS low
+    FROM orders GROUP BY o_orderstatus ORDER BY status
+    """,
+    survey_ops="D2,pivot(ext)",
+    tables=("orders",),
+)
+def ext_pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): order counts with status as rows and priority
+    as columns. The pivot values are DECLARED, not discovered — an
+    undeclared pivot runs an extra distinct pass over the data to find the
+    column set, a silent full scan at 100 TB. Declared values keep it to
+    one pass, and the aggregation is a plain partial-aggregable count.
+    DuckDB oracles it as conditional aggregation (FILTER), which is what
+    a pivot lowers to anyway."""
+    piv = (
+        spark.table("orders")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .count()
+    )
+    renames = {
+        "1-URGENT": "urgent", "2-HIGH": "high", "3-MEDIUM": "medium",
+        "4-NOT SPECIFIED": "notspec", "5-LOW": "low",
+    }
+    out = piv
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out.select(
+        "status",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+          for c in renames.values()],
+    ).orderBy("status")
+
+
+@query(
+    "ext_group_percentiles",
+    sql="""
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice,
+             cume_dist() OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice) AS cd
+      FROM lineitem
+    )
+    SELECT l_returnflag AS returnflag,
+           CAST(min(l_extendedprice) FILTER (cd >= 0.5) AS DOUBLE)
+             AS median_price,
+           CAST(min(l_extendedprice) FILTER (cd >= 0.9) AS DOUBLE)
+             AS p90_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ranked GROUP BY l_returnflag ORDER BY returnflag
+    """,
+    survey_ops="D8,percentile(ext)",
+    tables=("lineitem",),
+)
+def ext_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DISCRETE percentiles per group (median + p90 of the extended
+    price per return flag): percentile_disc picks an actual data value
+    (the ANSI 'smallest value whose cumulative distribution >= p'), so
+    no interpolation happens and cross-engine equality is exact — the
+    continuous variant interpolates and can land a half-ulp across a
+    rounding boundary. The oracle computes the same definition from first
+    principles (cume_dist window + filtered min), an independent
+    formulation. Exact percentiles sort within each group; at 100 TB
+    switch to percentile_approx (mergeable KLL-style sketch, no per-group
+    sort) once groups stop fitting a partition."""
+    return (
+        spark.table("lineitem")
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
+            ).alias("median_price"),
+            F.expr(
+                "percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"
+            ).alias("p90_price"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("returnflag")
+    )

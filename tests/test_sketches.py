@@ -94,3 +94,20 @@ def test_cms_merge_equals_whole(spark):
     )
     whole = sorted(tuple(r) for r in cms_build(ev, "user_id", width=64).collect())
     assert merged == whole and len(whole) > 0
+
+
+def test_bloom_prune_no_false_negatives(spark):
+    """Every row whose key IS in the build set survives bloom_prune (the
+    guarantee the exact-join composition relies on), and pruning is a
+    subset of the input."""
+    from pyspark.sql import functions as F
+
+    from esco_neo4j_spark.operators.sketch import bloom_build, bloom_prune
+
+    big = spark.range(0, 5000).select(F.col("id").alias("k"))
+    keys = spark.range(0, 5000, 97).select(F.col("id").alias("k"))  # sparse
+    bloom = bloom_build(keys, "k", width=256)  # narrow -> real false positives
+    kept = {r["k"] for r in bloom_prune(big, "k", bloom, width=256).collect()}
+    truth = {r["k"] for r in keys.collect()}
+    assert truth <= kept, "bloom dropped a true member"
+    assert kept <= {r["k"] for r in big.collect()}
