@@ -902,3 +902,54 @@ def ext_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("returnflag")
     )
+
+
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+
+@query(
+    "ext_profile_columns",
+    sql="""
+    """ + "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_s,
+           CAST(max({c}) AS VARCHAR) AS max_s
+    FROM orders"""
+        for c in _PROFILE_COLS
+    ) + "\nORDER BY col",
+    survey_ops="D1,D5,profile(ext)",
+    tables=("orders",),
+)
+def ext_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling in ONE scan: null count, distinct count, min and
+    max for each profiled column, computed as a single wide aggregate row
+    and then unpivoted to (col, metric...) rows. The profile is the
+    first thing a pipeline runs on a new 100 TB drop — doing it per
+    column (the naive loop, which is what the oracle's UNION ALL does)
+    scans the table N_cols times; the wide-aggregate form scans ONCE and
+    every distinct-count runs as a partial-aggregable expression."""
+    o = spark.table("orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count("*") - F.count(c)).alias(f"{c}__n_null"),
+            F.count_distinct(F.col(c)).alias(f"{c}__n_distinct"),
+            F.min(c).cast("string").alias(f"{c}__min_s"),
+            F.max(c).cast("string").alias(f"{c}__max_s"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n_null, {c}__n_distinct, {c}__min_s, {c}__max_s"
+        for c in _PROFILE_COLS
+    )
+    return (
+        wide.select(
+            F.expr(
+                f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+                "AS (col, n_null, n_distinct, min_s, max_s)"
+            )
+        )
+        .orderBy("col")
+    )

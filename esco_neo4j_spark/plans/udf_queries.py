@@ -93,3 +93,56 @@ def udf_translate_memoized(spark: SparkSession, sf_dir: str) -> DataFrame:
     The deterministic mock translation is string-exact in SQL."""
     d = translate_column(spark.table("documents"), "text", out_col="text_he")
     return d.select("doc_id", "lang", "text_he").orderBy("doc_id").limit(100)
+
+
+@query(
+    "udf_zscore_per_user",
+    sql="""
+    WITH stats AS (
+      SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd,
+             count(*) AS n
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id,
+           e.user_id,
+           CAST(round((e.value - s.mu) / s.sd, 6) AS DOUBLE) AS zscore
+    FROM events e JOIN stats s USING (user_id)
+    WHERE s.n >= 2 AND s.sd > 0
+    ORDER BY e.event_id
+    """,
+    survey_ops="I9,D8",
+    tables=("events",),
+)
+def udf_zscore_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas UDF (applyInPandas): per-user z-score of the
+    event value — the canonical 'normalize within group' shape that SQL
+    window functions also express, done here through the Arrow grouped-map
+    path ON PURPOSE so the driver gate exercises it end-to-end against a
+    pure-SQL oracle. Each group arrives as one pandas DataFrame; pandas
+    .mean()/.std(ddof=1) match avg/stddev_samp bit-for-bit at these
+    magnitudes, and 6dp rounding absorbs the last ulp.
+
+    Scale note: applyInPandas shuffles by the grouping key and each group
+    must fit one executor's memory — fine for per-user groups (bounded
+    fan-in), wrong for whole-table groups; the window-function form is the
+    no-Python alternative when the computation is SQL-expressible."""
+    import pandas as pd
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pdf.iloc[0:0][["event_id", "user_id"]].assign(zscore=0.0)
+        sd = pdf["value"].std(ddof=1)
+        if not sd > 0:
+            return pdf.iloc[0:0][["event_id", "user_id"]].assign(zscore=0.0)
+        mu = pdf["value"].mean()
+        out = pdf[["event_id", "user_id"]].copy()
+        out["zscore"] = ((pdf["value"] - mu) / sd).round(6)
+        return out
+
+    return (
+        spark.table("events")
+        .select("event_id", "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(zscore, "event_id bigint, user_id bigint, zscore double")
+        .orderBy("event_id")
+    )

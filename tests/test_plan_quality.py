@@ -182,3 +182,29 @@ def test_salted_join_matches_plain_join(spark):
     with contextlib.redirect_stdout(buf):
         salted_join(big, small, ["k"]).explain("formatted")
     assert "_salt" in buf.getvalue(), "join must key on the salt column"
+
+
+def test_profile_reads_table_once(spark):
+    """ext_profile_columns computes every per-column stat in ONE scan —
+    the wide-aggregate-then-unpivot shape. A per-column loop (what the
+    DuckDB oracle deliberately does) would show one FileScan per column."""
+    import re
+
+    plan = _plan(spark, "ext_profile_columns")
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, plan
+
+
+def test_bloom_prune_probe_side_has_no_shuffle_before_join(spark):
+    """The bloom bit table is broadcast to the probe: every semi-join in
+    the prune phase is a BroadcastHashJoin / BroadcastNestedLoopJoin, so
+    the fact table is never exchanged until the final exact join."""
+    plan = _plan(spark, "ext_bloom_semijoin")
+    # the probe chain is 4 semi-joins; every one must be a broadcast join
+    # (a SortMergeJoin LeftSemi would mean the fact side was exchanged)
+    semi = [
+        ln for ln in plan.splitlines()
+        if "LeftSemi" in ln and ("HashJoin" in ln or "MergeJoin" in ln
+                                 or "NestedLoop" in ln)
+    ]
+    assert len(semi) >= 4 and all("Broadcast" in ln for ln in semi), semi
