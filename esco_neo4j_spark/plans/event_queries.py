@@ -575,3 +575,126 @@ def events_partition_pruned_week(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_date")
     )
+
+
+@query(
+    "events_funnel",
+    sql="""
+    WITH ev AS (SELECT * REPLACE (make_timestamp(epoch_ns(ts)//1000) AS ts) FROM events),
+    v AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'view'
+          GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t2
+          FROM ev e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts >= v.t1 GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t3
+          FROM ev e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= c.t2 GROUP BY e.user_id)
+    SELECT 1 AS stage, 'view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM v
+    UNION ALL
+    SELECT 2, 'view>click', CAST(count(*) AS BIGINT) FROM c
+    UNION ALL
+    SELECT 3, 'view>click>purchase', CAST(count(*) AS BIGINT) FROM p
+    ORDER BY stage
+    """,
+    survey_ops="funnel(ext),C6,D2",
+    tables=("events",),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel: users who viewed, then clicked AFTER the
+    first view, then purchased AFTER that click. Each stage is one
+    filtered min-aggregate joined to the previous stage's users — the
+    min-chaining formulation, which shuffles only (user, ts) pairs per
+    stage and never materializes per-user event sequences (the
+    collect_list-then-scan alternative breaks on power users at 100 TB;
+    this one is bounded by distinct users per stage)."""
+    ev = spark.table("events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    rows = [
+        v.agg(F.lit(1).alias("stage"), F.lit("view").alias("step"),
+              F.count("*").alias("n_users")),
+        c.agg(F.lit(2).alias("stage"), F.lit("view>click").alias("step"),
+              F.count("*").alias("n_users")),
+        p.agg(F.lit(3).alias("stage"),
+              F.lit("view>click>purchase").alias("step"),
+              F.count("*").alias("n_users")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("stage")
+
+
+@query(
+    "events_cohort_retention",
+    sql="""
+    WITH ev AS (SELECT * REPLACE (make_timestamp(epoch_ns(ts)//1000) AS ts) FROM events),
+    first_seen AS (
+      SELECT user_id,
+             date_trunc('week', min(ts)) AS cohort_week
+      FROM ev GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_diff('week', f.cohort_week,
+                            date_trunc('week', e.ts)) AS INT) AS weeks_since
+      FROM ev e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           weeks_since,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM activity
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    survey_ops="cohort(ext),E,D5",
+    tables=("events",),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, counted
+    in each later week they were active. Two shuffles total (first-seen
+    min per user, then the distinct (user, week) dedup) — the matrix
+    itself is tiny however large the input. The weekly truncation uses
+    ISO Monday weeks in both engines."""
+    ev = spark.table("events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.floor(
+                    (
+                        F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+                        - F.unix_timestamp(F.col("cohort_week"))
+                    )
+                    / (7 * 86400)
+                ).cast("int")
+            ).alias("weeks_since"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "weeks_since",
+        )
+        .agg(F.count("*").alias("n_active"))
+        .orderBy("cohort_week", "weeks_since")
+    )

@@ -415,3 +415,67 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") < rate)
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_tfidf_top_terms",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(n.n_docs / df.df), 6) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, CAST(score AS DOUBLE) AS score,
+           CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rk
+      FROM scored
+    )
+    WHERE rk <= 3
+    ORDER BY doc_id, rk
+    """,
+    survey_ops="text-tfidf(ext),E,D5",
+    tables=("documents",),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic IR weighting as two
+    bounded aggregations: term frequency per (doc, term), document
+    frequency per term (both partial-aggregable), idf = ln(N/df) joined
+    back BROADCAST (the term dictionary is tiny next to the corpus), then
+    a per-doc top-k window. No UDF anywhere; the score is rounded before
+    ranking so the cross-engine order is identical. At 100 TB the df
+    table is the only global state and it's vocabulary-sized."""
+    d = spark.table("documents")
+    toks = d.select(
+        "doc_id", F.explode(word_tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "score", F.col("rk").cast("int").alias("rk"))
+        .orderBy("doc_id", "rk")
+    )
