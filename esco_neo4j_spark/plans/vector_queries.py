@@ -300,3 +300,30 @@ def vec_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("embeddings"), _anchor_vec(spark),
         k=10, rerank=30, m=8, n_codes=16,
     )
+
+
+@query(
+    "vec_kmeans_clusters",
+    sql=None,  # 3 unrolled Lloyd iterations are not reasonably SQL-
+    # expressible; goldens + determinism pinned in tests/test_similarity.py
+    survey_ops="kmeans(ext),A7(train)",
+    tables=("embeddings",),
+)
+def vec_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size/compactness summary of Lloyd's k-means (k=8, 3
+    iterations, deterministic first-k init) — the in-engine codebook
+    training that ivf_assign/pq_encode consume frozen. Per-iteration
+    cost: one narrow assignment map + one partial-aggregable (cluster,
+    dim) mean whose shuffle is k*D rows per partition; see
+    operators/similarity.kmeans_lloyd."""
+    from esco_neo4j_spark.operators.similarity import kmeans_lloyd
+
+    assigned = kmeans_lloyd(spark.table("embeddings"), k=8, max_iter=3)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("dist"), 4).alias("avg_dist"),
+        )
+        .orderBy("cluster")
+    )

@@ -105,3 +105,39 @@ def test_pq_topk_subset_and_recall(emb, anchor):
     top10 = [r.vec_id for r in brute_force_topk(emb, anchor, k=10).collect()]
     recall = len({r.vec_id for r in hits} & set(top10)) / 10
     assert recall >= 0.6  # 8x16 codebook on 64-dim, rerank=30
+
+
+def test_kmeans_recovers_separated_blobs(spark):
+    """Two tight blobs 14 units apart, ids interleaved so the first-2-ids
+    init lands one seed in each blob: Lloyd's must separate them exactly
+    and converge to sub-blob-radius distances."""
+    import random
+
+    from esco_neo4j_spark.operators.similarity import kmeans_lloyd
+
+    random.seed(7)
+    rows = []
+    for i in range(40):
+        cx, cy = (10.0, 0.0) if i % 2 == 0 else (0.0, 10.0)
+        rows.append(
+            (i, [cx + random.uniform(-1, 1), cy + random.uniform(-1, 1)])
+        )
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = kmeans_lloyd(df, k=2, max_iter=4).collect()
+    by_cluster = {r["vec_id"]: r["cluster"] for r in got}
+    a = {i for i, c in by_cluster.items() if c == by_cluster[0]}
+    assert a == set(range(0, 40, 2))
+    assert all(r["dist"] < 2.0 for r in got)
+
+
+def test_kmeans_deterministic(spark):
+    """Same input -> identical assignment and distances (fixed init,
+    rounded argmin, empty-cluster carry-forward): the property the
+    driver's rows-only stability check relies on."""
+    from esco_neo4j_spark.catalog import load_table
+    from esco_neo4j_spark.operators.similarity import kmeans_lloyd
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    r1 = sorted(tuple(r) for r in kmeans_lloyd(emb, k=4, max_iter=2).collect())
+    r2 = sorted(tuple(r) for r in kmeans_lloyd(emb, k=4, max_iter=2).collect())
+    assert r1 == r2 and len(r1) > 0
