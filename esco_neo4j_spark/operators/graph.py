@@ -895,3 +895,48 @@ def k_core(edges: DataFrame, k: int = 2, max_iter: int = 50) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("core_degree"))
         .select(F.col("src").alias("id"), "core_degree")
     )
+
+
+def topo_layers(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Topological layering of a DAG by iterative zero-in-degree peeling:
+    layer 0 = vertices with no incoming edge, layer i = vertices whose
+    predecessors all sit in layers < i. Equivalently each vertex's layer
+    is the length of the LONGEST path ending at it — which is what the
+    DuckDB oracle computes recursively. Raises after ``max_iter`` rounds
+    with vertices remaining (a cycle: no topological order exists).
+
+    Kahn's algorithm distributed: each round is one anti-join (find
+    sources among remaining vertices) + one semi-join (shrink the edge
+    set), both shuffles on the vertex id, checkpointed; rounds = DAG
+    depth. Returns (id, layer).
+    """
+    spark = edges.sparkSession
+    e = _checkpoint(edges.select("src", "dst").distinct())
+    remaining = _checkpoint(vertices_of(e))
+    out = None
+    for layer in range(max_iter):
+        if remaining.isEmpty():
+            return out
+        # sources: remaining vertices with no incoming edge from a
+        # remaining vertex (edges were pruned to remaining endpoints)
+        srcs = remaining.join(
+            e.select(F.col("dst").alias("id")).distinct(), "id", "left_anti"
+        ).select("id", F.lit(layer).alias("layer"))
+        srcs = _checkpoint(srcs)
+        if srcs.isEmpty():
+            break  # every remaining vertex has a predecessor -> cycle
+        out = srcs if out is None else _checkpoint(out.union(srcs))
+        remaining = _checkpoint(
+            remaining.join(srcs.select("id"), "id", "left_anti")
+        )
+        e = _checkpoint(
+            e.join(
+                srcs.select(F.col("id").alias("src")), "src", "left_anti"
+            )
+        )
+    if not remaining.isEmpty():
+        raise ValueError(
+            "topo_layers: graph contains a cycle (or exceeds max_iter); "
+            "no topological order exists"
+        )
+    return out

@@ -541,6 +541,46 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "graph_topo_layers",
+    sql=f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    verts AS (
+      SELECT src AS id FROM edges UNION SELECT dst FROM edges
+    ),
+    leaves AS (
+      SELECT id FROM verts WHERE id NOT IN (SELECT dst FROM edges)
+    ),
+    walk AS (
+      SELECT id, 0 AS depth FROM leaves
+      UNION ALL
+      SELECT e.dst AS id, w.depth + 1 FROM walk w JOIN edges e ON e.src = w.id
+    )
+    SELECT id, CAST(max(depth) AS INT) AS layer
+    FROM walk GROUP BY id ORDER BY id
+    """,
+    survey_ops="K(ext),topo",
+    tables=("events",),
+)
+def graph_topo_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topological layering of the parent DAG (Kahn's algorithm by
+    iterative zero-in-degree peeling, operators/graph.py topo_layers):
+    layer(v) = length of the longest chain ending at v. The oracle
+    computes the same number by enumerating leaf-upward walks in a
+    recursive CTE and taking max(depth) — walk enumeration is safe here
+    because ids strictly decrease along edges. Peeling also doubles as
+    distributed cycle DETECTION: a non-empty remainder with no sources
+    raises, which is how a 100 TB dependency graph tells you it isn't a
+    DAG."""
+    from esco_neo4j_spark.operators.graph import topo_layers
+
+    return (
+        topo_layers(_edges(spark))
+        .select("id", F.col("layer").cast("int").alias("layer"))
+        .orderBy("id")
+    )
+
+
+@query(
     "graph_kcore",
     sql=None,  # iterative peeling recomputes aggregates per round — not
     # expressible as a SQL recursion; golden-tested in tests/test_graph.py

@@ -285,3 +285,16 @@ def test_sssp_weighted_undirected_and_zero_weights(spark):
     )
     gotz = {r["id"]: r["dist"] for r in sssp_weighted(z, "a").collect()}
     assert gotz == {"a": 0.0, "b": 0.0, "c": 0.0}
+
+
+def test_topo_layers_diamond_and_cycle(spark):
+    from esco_neo4j_spark.operators.graph import topo_layers
+
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+                       ("d", "e")])
+    got = {r["id"]: r["layer"] for r in topo_layers(e).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 3}
+
+    cyc = _edges(spark, [("x", "y"), ("y", "x"), ("z", "x")])
+    with pytest.raises(ValueError, match="cycle"):
+        topo_layers(cyc)
