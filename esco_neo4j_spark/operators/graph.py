@@ -940,3 +940,101 @@ def topo_layers(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             "no topological order exists"
         )
     return out
+
+
+def strongly_connected_components(
+    edges: DataFrame, max_iter: int = 30
+) -> DataFrame:
+    """Strongly connected components by COLOR PROPAGATION (Orzan's
+    coloring / multi-pivot FW-BW — standard in the distributed-graph
+    literature): per round, (1) every vertex learns the minimum vertex id
+    that can REACH it (forward min-label fixpoint — each step one
+    edge-join + min-merge, checkpointed); that min id partitions the
+    remaining graph into color classes, each containing its own pivot
+    (the vertex whose id IS the color); (2) one backward multi-origin BFS
+    from ALL pivots simultaneously, restricted to same-color edges, finds
+    every vertex that also reaches its pivot — exactly the pivot's SCC
+    (reaches + reached-by = mutual); (3) settled SCCs leave the graph.
+
+    Most graphs settle in 1-2 rounds (every color class settles its
+    pivot's SCC per round). The forward fixpoint is bounded by graph
+    diameter, the backward BFS by SCC diameter; every step shuffles on
+    the vertex id only. Returns (id, scc), scc = min vertex id of the
+    component.
+    """
+    remaining_e = _checkpoint(edges.select("src", "dst").distinct())
+    remaining_v = _checkpoint(vertices_of(remaining_e))
+    out = None
+    for _ in range(max_iter):
+        if remaining_v.isEmpty():
+            break
+        # (1) forward min-label fixpoint: color(v) = min id reaching v
+        color = _checkpoint(remaining_v.select("id", F.col("id").alias("color")))
+        for _i in range(max_iter):
+            msgs = (
+                remaining_e.join(
+                    color.select(F.col("id").alias("src"), "color"), "src"
+                )
+                .select(F.col("dst").alias("id"), "color")
+                .groupBy("id")
+                .agg(F.min("color").alias("mcolor"))
+            )
+            upd = color.join(msgs, "id", "left").select(
+                "id",
+                F.least("color", F.coalesce("mcolor", F.col("color"))).alias(
+                    "ncolor"
+                ),
+            )
+            new_color = _checkpoint(
+                upd.select("id", F.col("ncolor").alias("color"))
+            )
+            diff = (
+                new_color.alias("n")
+                .join(color.alias("o"), "id")
+                .filter(F.col("n.color") != F.col("o.color"))
+            )
+            color = new_color
+            if diff.isEmpty():
+                break
+        # (2) backward multi-origin BFS from every pivot, within its class
+        csrc = color.select(F.col("id").alias("src"), F.col("color").alias("c1"))
+        cdst = color.select(F.col("id").alias("dst"), F.col("color").alias("c2"))
+        class_e = (
+            remaining_e.join(csrc, "src").join(cdst, "dst")
+            .filter(F.col("c1") == F.col("c2"))
+            .select("src", "dst", F.col("c1").alias("color"))
+        )
+        class_e = _checkpoint(class_e)
+        reached = _checkpoint(
+            color.filter(F.col("id") == F.col("color")).select("id", "color")
+        )
+        frontier = reached
+        for _i in range(max_iter):
+            nxt = (
+                class_e.join(
+                    frontier.select(F.col("id").alias("dst"), "color"),
+                    ["dst", "color"],
+                )
+                .select(F.col("src").alias("id"), "color")
+                .distinct()
+                .join(reached, ["id", "color"], "left_anti")
+            )
+            nxt = _checkpoint(nxt)
+            if nxt.isEmpty():
+                break
+            reached = _checkpoint(reached.union(nxt))
+            frontier = nxt
+        settled = reached.select("id", F.col("color").alias("scc"))
+        settled = _checkpoint(settled)
+        out = settled if out is None else _checkpoint(out.union(settled))
+        remaining_v = _checkpoint(
+            remaining_v.join(settled.select("id"), "id", "left_anti")
+        )
+        remaining_e = _checkpoint(
+            remaining_e.join(
+                settled.select(F.col("id").alias("src")), "src", "left_anti"
+            ).join(
+                settled.select(F.col("id").alias("dst")), "dst", "left_anti"
+            )
+        )
+    return out

@@ -581,6 +581,44 @@ def graph_topo_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "graph_scc",
+    sql=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    childs AS (SELECT DISTINCT src AS id FROM edges WHERE src % 4 = 2)
+    SELECT v.id,
+           CAST(CASE WHEN v.id % 4 = 2 AND v.id IN (SELECT id FROM childs)
+                     THEN v.id // 2 ELSE v.id END AS BIGINT) AS scc
+    FROM verts v ORDER BY v.id
+    """,
+    survey_ops="K(ext),scc",
+    tables=("events",),
+)
+def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (operators/graph.py
+    strongly_connected_components — color propagation + multi-pivot
+    backward BFS) over the parent DAG augmented with back edges
+    u//2 -> u wherever the child u = 2 (mod 4): up-edges strictly
+    decrease the id and down-edges strictly increase it, so every cycle
+    is exactly one {child, parent} pair and the pairs are disjoint
+    (children = 2 mod 4, parents odd). The Spark side runs the GENERIC
+    iterative algorithm; the oracle derives the component structure from
+    that invariant in closed form — fully independent computations."""
+    from esco_neo4j_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    parents = _edges(spark)
+    back = parents.filter(F.col("src") % 4 == 2).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return (
+        strongly_connected_components(parents.union(back))
+        .orderBy("id")
+    )
+
+
+@query(
     "graph_kcore",
     sql=None,  # iterative peeling recomputes aggregates per round — not
     # expressible as a SQL recursion; golden-tested in tests/test_graph.py

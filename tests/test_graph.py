@@ -298,3 +298,27 @@ def test_topo_layers_diamond_and_cycle(spark):
     cyc = _edges(spark, [("x", "y"), ("y", "x"), ("z", "x")])
     with pytest.raises(ValueError, match="cycle"):
         topo_layers(cyc)
+
+
+def test_scc_cycles_bridge_and_dag(spark):
+    from esco_neo4j_spark.operators.graph import (
+        strongly_connected_components as scc,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4), (6, 7)],
+        "src bigint, dst bigint",
+    )
+    got = {r["id"]: r["scc"] for r in scc(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4, 7: 7}
+
+    dag = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src bigint, dst bigint")
+    gd = {r["id"]: r["scc"] for r in scc(dag).collect()}
+    assert gd == {1: 1, 2: 2, 3: 3}
+
+    ring = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (13, 10), (11, 10)],
+        "src bigint, dst bigint",
+    )
+    gr = {r["id"]: r["scc"] for r in scc(ring).collect()}
+    assert gr == {10: 10, 11: 10, 12: 10, 13: 10}
