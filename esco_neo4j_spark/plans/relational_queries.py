@@ -953,3 +953,43 @@ def ext_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col")
     )
+
+
+@query(
+    "ext_ntile_deciles",
+    sql="""
+    WITH t AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(min(o_totalprice), 2) AS DOUBLE) AS lo,
+           CAST(round(max(o_totalprice), 2) AS DOUBLE) AS hi
+    FROM t GROUP BY decile ORDER BY decile
+    """,
+    survey_ops="E,D2",
+    tables=("orders",),
+)
+def ext_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile banding of order value via ntile — the equal-count bucketing
+    every distribution report runs. The window's ORDER BY carries an
+    explicit tiebreak (orderkey) so bucket boundaries are a total order
+    and both engines cut identically. Scale note: an un-partitioned
+    ranking window is a single-reducer sort — fine for reports, but the
+    percentile_disc/approx path is the scale form when the answer only
+    needs the cut points, not a per-row bucket id."""
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    t = spark.table("orders").select(
+        "o_totalprice", F.ntile(10).over(w).alias("decile")
+    )
+    return (
+        t.groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("decile")
+    )

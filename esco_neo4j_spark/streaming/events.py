@@ -186,6 +186,55 @@ def upsert_sink(stream_df: DataFrame, path: str, keys: list[str], checkpoint: st
     )
 
 
+def cms_sketch_sink(
+    stream_df: DataFrame,
+    key_col: str,
+    path: str,
+    checkpoint: str,
+    width: int = 1024,
+):
+    """Incremental count-min maintenance: each micro-batch's CMS table
+    (operators/sketch.cms_build — bounded at depth*width rows) is written
+    to its OWN batch_id partition with dynamic partition overwrite, so a
+    replayed batch overwrites itself instead of double-counting —
+    effectively-once without a transactional sink, same recipe as
+    upsert_sink. Readers merge all batch partitions with read_cms_sketch
+    (counter sum = cms_merge), giving a continuously-maintained sketch of
+    the full stream history at O(batches * depth * width) storage, ready
+    for heavy-hitter queries without rescanning any raw data — the
+    streaming face of the sketch family."""
+    from esco_neo4j_spark.operators.sketch import cms_build
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        sk = cms_build(batch_df, key_col, width=width).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        )
+        (
+            sk.coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
+def read_cms_sketch(spark: SparkSession, path: str) -> DataFrame:
+    """Merge every batch partition of a cms_sketch_sink output into one
+    sketch table: counter-exact, because CMS(A)+CMS(B) == CMS(A union B)."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("sketch_row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
 SESSION_OUT_SCHEMA = "user_id bigint, n_sessions bigint, n_events bigint"
 SESSION_STATE_SCHEMA = "last_ts double, n_sessions bigint, n_events bigint"
 

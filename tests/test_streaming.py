@@ -163,3 +163,45 @@ def test_foreach_batch_upsert_sink(spark, tmp_path):
     q2.stop()
     again = sorted(r["event_id"] for r in spark.read.parquet(sink).collect())
     assert again == want
+
+
+def test_cms_sketch_sink_equals_batch_sketch(spark, event_dir, tmp_path):
+    """Streaming per-batch CMS partitions merged at read == the batch CMS
+    of the whole input (counter-exact mergeability across micro-batches),
+    and the merged sketch answers point queries identically."""
+    from esco_neo4j_spark.operators.sketch import cms_build, cms_estimate
+    from esco_neo4j_spark.streaming.events import (
+        cms_sketch_sink,
+        read_cms_sketch,
+        read_event_stream,
+    )
+
+    path = str(tmp_path / "cms_sketch")
+    q = cms_sketch_sink(
+        read_event_stream(spark, event_dir), "user_id", path,
+        str(tmp_path / "ckpt"), width=64,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    merged = sorted(
+        tuple(r) for r in read_cms_sketch(spark, path).collect()
+    )
+    batch = spark.read.parquet(event_dir)
+    whole = sorted(
+        tuple(r) for r in cms_build(batch, "user_id", width=64).collect()
+    )
+    assert merged == whole and len(whole) > 0
+
+    keys = batch.select("user_id").distinct()
+    est_stream = sorted(
+        tuple(r) for r in cms_estimate(
+            read_cms_sketch(spark, path), keys, "user_id", width=64
+        ).collect()
+    )
+    est_batch = sorted(
+        tuple(r) for r in cms_estimate(
+            cms_build(batch, "user_id", width=64), keys, "user_id", width=64
+        ).collect()
+    )
+    assert est_stream == est_batch
