@@ -993,3 +993,60 @@ def ext_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "ext_full_outer_reconcile",
+    sql="""
+    WITH ev AS (
+      SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+    ),
+    cust AS (
+      SELECT c_custkey AS user_id, c_acctbal FROM customer
+      WHERE c_custkey < 300
+    )
+    SELECT coalesce(e.user_id, c.user_id) AS user_id,
+           CASE WHEN e.user_id IS NULL THEN 'customer_only'
+                WHEN c.user_id IS NULL THEN 'events_only'
+                ELSE 'both' END AS presence,
+           CAST(coalesce(e.n_events, 0) AS BIGINT) AS n_events,
+           CAST(round(coalesce(c.c_acctbal, 0.0), 2) AS DOUBLE) AS acctbal
+    FROM ev e FULL OUTER JOIN cust c ON e.user_id = c.user_id
+    ORDER BY user_id
+    """,
+    survey_ops="C(ext,full-outer),D2",
+    tables=("events", "customer"),
+)
+def ext_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation — the audit join every migration runs:
+    which keys exist only upstream, only downstream, or in both (the same
+    shape sources/merge.py uses internally for MERGE INTO). Scale note: a
+    full-outer join cannot broadcast either side (unmatched rows of BOTH
+    must survive), so it always shuffles both inputs on the key — worth
+    knowing before pointing it at two 100 TB tables; pre-aggregate first,
+    as here, when the question is about keys rather than rows."""
+    ev = (
+        spark.table("events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    cust = (
+        spark.table("customer")
+        .filter(F.col("c_custkey") < 300)
+        .select(F.col("c_custkey").alias("user_id"), "c_acctbal")
+    )
+    j = ev.alias("e").join(
+        cust.alias("c"), F.col("e.user_id") == F.col("c.user_id"), "full_outer"
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("e.user_id"), F.col("c.user_id")).alias("user_id"),
+            F.when(F.col("e.user_id").isNull(), "customer_only")
+            .when(F.col("c.user_id").isNull(), "events_only")
+            .otherwise("both")
+            .alias("presence"),
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_events"),
+            F.round(F.coalesce(F.col("c_acctbal"), F.lit(0.0)), 2).alias("acctbal"),
+        )
+        .orderBy("user_id")
+    )

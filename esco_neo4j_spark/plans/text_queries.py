@@ -446,6 +446,7 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id, rk
     """,
     survey_ops="text-tfidf(ext),E,D5",
+    bench=True,  # round-over-round visibility for the heaviest text shape
     tables=("documents",),
 )
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
