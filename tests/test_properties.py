@@ -1,0 +1,119 @@
+"""Hypothesis property tests for the invariants the engine's scale story
+rests on — randomized inputs, few examples (a Spark round-trip per example
+is expensive), deadline disabled for JVM warm-up jitter.
+
+Each property here is the contract a composed pipeline RELIES on rather
+than a specific query result: sketches never undercount, blooms never drop
+true members, salting never changes join results, topological layers
+respect every edge.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SLOW = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys_lists = st.lists(
+    st.integers(min_value=0, max_value=10_000), min_size=1, max_size=120
+)
+
+
+@SLOW
+@given(keys=keys_lists)
+def test_cms_never_undercounts(spark, keys):
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from esco_neo4j_spark.operators.sketch import cms_build, cms_estimate
+
+    df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    sketch = cms_build(df, "k", width=32)  # tiny width -> heavy collisions
+    est = {
+        r["k"]: r["est"]
+        for r in cms_estimate(
+            sketch, df.select("k").distinct(), "k", width=32
+        ).collect()
+    }
+    exact = Counter(keys)
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        assert e >= exact[k]
+
+
+@SLOW
+@given(
+    members=st.sets(st.integers(min_value=0, max_value=5_000), min_size=1,
+                    max_size=60),
+    probes=st.sets(st.integers(min_value=0, max_value=5_000), min_size=1,
+                   max_size=60),
+)
+def test_bloom_never_drops_members(spark, members, probes):
+    from esco_neo4j_spark.operators.sketch import bloom_build, bloom_prune
+
+    mdf = spark.createDataFrame([(k,) for k in members], "k bigint")
+    pdf = spark.createDataFrame([(k,) for k in probes | members], "k bigint")
+    bloom = bloom_build(mdf, "k", width=64)
+    kept = {r["k"] for r in bloom_prune(pdf, "k", bloom, width=64).collect()}
+    assert members <= kept
+
+
+@SLOW
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=49),
+            st.integers(min_value=0, max_value=49),
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_topo_layers_respect_edges(spark, pairs):
+    """On a forced DAG (src < dst), every edge goes to a strictly higher
+    layer, and every vertex is assigned exactly one layer."""
+    from esco_neo4j_spark.operators.graph import topo_layers, vertices_of
+
+    dag = [(a, b) if a < b else (b, a) for (a, b) in pairs if a != b]
+    if not dag:
+        return
+    e = spark.createDataFrame(dag, "src bigint, dst bigint")
+    layers = {r["id"]: r["layer"] for r in topo_layers(e).collect()}
+    verts = {r["id"] for r in vertices_of(e).collect()}
+    assert set(layers) == verts
+    for a, b in dag:
+        assert layers[b] > layers[a]
+
+
+@SLOW
+@given(
+    big=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100)),
+        min_size=1, max_size=100,
+    ),
+    small=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100)),
+        min_size=1, max_size=20,
+    ),
+)
+def test_salted_join_equals_plain_join(spark, big, small):
+    from esco_neo4j_spark.operators.skew import salted_join
+
+    bdf = spark.createDataFrame(big, "k bigint, v bigint")
+    sdf = spark.createDataFrame(small, "k bigint, w bigint")
+    plain = sorted(
+        tuple(r) for r in bdf.join(sdf, "k").select("k", "v", "w").collect()
+    )
+    salted = sorted(
+        tuple(r)
+        for r in salted_join(bdf, sdf, ["k"], n_salts=4)
+        .select("k", "v", "w")
+        .collect()
+    )
+    assert salted == plain
