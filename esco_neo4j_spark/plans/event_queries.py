@@ -698,3 +698,36 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_active"))
         .orderBy("cohort_week", "weeks_since")
     )
+
+
+@query(
+    "events_value_quantiles_approx",
+    sql=None,  # GK-sketch estimates are implementation-specific (like the
+    # HLL rollup); tests/test_sketches.py bounds them against exact
+    # quantiles at the configured accuracy instead
+    survey_ops="sketch(ext),percentile(ext),D8",
+    tables=("events",),
+)
+def events_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p90/p99 of event value per type via
+    percentile_approx (Greenwald-Khanna sketch): the MERGEABLE quantile
+    path — no per-group sort, bounded sketch state per partition,
+    map-side combinable — which is what replaces exact
+    percentile_disc/quantile windows once groups stop fitting a partition
+    (see ext_group_percentiles' scale note). accuracy=10000 bounds rank
+    error at n/10000. Deterministic for a fixed input + partitioning, so
+    the driver's rows-only check is stable."""
+    ev = spark.table("events")
+    q = F.percentile_approx(
+        "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10_000)
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(q[0], 4).alias("p50"),
+            F.round(q[1], 4).alias("p90"),
+            F.round(q[2], 4).alias("p99"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )

@@ -111,3 +111,37 @@ def test_bloom_prune_no_false_negatives(spark):
     truth = {r["k"] for r in keys.collect()}
     assert truth <= kept, "bloom dropped a true member"
     assert kept <= {r["k"] for r in big.collect()}
+
+
+def test_approx_quantiles_within_rank_error(spark):
+    """percentile_approx at accuracy=10000 must land within rank-error
+    eps = n/10000 of the exact quantile: compare each estimate against
+    the exact values at ranks floor(q*n) +/- ceil(eps) (plus one slot of
+    slack for interpolation conventions)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from esco_neo4j_spark.plans import REGISTRY
+
+    got = {
+        r["event_type"]: (r["p50"], r["p90"], r["p99"], r["n"])
+        for r in REGISTRY["events_value_quantiles_approx"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    assert len(got) > 0
+    for etype, (p50, p90, p99, n) in got.items():
+        vals = sorted(
+            r["value"]
+            for r in spark.table("events")
+            .filter(F.col("event_type") == etype)
+            .select("value")
+            .collect()
+        )
+        eps = max(2, math.ceil(n / 10_000) + 1)
+        for q, est in ((0.5, p50), (0.9, p90), (0.99, p99)):
+            r0 = int(q * (n - 1))
+            lo = vals[max(0, r0 - eps)]
+            hi = vals[min(n - 1, r0 + eps)]
+            assert lo - 1e-9 <= est <= hi + 1e-9, (etype, q, est, lo, hi)
