@@ -36,6 +36,89 @@ def _anchor_vec(spark: SparkSession) -> list[float]:
     ).first()[0]
 
 
+def _lsh_bucket_sql(vec_expr: str, planes) -> str:
+    """DuckDB twin of operators/similarity.lsh_bucket for ONE table: the
+    sign-bit bucket as explicit left-associated arithmetic. Spark's
+    dot_product left-folds (0.0 + x1*p1) + x2*p2 + ... in double; the SQL
+    chain below parses left-associative over the SAME float literals
+    (repr round-trips exactly), so both engines produce bit-identical
+    dots and therefore identical sign bits — the only place 6dp rounding
+    can't paper over a difference."""
+    bits = []
+    for i, plane in enumerate(planes):
+        dot = " + ".join(
+            f"{vec_expr}[{j + 1}] * {x!r}" for j, x in enumerate(plane)
+        )
+        bits.append(f"CASE WHEN ({dot}) >= 0 THEN {1 << i} ELSE 0 END")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _lsh_topk_sql(n_planes: int = 4, n_tables: int = 8, dim: int = 64) -> str:
+    from esco_neo4j_spark.operators.similarity import _hyperplanes
+
+    all_planes = _hyperplanes(dim, n_planes * n_tables, 42)
+    conds = []
+    for t in range(n_tables):
+        planes = all_planes[t * n_planes:(t + 1) * n_planes]
+        conds.append(
+            f"{_lsh_bucket_sql('e.embedding', planes)}"
+            f" = {_lsh_bucket_sql('a.aemb', planes)}"
+        )
+    any_table = "\n      OR ".join(conds)
+    cos = _COS.format(anchor=_ANCHOR_SQL)
+    return f"""
+    WITH a AS (SELECT embedding AS aemb FROM embeddings WHERE vec_id = 0),
+    cand AS (
+      SELECT e.vec_id, e.embedding
+      FROM embeddings e CROSS JOIN a
+      WHERE {any_table}
+    )
+    SELECT vec_id, CAST(round({cos}, 6) AS DOUBLE) AS score
+    FROM cand
+    WHERE embedding IS NOT NULL
+    ORDER BY score DESC, vec_id ASC
+    LIMIT 10
+    """
+
+
+def _lsh_join_sql(
+    threshold: float, n_planes: int = 4, n_tables: int = 16, dim: int = 64
+) -> str:
+    from esco_neo4j_spark.operators.similarity import _hyperplanes
+
+    all_planes = _hyperplanes(dim, n_planes * n_tables, 42)
+    arms = []
+    for t in range(n_tables):
+        planes = all_planes[t * n_planes:(t + 1) * n_planes]
+        arms.append(
+            f"SELECT vec_id, {t} AS t,"
+            f" {_lsh_bucket_sql('embedding', planes)} AS bucket"
+            " FROM embeddings"
+        )
+    keyed = "\n      UNION ALL\n      ".join(arms)
+    pair_cos = (
+        "list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),"
+        " CAST(eb.embedding AS DOUBLE[]))"
+    )
+    return f"""
+    WITH keyed AS (
+      {keyed}
+    ),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM keyed x JOIN keyed y ON x.t = y.t AND x.bucket = y.bucket
+      WHERE x.vec_id < y.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(round({pair_cos}, 6) AS DOUBLE) AS score
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+    WHERE round({pair_cos}, 6) >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
 @query(
     "vec_cosine_topk",
     sql=f"""
@@ -86,8 +169,10 @@ def vec_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "vec_lsh_similarity_join",
-    sql=None,  # approximate (LSH-bucketed): rows-only driver check; recall
-    # vs the exact join is pytest-asserted in tests/test_similarity.py
+    # full value oracle: plane literals embedded, per-table buckets
+    # replayed via UNION ALL, candidate pairs deduped, exact verify —
+    # recall vs the exact join is additionally pytest-asserted
+    sql=_lsh_join_sql(threshold=0.45, n_planes=4, n_tables=16),
     survey_ops="C9,A7(scale)",
     tables=("embeddings",),
 )
@@ -102,7 +187,11 @@ def vec_lsh_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "vec_lsh_topk",
-    sql=None,  # approximate: rows-only; recall pytest-asserted
+    # the hyperplanes are deterministic operator PARAMETERS (seeded), so
+    # the oracle embeds the same float literals and replays bucketing,
+    # candidate selection, and exact re-rank — full value oracle; recall
+    # floors additionally pytest-asserted in tests/test_similarity.py
+    sql=_lsh_topk_sql(n_planes=4, n_tables=8),
     survey_ops="A7(scale),H1,K7",
     tables=("embeddings",),
 )
