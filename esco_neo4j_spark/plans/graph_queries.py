@@ -245,10 +245,75 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(e).orderBy("id")
 
 
+
+def _lpa_unrolled_sql(n_iter: int = 10) -> str:
+    """DuckDB twin of operators/graph.label_propagation by UNROLLING the
+    synchronous iterations as chained CTE stages (the update is idempotent
+    at the fixpoint, so running all n_iter stages is equivalent to Spark's
+    early exit). All-integer arithmetic — label votes and min-tiebreaks —
+    so cross-engine equality is exact."""
+    sql = [f"""
+    WITH edges AS ({_EDGES_SQL}),
+    und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+    verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    s0 AS (SELECT id, id AS community FROM verts)"""]
+    for i in range(1, n_iter + 1):
+        sql.append(f""",
+    w{i} AS (
+      SELECT e.dst AS id, s.community,
+             row_number() OVER (PARTITION BY e.dst
+                                ORDER BY count(*) DESC, s.community ASC) AS rn
+      FROM und e JOIN s{i - 1} s ON e.src = s.id
+      GROUP BY e.dst, s.community
+      QUALIFY rn = 1
+    ),
+    s{i} AS (
+      SELECT v.id, coalesce(w.community, v.id) AS community
+      FROM s{i - 1} v LEFT JOIN w{i} w ON v.id = w.id
+    )""")
+    sql.append(f"""
+    SELECT id, community FROM s{n_iter} ORDER BY id""")
+    return "".join(sql)
+
+
+def _pagerank_unrolled_sql(n_iter: int = 10, damping: float = 0.85) -> str:
+    """DuckDB twin of operators/graph.pagerank, unrolled. On the parent
+    graph every vertex has out-degree 1 and in-degree <= 2, so each
+    per-vertex message sum adds at most two doubles — IEEE addition is
+    commutative, so aggregation ORDER cannot change the result and the
+    whole 10-iteration float chain is bit-identical across engines. The
+    damping constants are embedded via repr so the SQL uses the exact
+    doubles Spark computes (1.0 - 0.85 != literal 0.15)."""
+    base = f"""
+    WITH edges AS ({_EDGES_SQL}),
+    verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    odeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+    ed AS (SELECT e.src, e.dst, o.od FROM edges e JOIN odeg o ON e.src = o.src),
+    r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM verts)"""
+    sql = [base]
+    for i in range(1, n_iter + 1):
+        sql.append(f""",
+    m{i} AS (
+      SELECT ed.dst AS id, sum(r.rank / ed.od) AS msg
+      FROM ed JOIN r{i - 1} r ON ed.src = r.id GROUP BY ed.dst
+    ),
+    r{i} AS (
+      SELECT v.id, {1.0 - damping!r} + {damping!r} * coalesce(m.msg, 0.0)
+               AS rank
+      FROM verts v LEFT JOIN m{i} m ON v.id = m.id
+    )""")
+    sql.append(f"""
+    SELECT id, CAST(round(rank, 6) AS DOUBLE) AS rank
+    FROM r{n_iter} ORDER BY id""")
+    return "".join(sql)
+
+
 @query(
     "graph_pagerank",
-    sql=None,  # iterative fixpoint, not SQL-expressible in DuckDB without
-    # recursive aggregation; golden-checked in tests/test_graph.py
+    # iterations UNROLLED as chained CTEs — full value oracle (the parent
+    # graph's in-degree <= 2 keeps float sums order-exact); additionally
+    # golden-checked against pure Python in tests/test_graph.py
+    sql=_pagerank_unrolled_sql(n_iter=10),
     survey_ops="K4-adjacent(pagerank)",
     tables=("events",),
 )
@@ -262,7 +327,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "graph_label_propagation",
-    sql=None,  # iterative; golden-checked in tests/test_graph.py
+    # iterations UNROLLED as chained CTEs — full value oracle (all-integer
+    # votes/tiebreaks); additionally golden-checked in tests/test_graph.py
+    sql=_lpa_unrolled_sql(n_iter=10),
     survey_ops="K5",
     tables=("events",),
 )

@@ -28,8 +28,6 @@ def test_every_query_has_oracle_or_documented_rows_only():
     # query accidentally registered without an oracle should fail here
     rows_only = {n for n, q in REGISTRY.items() if q.sql is None}
     assert rows_only == {
-        "graph_pagerank",
-        "graph_label_propagation",
         "graph_louvain",
         "graph_betweenness",
         "esco_pagerank",
