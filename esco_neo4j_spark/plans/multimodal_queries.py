@@ -181,3 +181,47 @@ def mm_modality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+@query(
+    "mm_payload_dedup",
+    sql=f"""
+    WITH hashed AS (
+      SELECT doc_id, {_MODALITY} AS modality, md5({_BODY}) AS body_md5
+      FROM documents
+    )
+    SELECT body_md5,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc,
+           min(modality) AS modality
+    FROM hashed
+    GROUP BY body_md5
+    ORDER BY body_md5
+    """,
+    survey_ops="multimodal-dedup(ext),B12,D2",
+    tables=("documents",),
+)
+def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash table over the MEDIA BODY bytes — the dedup key for
+    the multimodal column (headers are doc_id-specific, so the hash
+    covers the payload body; this corpus is all-distinct, so every group
+    has one member — the dedup semantics are carried by the GROUP BY +
+    canonical-min shape, same as dedup_exact). The Spark side hashes the
+    real binary column built by attach_payload, slicing the 20-byte
+    header off JVM-side; the oracle re-derives the same md5 from the raw
+    text, so a hash match proves the build -> binary -> slice round-trip
+    preserves content byte-for-byte. One shuffle on the hash."""
+    media = attach_payload(spark.table("documents"))
+    body = F.expr("substring(payload, 21, length(payload) - 20)")
+    hashed = media.select(
+        "doc_id", "modality", F.md5(body).alias("body_md5")
+    )
+    return (
+        hashed.groupBy("body_md5")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc"),
+            F.min("modality").alias("modality"),
+        )
+        .orderBy("body_md5")
+    )
