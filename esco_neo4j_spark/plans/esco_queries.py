@@ -30,6 +30,7 @@ from esco_neo4j_spark.operators.graph import (
     undirected,
 )
 from esco_neo4j_spark.operators.textmodel import translate_column
+from esco_neo4j_spark.plans.graph_queries import _pagerank_unrolled_sql
 from esco_neo4j_spark.plans.registry import query
 from esco_neo4j_spark.sources.esco import DEFAULT_WAREHOUSE as _WH
 
@@ -813,8 +814,18 @@ def esco_translate_occupations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "esco_pagerank",
-    sql=None,  # iterative fixpoint with damping — not SQL-expressible; tests
-    # golden-check against networkx on a small graph (tests/test_graph_ops.py)
+    # iterations UNROLLED as chained CTEs over the warehouse edge table
+    # (plans/graph_queries._pagerank_unrolled_sql). In-degrees here exceed
+    # 2, so float summation ORDER could in principle shift a last ulp —
+    # but both engines are deterministic on this fixed dataset, so the
+    # established green parity is stable run to run.
+    sql=_pagerank_unrolled_sql(
+        edges_sql=f"SELECT src_uri AS src, dst_uri AS dst FROM {_EDGES}",
+        n_iter=10,
+        tail="""
+    SELECT id, CAST(round(rank, 6) AS DOUBLE) AS rank
+    FROM r10 ORDER BY round(rank, 6) DESC, id LIMIT 20""",
+    ),
     survey_ops="K3,K4-adjacent",
     esco=True,
 )

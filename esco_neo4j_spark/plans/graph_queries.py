@@ -276,16 +276,25 @@ def _lpa_unrolled_sql(n_iter: int = 10) -> str:
     return "".join(sql)
 
 
-def _pagerank_unrolled_sql(n_iter: int = 10, damping: float = 0.85) -> str:
+def _pagerank_unrolled_sql(
+    edges_sql: str = _EDGES_SQL,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    tail: str | None = None,
+) -> str:
     """DuckDB twin of operators/graph.pagerank, unrolled. On the parent
     graph every vertex has out-degree 1 and in-degree <= 2, so each
     per-vertex message sum adds at most two doubles — IEEE addition is
     commutative, so aggregation ORDER cannot change the result and the
-    whole 10-iteration float chain is bit-identical across engines. The
-    damping constants are embedded via repr so the SQL uses the exact
-    doubles Spark computes (1.0 - 0.85 != literal 0.15)."""
+    whole 10-iteration float chain is bit-identical across engines. (On
+    graphs with larger in-degrees — esco_pagerank — summation order can
+    differ in the last ulp; both engines are deterministic on a fixed
+    dataset, so green parity there is established empirically and stays.)
+    The damping constants are embedded via repr so the SQL uses the exact
+    doubles Spark computes (1.0 - 0.85 != literal 0.15). ``tail`` replaces
+    the default final SELECT (it can reference r{n_iter})."""
     base = f"""
-    WITH edges AS ({_EDGES_SQL}),
+    WITH edges AS ({edges_sql}),
     verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
     odeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
     ed AS (SELECT e.src, e.dst, o.od FROM edges e JOIN odeg o ON e.src = o.src),
@@ -302,7 +311,7 @@ def _pagerank_unrolled_sql(n_iter: int = 10, damping: float = 0.85) -> str:
                AS rank
       FROM verts v LEFT JOIN m{i} m ON v.id = m.id
     )""")
-    sql.append(f"""
+    sql.append(tail if tail is not None else f"""
     SELECT id, CAST(round(rank, 6) AS DOUBLE) AS rank
     FROM r{n_iter} ORDER BY id""")
     return "".join(sql)

@@ -30,7 +30,6 @@ def test_every_query_has_oracle_or_documented_rows_only():
     assert rows_only == {
         "graph_louvain",
         "graph_betweenness",
-        "esco_pagerank",
         # HLL estimates are sketch-implementation-specific; bounded against
         # exact counts in tests/test_sketches.py instead
         "events_approx_distinct_rollup",
