@@ -369,7 +369,47 @@ def graph_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "graph_betweenness",
-    sql=None,  # Brandes; golden-checked in tests/test_graph.py
+    # Tree closed-form oracle: on a tree every pair has ONE path, so
+    # bc(v) = [ (N-1)^2 - sum_children (1+nd(c))^2 - (N-1-nd(v))^2 ] / 2
+    # with nd(v) = #descendants (components left when v is removed).
+    # All quantities are integers (the Spark side's float deltas are
+    # integer-valued on a tree, hence exact), so parity is exact. Valid
+    # for the exact-Brandes regime (<= 256 vertices: sf0.001/sf0.01,
+    # i.e. the pytest and driver scales); the sampled path above that is
+    # golden-tested separately (tests/test_graph.py).
+    sql=f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    -- explicit DISTINCT wrapper: inside WITH RECURSIVE, DuckDB parses a
+    -- bare "a UNION b" CTE as a recursive definition and skips the
+    -- cross-branch dedup, so the idiomatic verts shape keeps duplicates
+    verts AS (SELECT DISTINCT id FROM (
+      SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges)),
+    anc AS (
+      SELECT src AS d, dst AS a FROM edges
+      UNION ALL
+      SELECT w.d, e.dst AS a FROM anc w JOIN edges e ON w.a = e.src
+    ),
+    nd AS (SELECT a AS id, count(DISTINCT d) AS nd FROM anc GROUP BY a),
+    ndv AS (
+      SELECT v.id, coalesce(nd.nd, 0) AS nd
+      FROM verts v LEFT JOIN nd ON v.id = nd.id
+    ),
+    n_tot AS (SELECT count(*) AS n FROM verts),
+    child_sq AS (
+      SELECT e.dst AS id, sum((1 + c.nd) * (1 + c.nd)) AS sq
+      FROM edges e JOIN ndv c ON e.src = c.id
+      GROUP BY e.dst
+    ),
+    bc AS (
+      SELECT v.id,
+             ((n.n - 1) * (n.n - 1)
+              - coalesce(cs.sq, 0)
+              - (n.n - 1 - v.nd) * (n.n - 1 - v.nd)) / 2.0 AS b
+      FROM ndv v CROSS JOIN n_tot n LEFT JOIN child_sq cs ON v.id = cs.id
+    )
+    SELECT id, CAST(round(b, 4) AS DOUBLE) AS betweenness
+    FROM bc ORDER BY betweenness DESC, id LIMIT 20
+    """,
     survey_ops="K4",
     tables=("events",),
 )
@@ -620,9 +660,8 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_topo_layers",
     sql=f"""
     WITH RECURSIVE edges AS ({_EDGES_SQL}),
-    verts AS (
-      SELECT src AS id FROM edges UNION SELECT dst FROM edges
-    ),
+    verts AS (SELECT DISTINCT id FROM (
+      SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges)),
     leaves AS (
       SELECT id FROM verts WHERE id NOT IN (SELECT dst FROM edges)
     ),

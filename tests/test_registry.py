@@ -29,7 +29,6 @@ def test_every_query_has_oracle_or_documented_rows_only():
     rows_only = {n for n, q in REGISTRY.items() if q.sql is None}
     assert rows_only == {
         "graph_louvain",
-        "graph_betweenness",
         # HLL estimates are sketch-implementation-specific; bounded against
         # exact counts in tests/test_sketches.py instead
         "events_approx_distinct_rollup",
