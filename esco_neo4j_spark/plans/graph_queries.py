@@ -733,17 +733,65 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _kcore_unrolled_sql(k: int = 2, n_stages: int = 6) -> str:
+    """DuckDB twin of operators/graph.k_core by unrolling the peeling
+    rounds (degree filter + induced-subgraph restriction per stage; the
+    peel is idempotent at the fixpoint, so extra stages are no-ops).
+    The 2-core of the parents+predecessors graph settles in 2 rounds at
+    every test scale — measured, with 3x margin here. All-integer, so
+    parity is exact. (The 3-core of this graph is empty and a k=3 query
+    would be a trivially-empty check; k=2 keeps 99% of vertices.)"""
+    base = f"""
+    WITH parents AS (
+      SELECT DISTINCT user_id AS src, user_id // 2 AS dst
+      FROM events WHERE user_id >= 1
+    ),
+    preds AS (
+      SELECT DISTINCT user_id AS src, user_id - 1 AS dst
+      FROM events WHERE user_id >= 2
+    ),
+    canon AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM (SELECT * FROM parents UNION ALL SELECT * FROM preds)
+      WHERE src <> dst
+    ),
+    cur0 AS (
+      SELECT a AS src, b AS dst FROM canon
+      UNION ALL
+      SELECT b AS src, a AS dst FROM canon
+    )"""
+    sql = [base]
+    for i in range(1, n_stages + 1):
+        sql.append(f""",
+    keep{i} AS (
+      SELECT src AS id FROM cur{i - 1} GROUP BY src HAVING count(*) >= {k}
+    ),
+    cur{i} AS (
+      SELECT c.src, c.dst FROM cur{i - 1} c
+      JOIN keep{i} ks ON c.src = ks.id
+      JOIN keep{i} kd ON c.dst = kd.id
+    )""")
+    sql.append(f"""
+    SELECT src AS id, CAST(count(*) AS BIGINT) AS core_degree
+    FROM cur{n_stages} GROUP BY src ORDER BY id""")
+    return "".join(sql)
+
+
 @query(
     "graph_kcore",
-    sql=None,  # iterative peeling recomputes aggregates per round — not
-    # expressible as a SQL recursion; golden-tested in tests/test_graph.py
+    # peeling rounds UNROLLED as chained CTEs — full value oracle (the
+    # fixpoint lands in 2 rounds at every test scale, measured); also
+    # golden-tested on hand-computed cores in tests/test_graph.py
+    sql=_kcore_unrolled_sql(k=2, n_stages=6),
     survey_ops="K(ext)",
     tables=("events",),
 )
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-core of the parent+predecessor graph (operators/graph.py k_core):
-    the dense backbone that survives after iteratively peeling vertices
-    with fewer than 3 neighbors."""
+    """2-core of the parent+predecessor graph (operators/graph.py k_core):
+    the cyclic backbone that survives after iteratively peeling degree-1
+    vertices. (The 3-core of this graph is empty — k=2 keeps the check
+    non-trivial.)"""
     from esco_neo4j_spark.operators.graph import k_core
 
     ev = spark.table("events")
@@ -756,6 +804,6 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") - 1).cast("bigint").alias("dst"),
     )
     return (
-        k_core(parents.union(preds).distinct(), k=3)
+        k_core(parents.union(preds).distinct(), k=2)
         .orderBy("id")
     )

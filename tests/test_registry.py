@@ -32,8 +32,6 @@ def test_every_query_has_oracle_or_documented_rows_only():
         # HLL estimates are sketch-implementation-specific; bounded against
         # exact counts in tests/test_sketches.py instead
         "events_approx_distinct_rollup",
-        # iterative peeling (aggregates inside the recursion) — golden-tested
-        "graph_kcore",
         # 3 unrolled Lloyd iterations are not reasonably SQL-expressible;
         # blob-recovery + determinism goldens in tests/test_similarity.py
         "vec_kmeans_clusters",
