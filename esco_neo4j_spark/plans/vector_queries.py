@@ -391,10 +391,65 @@ def vec_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _kmeans_unrolled_sql(k: int = 8, n_iter: int = 3, dim: int = 64) -> str:
+    """DuckDB twin of operators/similarity.kmeans_lloyd, unrolled: per
+    iteration an argmin assignment (squared-L2 as a list_zip/list_reduce
+    left fold — the same fold order as Spark's F.aggregate, and list_reduce
+    starting at x1 equals Spark's 0.0+x1 exactly — rounded 9dp with the
+    min-cluster tiebreak) and a per-(cluster, dim) mean rebuilt into
+    centroid lists, empty clusters carrying the previous centroid.
+    Per-dimension means sum ~n/k doubles whose order differs between
+    engines; both are deterministic on a fixed dataset, so established
+    green parity is stable (same argument as esco_pagerank's oracle)."""
+    sq = (
+        "round(list_reduce(list_transform(list_zip(p.v, c.cvec),"
+        " x -> (x[1] - x[2]) * (x[1] - x[2])), (acc, y) -> acc + y), 9)"
+    )
+    sql = [f"""
+    WITH pts AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cvec
+      FROM pts QUALIFY row_number() OVER (ORDER BY vec_id) <= {k}
+    )"""]
+    for i in range(1, n_iter + 2):  # n_iter updates + the final assignment
+        sql.append(f""",
+    a{i} AS (
+      SELECT p.vec_id, p.v, c.cluster, {sq} AS d
+      FROM pts p CROSS JOIN c{i - 1} c
+      QUALIFY row_number() OVER (PARTITION BY p.vec_id
+                                 ORDER BY d ASC, c.cluster ASC) = 1
+    )""")
+        if i <= n_iter:
+            sql.append(f""",
+    m{i} AS (
+      SELECT a.cluster, g.i AS pos, avg(a.v[g.i]) AS m
+      FROM a{i} a, generate_series(1, {dim}) AS g(i)
+      GROUP BY a.cluster, g.i
+    ),
+    cm{i} AS (
+      SELECT cluster, list(m ORDER BY pos) AS cvec FROM m{i} GROUP BY cluster
+    ),
+    c{i} AS (
+      SELECT c.cluster, coalesce(cm.cvec, c.cvec) AS cvec
+      FROM c{i - 1} c LEFT JOIN cm{i} cm USING (cluster)
+    )""")
+    sql.append(f"""
+    SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(round(avg(round(sqrt(d), 6)), 4) AS DOUBLE) AS avg_dist
+    FROM a{n_iter + 1} GROUP BY cluster ORDER BY cluster""")
+    return "".join(sql)
+
+
 @query(
     "vec_kmeans_clusters",
-    sql=None,  # 3 unrolled Lloyd iterations are not reasonably SQL-
-    # expressible; goldens + determinism pinned in tests/test_similarity.py
+    # Lloyd iterations UNROLLED via DuckDB list arithmetic — full value
+    # oracle; goldens + determinism additionally pinned in
+    # tests/test_similarity.py
+    sql=_kmeans_unrolled_sql(k=8, n_iter=3),
     survey_ops="kmeans(ext),A7(train)",
     tables=("embeddings",),
 )

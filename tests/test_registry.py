@@ -32,9 +32,6 @@ def test_every_query_has_oracle_or_documented_rows_only():
         # HLL estimates are sketch-implementation-specific; bounded against
         # exact counts in tests/test_sketches.py instead
         "events_approx_distinct_rollup",
-        # 3 unrolled Lloyd iterations are not reasonably SQL-expressible;
-        # blob-recovery + determinism goldens in tests/test_similarity.py
-        "vec_kmeans_clusters",
         # GK quantile sketches are implementation-specific; rank-error
         # bounded against exact quantiles in tests/test_sketches.py
         "events_value_quantiles_approx",
