@@ -970,6 +970,7 @@ def strongly_connected_components(
             break
         # (1) forward min-label fixpoint: color(v) = min id reaching v
         color = _checkpoint(remaining_v.select("id", F.col("id").alias("color")))
+        converged = False
         for _i in range(max_iter):
             msgs = (
                 remaining_e.join(
@@ -995,7 +996,16 @@ def strongly_connected_components(
             )
             color = new_color
             if diff.isEmpty():
+                converged = True
                 break
+        if not converged:
+            # settling on stale colors would produce WRONG components
+            # (not just incomplete ones) — refuse instead
+            raise ValueError(
+                "strongly_connected_components: min-label propagation did "
+                f"not converge within max_iter={max_iter} rounds (graph "
+                "depth exceeds the bound); raise max_iter"
+            )
         # (2) backward multi-origin BFS from every pivot, within its class
         csrc = color.select(F.col("id").alias("src"), F.col("color").alias("c1"))
         cdst = color.select(F.col("id").alias("dst"), F.col("color").alias("c2"))

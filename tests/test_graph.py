@@ -322,3 +322,17 @@ def test_scc_cycles_bridge_and_dag(spark):
     )
     gr = {r["id"]: r["scc"] for r in scc(ring).collect()}
     assert gr == {10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_scc_refuses_unconverged_propagation(spark):
+    """A path deeper than max_iter must raise rather than settle vertices
+    on stale colors (which would be silently wrong components)."""
+    from esco_neo4j_spark.operators.graph import (
+        strongly_connected_components as scc,
+    )
+
+    deep = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src bigint, dst bigint"
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        scc(deep, max_iter=3)
