@@ -843,12 +843,18 @@ def sssp_weighted(
         )
         improved = _checkpoint(improved)
         if improved.isEmpty():
-            break
+            return dist
         dist = _checkpoint(
             dist.join(improved.select("id"), "id", "left_anti").union(improved)
         )
         frontier = improved
-    return dist
+    # improvements remained after max_iter rounds: distances are not final
+    # (silently too large) — refuse rather than return stale values
+    raise ValueError(
+        "sssp_weighted: relaxation did not converge within "
+        f"max_iter={max_iter} rounds (longest shortest-path hop count "
+        "exceeds the bound); raise max_iter"
+    )
 
 
 def k_core(edges: DataFrame, k: int = 2, max_iter: int = 50) -> DataFrame:
@@ -875,6 +881,7 @@ def k_core(edges: DataFrame, k: int = 2, max_iter: int = 50) -> DataFrame:
     )
     cur = und_c.union(und_c.select(F.col("b"), F.col("a"))).toDF("src", "dst")
     prev_n = -1
+    settled = False
     for _ in range(max_iter):
         deg = cur.groupBy("src").agg(F.count("*").alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select(F.col("src").alias("id"))
@@ -883,12 +890,22 @@ def k_core(edges: DataFrame, k: int = 2, max_iter: int = 50) -> DataFrame:
         if n == 0:
             return keep.withColumn("core_degree", F.lit(0).cast("bigint")).limit(0)
         if n == prev_n:
+            settled = True
             break
         prev_n = n
         cur = _checkpoint(
             cur.join(keep.withColumnRenamed("id", "src"), "src", "leftsemi").join(
                 keep.withColumnRenamed("id", "dst"), "dst", "leftsemi"
             )
+        )
+    if not settled:
+        # more sub-k vertices remained after max_iter rounds: returning the
+        # partially-peeled subgraph would be a silently-wrong core — refuse
+        # (chain-shaped graphs can cascade one vertex per round, so the
+        # peeling depth is O(V) in the worst case; raise max_iter)
+        raise ValueError(
+            f"k_core: peeling did not reach a fixpoint within "
+            f"max_iter={max_iter} rounds; raise max_iter"
         )
     return (
         cur.groupBy("src")

@@ -336,3 +336,27 @@ def test_scc_refuses_unconverged_propagation(spark):
     )
     with pytest.raises(ValueError, match="did not converge"):
         scc(deep, max_iter=3)
+
+
+def test_sssp_refuses_unconverged_relaxation(spark):
+    from esco_neo4j_spark.operators.graph import sssp_weighted
+
+    chain = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(8)],
+        "src bigint, dst bigint, weight double",
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        sssp_weighted(chain, 0, max_iter=3)
+
+
+def test_kcore_refuses_truncated_peeling(spark):
+    """A chain peels one endpoint pair per round; with max_iter below the
+    peeling depth the operator must raise rather than return a
+    partially-peeled 'core'."""
+    from esco_neo4j_spark.operators.graph import k_core
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "src bigint, dst bigint"
+    )
+    with pytest.raises(ValueError, match="fixpoint"):
+        k_core(chain, k=2, max_iter=3)
