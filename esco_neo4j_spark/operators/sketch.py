@@ -13,9 +13,15 @@ est <= true + eps*N w.h.p., eps = e/w) is the textbook CMS guarantee.
 Hashing uses the universal family h_j(x) = ((a_j*x + b_j) mod P) mod w
 with P = 2^31-1 — pure integer arithmetic, so a DuckDB oracle can
 reproduce every bucket (and therefore every estimate) EXACTLY; no
-engine-specific hash is involved (contrast HLL in
-plans/event_queries.events_approx_distinct_rollup, which is rows-only
-for that reason).
+engine-specific hash is involved. The same family powers hll_registers /
+hll_estimate below: a register-table HyperLogLog whose rank function is
+trailing-zero arithmetic (w & -w, then an exact log2 of a power of two),
+so — unlike Spark's built-in hll_sketch_agg, whose binary sketch layout
+is implementation-specific — every register value AND the final estimate
+replay bit-exactly in DuckDB SQL (see
+plans/event_queries.events_hll_distinct_rollup; the built-in variant
+events_approx_distinct_rollup stays rows-only as the documented
+contrast).
 
 Reference has no sketch surface (extension per SURVEY.md §2); the CMS /
 heavy-hitter pattern is standard large-scale-pipeline equipment.
@@ -149,3 +155,79 @@ def bloom_prune(df: DataFrame, key_col: str, bloom: DataFrame,
             "left_semi",
         )
     return probe
+
+
+# --- HyperLogLog as a register TABLE (group_cols..., bucket, rho) ---------
+#
+# h(x) = (HLL_A*x + HLL_B) mod P splits into bucket = h mod m (register
+# index) and w = floor(h/m) (rank source). rho(w) = 1 + trailing zeros of
+# w — computed as log2(w & -w) + 1, exact because w & -w is a power of
+# two and log2 of a power of two is exact in double. Registers hold
+# max(rho); merging sketches (across days, partitions, tables) is
+# groupBy-max — the defining HLL property. The estimate uses the raw HLL
+# estimator alpha_m * m^2 / sum(2^-M_j) with the standard linear-counting
+# small-range correction. sum(2^-M_j) is kept as the INTEGER
+# sum(2^(32-M_j)) (every term exact, 16-term sum exact in double), so the
+# whole computation is reproducible arithmetic — no engine-specific hash
+# or sketch layout anywhere.
+HLL_A, HLL_B = 22_853, 977
+HLL_M = 16  # registers; RSE ~ 1.04/sqrt(16) = 26% — sized for the test
+# tables (see events_hll_distinct_rollup docstring for the lgK tradeoff)
+_HLL_RHO_CAP = 28  # h < 2^31, w = h//16 < 2^27 -> tz <= 26; w == 0 maps here
+
+
+def hll_registers(df: DataFrame, key_col: str, group_cols: list[str],
+                  m: int = HLL_M) -> DataFrame:
+    """Per-group HLL register table over an integer key column: at most
+    ``m`` rows per group no matter the input size. One narrow projection
+    then a groupBy-max — partial aggregation does the work map-side."""
+    h = (F.lit(HLL_A) * F.col(key_col) + F.lit(HLL_B)) % F.lit(CMS_P)
+    w = F.floor(h / F.lit(m)).cast("long")
+    lowbit = w.bitwiseAND(-w)
+    rho = (
+        F.when(w == 0, F.lit(_HLL_RHO_CAP))
+        .otherwise((F.log2(lowbit.cast("double")) + F.lit(1)).cast("int"))
+    )
+    return (
+        df.select(*group_cols, (h % m).cast("int").alias("bucket"),
+                  rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge register tables built with the same (m, hash): element-wise
+    max. HLL(A) merged with HLL(B) == HLL(A union B) exactly."""
+    return (
+        registers.groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str],
+                 m: int = HLL_M) -> DataFrame:
+    """Cardinality estimate per group from a (merged) register table.
+
+    alpha_16 = 0.673 (Flajolet et al.'s constant for m=16); empty
+    registers contribute 2^32 to the scaled harmonic sum. Small-range
+    correction (raw <= 2.5m with V empty registers) switches to linear
+    counting m*ln(m/V). floor() not cast() for the final integer: Spark
+    truncates double->bigint casts while DuckDB rounds them, so the
+    oracle mirrors floor explicitly."""
+    alpha = 0.673 if m == 16 else 0.7213 / (1 + 1.079 / m)
+    two32 = 4294967296.0
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), F.lit(32) - F.col("rho"))).alias("psum"),
+        F.count("*").alias("nb"),
+    )
+    v = F.lit(m) - F.col("nb")
+    raw = F.lit(alpha * m * m * two32) / (F.col("psum") + v * F.lit(two32))
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0), F.lit(m) * F.log(F.lit(float(m)) / v)
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        F.floor(est).cast("bigint").alias("approx"),
+        v.cast("int").alias("empty_registers"),
+    )

@@ -481,6 +481,106 @@ def events_approx_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "events_hll_distinct_rollup",
+    sql="""
+    WITH h AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             (22853 * user_id + 977) % 2147483647 AS h
+      FROM events
+    ),
+    rho AS (
+      SELECT event_type, d, h % 16 AS bucket,
+             CASE WHEN h // 16 = 0 THEN 28
+                  ELSE CAST(log2((h // 16) & -(h // 16)) AS INT) + 1
+             END AS rho
+      FROM h
+    ),
+    daily AS (
+      SELECT event_type, d, bucket, max(rho) AS rho
+      FROM rho GROUP BY 1, 2, 3
+    ),
+    merged AS (
+      SELECT event_type, bucket, max(rho) AS rho
+      FROM daily GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT event_type, sum(pow(2, 32 - rho)) AS psum,
+             count(*) AS nb
+      FROM merged GROUP BY 1
+    ),
+    est AS (
+      SELECT event_type, 16 - nb AS v,
+             0.673 * 16 * 16 * 4294967296.0
+               / (psum + (16 - nb) * 4294967296.0) AS raw
+      FROM agg
+    ),
+    finals AS (
+      SELECT event_type,
+             CAST(floor(CASE WHEN raw <= 40 AND v > 0
+                             THEN 16 * ln(16.0 / v) ELSE raw END)
+                  AS BIGINT) AS approx_users,
+             CAST(v AS INT) AS empty_registers
+      FROM est
+    ),
+    exact AS (
+      SELECT event_type, count(DISTINCT user_id) AS exact_users,
+             count(DISTINCT date_trunc('day', ts)) AS n_days
+      FROM events GROUP BY 1
+    )
+    SELECT f.event_type, f.approx_users, f.empty_registers,
+           CAST(x.exact_users AS BIGINT) AS exact_users,
+           CAST(x.n_days AS BIGINT) AS n_days
+    FROM finals f JOIN exact x USING (event_type)
+    ORDER BY event_type
+    """,
+    survey_ops="sketch(ext),D5",
+    tables=("events",),
+)
+def events_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog with a FULL value oracle (operators/sketch.py
+    hll_registers/hll_merge/hll_estimate): the arithmetic-hash register
+    sketch replays bit-exactly in DuckDB — registers, merge, harmonic
+    sum, and the floored estimate all match, unlike the built-in
+    hll_sketch_agg variant (events_approx_distinct_rollup) whose binary
+    sketch layout is engine-private and therefore rows-only.
+
+    Same two-level mergeable-rollup shape as the built-in variant: daily
+    register tables (bounded at m=16 rows per (type, day), built with
+    map-side partial max) merged across days by groupBy-max, estimated
+    once at the end — the build-once / merge-cheap / never-rescan
+    pattern that replaces exact COUNT(DISTINCT) at 100 TB. m=16 is sized
+    so the raw-estimator branch (not linear counting) is exercised at
+    the driver's sf0.01 (150 users/type vs 2.5m=40 threshold); at
+    production lgK=12+ the same code path gives ~1.6% error. The exact
+    count rides along to expose the sketch error honestly."""
+    from esco_neo4j_spark.operators.sketch import (
+        hll_estimate, hll_merge, hll_registers,
+    )
+
+    ev = spark.table("events").select(
+        "event_type", F.date_trunc("day", "ts").alias("d"), "user_id"
+    )
+    daily = hll_registers(ev, "user_id", ["event_type", "d"])
+    merged = hll_merge(daily, ["event_type"])
+    est = hll_estimate(merged, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.countDistinct("d").alias("n_days"),
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("approx").alias("approx_users"),
+            "empty_registers",
+            F.col("exact_users").cast("bigint"),
+            F.col("n_days").cast("bigint"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "events_cms_heavy_hitters",
     sql="""
     WITH hash_rows(j, a, b) AS (
