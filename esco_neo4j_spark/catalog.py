@@ -34,14 +34,26 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def _fix_nanos(df: DataFrame) -> DataFrame:
-    """Convert nanosecond-timestamp columns (read as long via
-    spark.sql.legacy.parquet.nanosAsLong) to microsecond timestamps.
-    Integer 'div' keeps full precision (ns epoch values exceed 2^53, so a
-    double division would corrupt them)."""
+    """Normalize the event-time column to a session-timezone TIMESTAMP
+    regardless of how the parquet writer encoded it:
+
+    - nanosecond int64 (read as long via
+      spark.sql.legacy.parquet.nanosAsLong): ns floor-div 1000 -> µs
+      timestamp. Integer 'div' keeps full precision (ns epoch values
+      exceed 2^53, so a double division would corrupt them).
+    - TIMESTAMP_NTZ (µs parquet with isAdjustedToUTC=false): cast to
+      TIMESTAMP. The session timezone is pinned to UTC (session.tune), so
+      the wall-clock value is reinterpreted as UTC — exactly what the
+      DuckDB oracle's naive-timestamp arithmetic sees — and downstream
+      uses of unix_micros / window() / date_format stay valid.
+    """
     from pyspark.sql import functions as F
 
-    if "ts" in df.columns and dict(df.dtypes).get("ts") == "bigint":
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

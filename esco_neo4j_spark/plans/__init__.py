@@ -17,6 +17,7 @@ from esco_neo4j_spark.plans import relational_queries  # noqa: F401
 from esco_neo4j_spark.plans import vector_queries  # noqa: F401
 from esco_neo4j_spark.plans import dedup_queries  # noqa: F401
 from esco_neo4j_spark.plans import text_queries  # noqa: F401
+from esco_neo4j_spark.plans import corpus_queries  # noqa: F401
 from esco_neo4j_spark.plans import graph_queries  # noqa: F401
 from esco_neo4j_spark.plans import event_queries  # noqa: F401
 from esco_neo4j_spark.plans import udf_queries  # noqa: F401

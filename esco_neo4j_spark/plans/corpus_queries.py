@@ -1,0 +1,376 @@
+"""Corpus-construction query corpus: the document-level operators a
+training-data pipeline runs AFTER cleaning/dedup and BEFORE tokenized
+shards land on disk — context-window chunking, repetition-based quality
+scoring (Gopher-style), test-set contamination checks, deterministic
+global shuffling, and sequence packing.
+
+No reference counterpart (the reference stops at graph ingest + search);
+these extend the north-star LLM-pipeline family alongside
+plans/text_queries.py and plans/dedup_queries.py.
+
+Scale notes (100 TB):
+- chunking / repetition / contamination shingling are pure per-row column
+  expressions (sequence+transform), so they run inside whole-stage
+  codegen with zero shuffle; per-row cost is bounded by document length.
+- contamination joins the exploded train shingles against a BROADCAST
+  distinct eval-shingle set (eval/benchmark suites are small by
+  definition), so the only wide exchange is the per-doc re-aggregation,
+  keyed on doc_id.
+- global shuffle + packing need a TOTAL order; a bare
+  ``row_number() OVER (ORDER BY ...)`` collapses to one partition, which
+  is the classic scale-killer. Instead both use a two-level rank: hash
+  docs into 256 lexicographic buckets (first md5 byte), rank WITHIN each
+  bucket (distributed window), and add per-bucket offsets computed from
+  a 256-row bucket-count table (the only single-partition window runs on
+  those 256 rows). Equivalent to the global row_number the oracle runs,
+  but every wide stage is partitioned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from esco_neo4j_spark.functions.text import word_tokens
+from esco_neo4j_spark.plans.registry import query
+from esco_neo4j_spark.plans.text_queries import _TOKENS
+
+# chunking geometry: 32-token windows advancing by 24 (8-token overlap)
+_CHUNK_W, _CHUNK_S = 32, 24
+# packing context length (tokens per training sequence)
+_CTX = 512
+_SHUFFLE_SALT = ":shuffle42"
+
+
+def _empty_str_array():
+    return F.array().cast("array<string>")
+
+
+def _word_ngrams(toks, n: int):
+    """Space-joined word n-grams as a column expression; [] below n tokens."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(_empty_str_array())
+
+
+@query(
+    "text_chunk_windows",
+    sql=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+    idx AS (
+      SELECT doc_id, toks,
+             unnest(range(CAST(ceil(greatest(len(toks) - {_CHUNK_W}, 0)
+                                    / {_CHUNK_S}.0) AS BIGINT) + 1)) AS ci
+      FROM t)
+    SELECT doc_id,
+           CAST(ci AS INT) AS chunk_idx,
+           CAST(ci * {_CHUNK_S} + 1 AS INT) AS start_tok,
+           CAST(len(list_slice(toks, ci * {_CHUNK_S} + 1,
+                               ci * {_CHUNK_S} + {_CHUNK_W})) AS INT)
+             AS n_chunk_tokens,
+           md5(array_to_string(list_slice(toks, ci * {_CHUNK_S} + 1,
+                                          ci * {_CHUNK_S} + {_CHUNK_W}), ' '))
+             AS chunk_hash
+    FROM idx
+    ORDER BY doc_id, chunk_idx
+    """,
+    survey_ops="text-chunking,E",
+    tables=("documents",),
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking: split each document into
+    32-token windows with stride 24 (every token is covered; 8-token
+    overlap preserves cross-boundary context). The start-offset list is
+    generated per row (sequence+transform) and exploded — no shuffle at
+    all until the final presentation sort, and a downstream writer would
+    drop that sort and partition by hash(doc_id)."""
+    d = spark.table("documents")
+    toks = word_tokens(F.col("text"))
+    n_chunks = (
+        F.ceil(
+            F.greatest(F.size(toks) - _CHUNK_W, F.lit(0)) / F.lit(float(_CHUNK_S))
+        ).cast("bigint")
+        + 1
+    )
+    base = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "ci"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("ci") * _CHUNK_S + 1, F.lit(_CHUNK_W))
+    return (
+        base.select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            (F.col("ci") * _CHUNK_S + 1).cast("int").alias("start_tok"),
+            F.size(chunk).cast("int").alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@query(
+    "text_repetition_scores",
+    sql=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+    b AS (
+      SELECT doc_id, toks,
+             list_transform(range(1, greatest(len(toks), 1)),
+                            i -> toks[i] || ' ' || toks[i + 1]) AS big
+      FROM t)
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(round(len(list_distinct(toks))::DOUBLE
+                      / greatest(len(toks), 1), 6) AS DOUBLE) AS distinct_ratio,
+           CAST(round(CASE WHEN len(big) = 0 THEN 0.0
+                ELSE list_max(list_transform(list_distinct(big),
+                       x -> len(list_filter(big, y -> y = x))))::DOUBLE
+                     / len(big) END, 6) AS DOUBLE) AS top_bigram_frac
+    FROM b
+    ORDER BY doc_id
+    """,
+    survey_ops="text-repetition,text-quality",
+    tables=("documents",),
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: fraction of
+    distinct tokens, and the share of all bigrams taken by the single
+    most frequent bigram (boilerplate / looped-generation detector).
+
+    The bigram histogram is computed WITHIN the row (distinct x filter
+    count over the bigram array) — O(d^2) in document length but zero
+    shuffle and fully codegen'd; for long documents the explode +
+    two-level groupBy(doc_id, bigram) form trades that CPU for a
+    doc_id-keyed exchange."""
+    d = spark.table("documents")
+    toks = word_tokens(F.col("text"))
+    base = d.select("doc_id", toks.alias("toks")).withColumn(
+        "big", _word_ngrams(F.col("toks"), 2)
+    )
+    big = F.col("big")
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(big),
+            lambda x: F.size(F.filter(big, lambda y: y == x)),
+        )
+    )
+    return (
+        base.select(
+            "doc_id",
+            F.size("toks").cast("int").alias("n_tokens"),
+            F.round(
+                F.size(F.array_distinct(F.col("toks"))).cast("double")
+                / F.greatest(F.size("toks"), F.lit(1)),
+                6,
+            ).alias("distinct_ratio"),
+            F.round(
+                F.when(F.size(big) == 0, F.lit(0.0)).otherwise(
+                    top_count.cast("double") / F.size(big)
+                ),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# contamination shingle width: 3 keeps the check meaningful on the tiny
+# synthetic vocabulary; production pipelines use 8-13-gram collisions.
+_CONTAM_N = 3
+_EVAL_SOURCE = "src0"
+
+_CONTAM_SH = (
+    f"list_distinct(list_transform(range(1, greatest(len(toks) - {_CONTAM_N - 2}, 1)), "
+    + " i -> "
+    + " || ' ' || ".join(f"toks[i + {j}]" for j in range(_CONTAM_N))
+    + "))"
+)
+
+
+@query(
+    "text_contamination_overlap",
+    sql=f"""
+    WITH t AS (SELECT doc_id, source, {_TOKENS} AS toks FROM documents),
+    sh AS (SELECT doc_id, source, {_CONTAM_SH} AS sh FROM t),
+    eval_sh AS (SELECT DISTINCT unnest(sh) AS g FROM sh
+                WHERE source = '{_EVAL_SOURCE}'),
+    train AS (SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS g FROM sh
+              WHERE source <> '{_EVAL_SOURCE}')
+    SELECT train.doc_id,
+           CAST(n_shingles AS INT) AS n_shingles,
+           CAST(count(*) AS INT) AS n_contaminated,
+           CAST(round(count(*)::DOUBLE / greatest(n_shingles, 1), 6) AS DOUBLE)
+             AS contamination_frac
+    FROM train JOIN eval_sh USING (g)
+    GROUP BY train.doc_id, n_shingles
+    ORDER BY contamination_frac DESC, doc_id
+    LIMIT 100
+    """,
+    survey_ops="text-contamination,C9",
+    tables=("documents",),
+)
+def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check: treat one source as the held-out
+    benchmark, count how many of each training document's distinct
+    word 3-grams collide with ANY benchmark 3-gram. The benchmark
+    shingle set is tiny by construction, so it is broadcast — the
+    inverted-index join never shuffles the 100 TB side on shingle; the
+    only wide exchange is the per-doc count, keyed on doc_id. Documents
+    with zero collisions are clean and intentionally absent."""
+    d = spark.table("documents")
+    toks = word_tokens(F.col("text"))
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.array_distinct(_word_ngrams(toks, _CONTAM_N)).alias("sh"),
+    )
+    eval_sh = (
+        sh.filter(F.col("source") == _EVAL_SOURCE)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    train = sh.filter(F.col("source") != _EVAL_SOURCE).select(
+        "doc_id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("g")
+    )
+    return (
+        train.join(F.broadcast(eval_sh), "g")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count("*").cast("int").alias("n_contaminated"))
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("int").alias("n_shingles"),
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated").cast("double")
+                / F.greatest(F.col("n_shingles"), F.lit(1)),
+                6,
+            ).alias("contamination_frac"),
+        )
+        .orderBy(F.desc("contamination_frac"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+def _shuffle_cols(d: DataFrame) -> DataFrame:
+    """doc_id + deterministic shuffle hash + 256-way lexicographic bucket."""
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_SHUFFLE_SALT)))
+    return d.select(
+        "doc_id",
+        h.alias("h"),
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("bkt"),
+    )
+
+
+def _bucket_offsets(per_bucket: DataFrame, value_col: str) -> DataFrame:
+    """Exclusive prefix sum of ``value_col`` over buckets in bucket order.
+
+    Runs a single-partition window — on a table of AT MOST 256 rows, so
+    it is a driver-sized fixup, not a scale hazard."""
+    w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    return per_bucket.select(
+        "bkt",
+        F.coalesce(F.sum(value_col).over(w), F.lit(0)).alias("off"),
+    )
+
+
+@query(
+    "text_global_shuffle",
+    sql=f"""
+    SELECT doc_id,
+           CAST(row_number() OVER (
+                  ORDER BY md5(doc_id::VARCHAR || '{_SHUFFLE_SALT}'), doc_id)
+                AS BIGINT) AS shuffle_pos,
+           CAST((row_number() OVER (
+                  ORDER BY md5(doc_id::VARCHAR || '{_SHUFFLE_SALT}'), doc_id)
+                 - 1) // 64 AS INT) AS shard_id
+    FROM documents
+    ORDER BY shuffle_pos
+    """,
+    survey_ops="text-shuffle,E,F1",
+    tables=("documents",),
+)
+def text_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-shard construction:
+    every document gets a stable position in a pseudo-random total order
+    (md5 of its id + salt) and a 64-doc output shard. The oracle's plain
+    ``row_number() OVER (ORDER BY md5...)`` would run in ONE partition on
+    Spark; here the rank is assembled distributed — row_number within
+    each of 256 hash-prefix buckets, plus broadcast per-bucket offsets
+    (see module docstring)."""
+    d = _shuffle_cols(spark.table("documents"))
+    counts = d.groupBy("bkt").agg(F.count("*").alias("c"))
+    offs = _bucket_offsets(counts, "c")
+    win = Window.partitionBy("bkt").orderBy("h", "doc_id")
+    pos = (F.col("off") + F.row_number().over(win)).cast("bigint")
+    return (
+        d.join(F.broadcast(offs), "bkt")
+        .select(
+            "doc_id",
+            pos.alias("shuffle_pos"),
+            F.floor((pos - 1) / 64).cast("int").alias("shard_id"),
+        )
+        .orderBy("shuffle_pos")
+    )
+
+
+@query(
+    "pipeline_pack_sequences",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, len({_TOKENS}) AS n_tok,
+             md5(doc_id::VARCHAR || '{_SHUFFLE_SALT}') AS h
+      FROM documents),
+    o AS (
+      SELECT doc_id, n_tok,
+             sum(n_tok) OVER (ORDER BY h, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tok AS tok_start
+      FROM t)
+    SELECT CAST(tok_start // {_CTX} AS INT) AS pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+    FROM o
+    GROUP BY pack_id
+    ORDER BY pack_id
+    """,
+    survey_ops="text-packing,E,D2",
+    tables=("documents",),
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing: lay the shuffled documents out
+    as one token stream and cut it every 512 tokens; each document is
+    assigned the pack its first token falls in (the straddling tail is
+    the chop). Reports docs + tokens per pack. The running token offset
+    is the same two-level distributed prefix sum as text_global_shuffle:
+    within-bucket cumulative sum + broadcast 256-row bucket token
+    offsets — no single-partition window over the data."""
+    d = spark.table("documents")
+    base = _shuffle_cols(d).join(
+        d.select("doc_id", F.size(word_tokens(F.col("text"))).alias("n_tok")),
+        "doc_id",
+    )
+    totals = base.groupBy("bkt").agg(F.sum("n_tok").alias("tc"))
+    offs = _bucket_offsets(totals, "tc")
+    win = (
+        Window.partitionBy("bkt")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tok_start = F.col("off") + F.sum("n_tok").over(win) - F.col("n_tok")
+    return (
+        base.join(F.broadcast(offs), "bkt")
+        .select("doc_id", "n_tok", tok_start.alias("tok_start"))
+        .groupBy(F.floor(F.col("tok_start") / _CTX).cast("int").alias("pack_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("pack_tokens"),
+        )
+        .orderBy("pack_id")
+    )

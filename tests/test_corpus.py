@@ -1,0 +1,102 @@
+"""Invariant tests for the corpus-construction operators
+(plans/corpus_queries.py) beyond the value-exact oracle parity that
+tests/test_oracle_parity.py already runs for each of them.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from esco_neo4j_spark.plans import REGISTRY
+from esco_neo4j_spark.plans.corpus_queries import _CHUNK_S, _CHUNK_W, _CTX
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+
+def test_chunks_cover_every_token(spark, docs):
+    """Stride < window ⇒ chunk [start, start+len) intervals tile each
+    document with no gap; the last chunk reaches the final token."""
+    from esco_neo4j_spark.functions.text import word_tokens
+
+    chunks = REGISTRY["text_chunk_windows"].fn(spark, SF_DIR)
+    per_doc = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.max(F.col("start_tok") + F.col("n_chunk_tokens") - 1).alias("last"),
+            F.min("start_tok").alias("first"),
+        )
+    )
+    ntok = docs.select(
+        "doc_id", F.size(word_tokens(F.col("text"))).alias("n_tok")
+    )
+    joined = per_doc.join(ntok, "doc_id").collect()
+    assert joined
+    for r in joined:
+        assert r["first"] == 1
+        assert r["last"] == r["n_tok"]
+        # consecutive starts differ by exactly the stride ⇒ no gaps
+        # (start_tok is ci*stride+1), and chunk count matches geometry
+        expected = max(0, -(-(r["n_tok"] - _CHUNK_W) // _CHUNK_S)) + 1
+        assert r["n_chunks"] == expected
+        assert _CHUNK_S < _CHUNK_W  # overlap invariant the tiling relies on
+
+
+def test_repetition_scores_bounded(spark):
+    rows = REGISTRY["text_repetition_scores"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["distinct_ratio"] <= 1.0
+        assert 0.0 <= r["top_bigram_frac"] <= 1.0
+        # a doc with all-distinct tokens cannot have a repeated bigram
+        if r["distinct_ratio"] == 1.0 and r["n_tokens"] >= 3:
+            assert r["top_bigram_frac"] <= 1.0 / (r["n_tokens"] - 1) + 1e-9
+
+
+def test_contamination_frac_consistent(spark):
+    rows = REGISTRY["text_contamination_overlap"].fn(spark, SF_DIR).collect()
+    assert rows  # tiny synthetic vocab ⇒ collisions must exist
+    for r in rows:
+        assert 1 <= r["n_contaminated"] <= r["n_shingles"]
+        assert abs(
+            r["contamination_frac"] - round(r["n_contaminated"] / r["n_shingles"], 6)
+        ) < 1e-9
+
+
+def test_global_shuffle_is_a_permutation(spark, docs):
+    out = REGISTRY["text_global_shuffle"].fn(spark, SF_DIR)
+    rows = out.collect()
+    n = docs.count()
+    assert len(rows) == n
+    assert sorted(r["shuffle_pos"] for r in rows) == list(range(1, n + 1))
+    assert len({r["doc_id"] for r in rows}) == n
+    for r in rows:
+        assert r["shard_id"] == (r["shuffle_pos"] - 1) // 64
+    # deterministic across runs
+    again = REGISTRY["text_global_shuffle"].fn(spark, SF_DIR).collect()
+    assert [(r["doc_id"], r["shuffle_pos"]) for r in again] == [
+        (r["doc_id"], r["shuffle_pos"]) for r in rows
+    ]
+
+
+def test_packing_conserves_tokens_and_fills_packs(spark, docs):
+    from esco_neo4j_spark.functions.text import word_tokens
+
+    packs = REGISTRY["pipeline_pack_sequences"].fn(spark, SF_DIR).collect()
+    total = docs.select(
+        F.sum(F.size(word_tokens(F.col("text")))).alias("t")
+    ).collect()[0]["t"]
+    assert sum(p["pack_tokens"] for p in packs) == total
+    ids = [p["pack_id"] for p in packs]
+    assert ids == sorted(ids) and ids[0] == 0
+    # concat-and-chop: every pack boundary is crossed by a straddling doc
+    # or met exactly, so no pack can start beyond the stream's end
+    assert ids[-1] == (total - 1) // _CTX or ids[-1] == (total - 1) // _CTX - 1
