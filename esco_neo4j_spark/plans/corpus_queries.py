@@ -81,6 +81,7 @@ def _word_ngrams(toks, n: int):
     ORDER BY doc_id, chunk_idx
     """,
     survey_ops="text-chunking,E",
+    bench=True,
     tables=("documents",),
 )
 def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -831,3 +831,76 @@ def events_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_gapfill_daily_locf",
+    sql="""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             count(*) AS n, round(sum(value), 2) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+    ),
+    spine AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM span
+    )
+    SELECT s.user_id,
+           strftime(s.day, '%Y-%m-%d') AS day,
+           CAST(coalesce(d.n, 0) AS BIGINT) AS n_events,
+           CAST(last_value(d.v IGNORE NULLS) OVER (
+                  PARTITION BY s.user_id ORDER BY s.day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS filled_value,
+           CAST(d.n IS NULL AS INT) AS is_gap
+    FROM spine s LEFT JOIN daily d
+      ON s.user_id = d.user_id AND s.day = d.day
+    ORDER BY s.user_id, s.day
+    """,
+    survey_ops="timeseries-gapfill(ext),E,C2",
+    tables=("events",),
+)
+def events_gapfill_daily_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-filled rollup: bucket each user's events by
+    day, synthesize the missing days of their observed lifespan from a
+    generated time spine, and carry the last observed daily value forward
+    (LOCF) across the gaps — time_bucket_gapfill + locf() re-expressed as
+    sequence+explode plus a last(ignorenulls) window.
+
+    Scale shape: the spine is generated per series key (user), so spine
+    construction is embarrassingly parallel and sized by observed span,
+    never the global calendar; the fill window partitions by the same key
+    the daily rollup grouped on, so spine join + window share one
+    user_id-hashed exchange, and no stage depends on a global sort."""
+    ev = spark.table("events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+            F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+            F.col("n").isNull().cast("int").alias("is_gap"),
+        )
+        .orderBy("user_id", "day")
+    )
