@@ -375,3 +375,42 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pack_id")
     )
+
+
+_RESERVOIR_K = 5
+
+
+@query(
+    "text_reservoir_per_source",
+    sql=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(doc_id::VARCHAR || ':reservoir7'), doc_id) AS rk
+      FROM documents)
+    SELECT doc_id, source, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= {_RESERVOIR_K}
+    ORDER BY source, rk
+    """,
+    survey_ops="text-sampling,E,F2",
+    tables=("documents",),
+)
+def text_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size sample: EXACTLY k docs per source (the
+    distributed stand-in for per-group reservoir sampling) — keep the k
+    smallest md5(doc_id+salt) values within each source. Complements
+    text_stratified_sample, which keeps a RATE per group; this keeps a
+    COUNT, the shape eval-set and few-shot-prompt construction needs.
+    One partitioned window (hash exchange on source), no global sort; a
+    rank()-free alternative at extreme group skew is groupBy(source) +
+    min_by(doc_id, hash, k)."""
+    d = spark.table("documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":reservoir7")))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _RESERVOIR_K)
+        .select("doc_id", "source", F.col("rk").cast("int").alias("rk"))
+        .orderBy("source", "rk")
+    )

@@ -12,7 +12,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from esco_neo4j_spark.functions.vector import cosine_similarity
+from esco_neo4j_spark.functions.vector import (
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+)
 from esco_neo4j_spark.operators.similarity import (
     brute_force_topk,
     cosine_self_join,
@@ -470,4 +474,93 @@ def vec_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("dist"), 4).alias("avg_dist"),
         )
         .orderBy("cluster")
+    )
+
+
+def _jl_proj_sql(dim: int = 64, out_dim: int = 8) -> str:
+    """DuckDB twin of the JL projection: one left-associated dot chain per
+    output dimension over the SAME float literals the Spark side folds
+    (repr round-trips exactly; see _lsh_bucket_sql for why this is the
+    bit-exactness recipe)."""
+    from esco_neo4j_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, out_dim, seed=7)
+    scale = 1.0 / (out_dim ** 0.5)
+    cols = []
+    for i, plane in enumerate(planes):
+        dot = " + ".join(
+            f"CAST(embedding AS DOUBLE[])[{j + 1}] * {x!r}"
+            for j, x in enumerate(plane)
+        )
+        cols.append(f"CAST(round(({dot}) * {scale!r}, 6) AS DOUBLE) AS p{i}")
+    proj_sq = " + ".join(
+        f"pow({_jl_dot_sql(planes[i])} * {scale!r}, 2)" for i in range(out_dim)
+    )
+    return ",\n           ".join(cols), proj_sq
+
+
+def _jl_dot_sql(plane) -> str:
+    return "(" + " + ".join(
+        f"CAST(embedding AS DOUBLE[])[{j + 1}] * {x!r}"
+        for j, x in enumerate(plane)
+    ) + ")"
+
+
+_JL_COLS, _JL_PROJ_SQ = _jl_proj_sql()
+
+
+@query(
+    "vec_random_projection",
+    sql=f"""
+    SELECT vec_id, label,
+           {_JL_COLS},
+           CAST(round(sqrt({_JL_PROJ_SQ})
+                / sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                                     x -> x * x), 'sum')), 4)
+                AS DOUBLE) AS norm_ratio
+    FROM embeddings
+    ORDER BY vec_id
+    LIMIT 200
+    """,
+    survey_ops="vector-projection(ext),H1",
+    tables=("embeddings",),
+)
+def vec_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 8 dims: a fixed
+    Gaussian projection matrix (the LSH hyperplane generator with its own
+    seed) applied as eight fold-dot column expressions, scaled 1/sqrt(8).
+    The norm_ratio column exposes how well the projection preserves each
+    vector's length — the JL guarantee says concentration around 1.
+
+    Scale shape: pure per-row arithmetic over the scan (no shuffle, no
+    UDF); the projection matrix lives in the plan as literals, the same
+    broadcast-free trick the LSH/IVF operators use. This is the
+    dimensionality-reduction front half of cheap ANN/clustering at 100 TB
+    — downstream stages run on 8-dim vectors, an 8x IO/CPU cut."""
+    from esco_neo4j_spark.operators.similarity import _hyperplanes
+
+    emb = spark.table("embeddings")
+    planes = _hyperplanes(64, 8, seed=7)
+    scale = 1.0 / (8 ** 0.5)
+    proj = [
+        F.round(dot_product(F.col("embedding"), p) * scale, 6).alias(f"p{i}")
+        for i, p in enumerate(planes)
+    ]
+    proj_norm = F.sqrt(
+        sum(
+            F.pow(dot_product(F.col("embedding"), p) * scale, 2)
+            for p in planes
+        )
+    )
+    return (
+        emb.select(
+            "vec_id",
+            "label",
+            *proj,
+            F.round(proj_norm / l2_norm(F.col("embedding")), 4).alias(
+                "norm_ratio"
+            ),
+        )
+        .orderBy("vec_id")
+        .limit(200)
     )
