@@ -904,3 +904,83 @@ def events_gapfill_daily_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+@query(
+    "events_rolling_zscore",
+    sql="""
+    WITH w AS (
+      SELECT event_id, user_id, ts, value,
+             avg(value) OVER win AS mu,
+             stddev_samp(value) OVER win AS sigma,
+             count(*) OVER win AS n_win
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 168 HOUR PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           CAST(round(value, 2) AS DOUBLE) AS value,
+           CAST(round((value - mu) / sigma, 4) AS DOUBLE) AS zscore,
+           CAST(n_win AS INT) AS n_win
+    FROM w
+    WHERE n_win >= 5 AND sigma > 0
+      AND abs(round((value - mu) / sigma, 4)) >= 1.8
+    ORDER BY user_id, event_id
+    """,
+    survey_ops="anomaly(ext),E,H10",
+    tables=("events",),
+)
+def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window anomaly detection: each event's value scored
+    against the trailing 7-day mean/stddev of the SAME user's events (a
+    RANGE window keyed on event time, so irregular sampling is handled
+    correctly — row-count frames would not be time-aligned). Events at
+    least 1.8 sigma from their trailing mean, with at least 5
+    observations in the window, are flagged; the membership test runs on
+    the 4dp-ROUNDED score on both engines so a last-ulp stddev
+    difference cannot flip a row in or out. (1.8, not the textbook 2:
+    the synthetic values are ~uniform, which caps |z| near sqrt(3).)
+
+    Scale shape: one hash exchange on user_id; within each series the
+    range frame is computed by Spark's sliding frame machinery in a
+    single pass — no self-join against the trailing window, which is the
+    O(n * window) trap this operator family falls into when written as a
+    theta join."""
+    ev = spark.table("events")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-168 * 3600 * 1_000_000, 0)
+    )
+    mu = F.avg("value").over(win)
+    sigma = F.stddev_samp("value").over(win)
+    n_win = F.count("*").over(win)
+    z = (F.col("value") - mu) / sigma
+    return (
+        ev.select(
+            "event_id", "user_id", "ts", "value",
+            mu.alias("mu"), sigma.alias("sigma"), n_win.alias("n_win"),
+        )
+        .filter(
+            (F.col("n_win") >= 5)
+            & (F.col("sigma") > 0)
+            & (
+                F.abs(
+                    F.round(
+                        (F.col("value") - F.col("mu")) / F.col("sigma"), 4
+                    )
+                )
+                >= 1.8
+            )
+        )
+        .select(
+            "event_id", "user_id",
+            F.date_format("ts", _FMT_SPARK).alias("ts"),
+            F.round("value", 2).alias("value"),
+            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4)
+              .alias("zscore"),
+            F.col("n_win").cast("int").alias("n_win"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -1050,3 +1050,59 @@ def ext_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "ext_fuzzy_match_parts",
+    sql="""
+    WITH names AS (
+      SELECT p_name, count(*) AS n
+      FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b
+    FROM names a JOIN names b
+      ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+     AND a.p_name < b.p_name
+     AND levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY lev, name_a, name_b
+    """,
+    survey_ops="entity-resolution(ext),C4,B12",
+    tables=("part",),
+)
+def ext_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution as a blocked fuzzy join: candidate part names
+    within the same blocking key (first word) whose full names are within
+    Levenshtein distance 3, with per-name occurrence counts carried
+    along.
+
+    The load-bearing scale move is the DICTIONARY REDUCTION: the fuzzy
+    self-join runs on DISTINCT names (vocabulary-sized, bounded), not on
+    the row table — the same distinct-before-expensive-work memoization
+    the model-UDF pipeline uses, applied to a join. Blocking bounds each
+    comparison set; the edit-distance refine only runs inside a block.
+    At 100 TB the dictionary still fits an exchange, and a skew-capped
+    block (operators/skew.py) guards a degenerate hot blocking key."""
+    names = spark.table("part").groupBy("p_name").agg(F.count("*").alias("n"))
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n").alias("n_a"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n").alias("n_b"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk"),
+    )
+    lev = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "blk")
+        .filter((F.col("name_a") < F.col("name_b")) & (lev <= 3))
+        .select(
+            "name_a", "name_b",
+            lev.cast("int").alias("lev"),
+            "n_a", "n_b",
+        )
+        .orderBy("lev", "name_a", "name_b")
+    )
