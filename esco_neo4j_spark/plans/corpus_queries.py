@@ -92,16 +92,20 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     all until the final presentation sort, and a downstream writer would
     drop that sort and partition by hash(doc_id)."""
     d = spark.table("documents")
-    toks = word_tokens(F.col("text"))
+    # tokenize ONCE before the explode: inlining word_tokens into the
+    # Generate argument re-evaluates the regex+filter lambda per emitted
+    # chunk row and bloats the codegen unit (~10x slower per fresh plan)
+    t = d.select("doc_id", word_tokens(F.col("text")).alias("toks"))
     n_chunks = (
         F.ceil(
-            F.greatest(F.size(toks) - _CHUNK_W, F.lit(0)) / F.lit(float(_CHUNK_S))
+            F.greatest(F.size("toks") - _CHUNK_W, F.lit(0))
+            / F.lit(float(_CHUNK_S))
         ).cast("bigint")
         + 1
     )
-    base = d.select(
+    base = t.select(
         "doc_id",
-        toks.alias("toks"),
+        "toks",
         F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "ci"),
     )
     chunk = F.slice(F.col("toks"), F.col("ci") * _CHUNK_S + 1, F.lit(_CHUNK_W))
