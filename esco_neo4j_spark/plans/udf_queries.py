@@ -146,3 +146,135 @@ def udf_zscore_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(zscore, "event_id bigint, user_id bigint, zscore double")
         .orderBy("event_id")
     )
+
+
+def _embed_cluster_consts():
+    """Deterministic integer projection + centroids for the embed->cluster
+    capstone: the projection matrix is the SIGN pattern of the hyperplane
+    generator (never exactly zero), so every product, projection, and
+    squared distance is INTEGER arithmetic — bit-exact on both engines
+    under any summation order, unlike a float fold."""
+    from esco_neo4j_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(HASH_EMBED_DIM, 4, seed=11)
+    signs = [[1 if x >= 0 else -1 for x in p] for p in planes]
+    centroids = [[8, 8, -8, 8], [-8, 8, 8, -8], [8, -8, 8, 8], [-8, -8, -8, -8]]
+    return signs, centroids
+
+
+def _embed_cluster_sql() -> str:
+    signs, cents = _embed_cluster_consts()
+    proj_cols = []
+    for j, col in enumerate(signs):
+        arms = " ".join(
+            f"WHEN {i} THEN {col[i]}" for i in range(HASH_EMBED_DIM)
+        )
+        proj_cols.append(f"sum(val * CASE bucket {arms} END) AS p{j}")
+    dist_cols = [
+        "(" + " + ".join(f"(p{j} - {c[j]}) * (p{j} - {c[j]})" for j in range(4))
+        + f") AS d{k}"
+        for k, c in enumerate(cents)
+    ]
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS_ALL}) AS t FROM documents
+    ),
+    contrib AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(t), 1, 7))::BIGINT % {HASH_EMBED_DIM} AS bucket,
+             CASE WHEN (('0x' || substr(md5(t), 1, 7))::BIGINT >> 27) & 1 = 1
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tok
+    ),
+    buckets AS (
+      SELECT doc_id, bucket, sum(sgn) AS val FROM contrib GROUP BY 1, 2
+    ),
+    proj AS (
+      SELECT doc_id, {", ".join(proj_cols)} FROM buckets GROUP BY doc_id
+    ),
+    dist AS (
+      SELECT doc_id, {", ".join(dist_cols)} FROM proj
+    ),
+    assign AS (
+      SELECT doc_id,
+             CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+                  WHEN d1 <= d2 AND d1 <= d3 THEN 1
+                  WHEN d2 <= d3 THEN 2 ELSE 3 END AS cluster,
+             CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN d0
+                  WHEN d1 <= d2 AND d1 <= d3 THEN d1
+                  WHEN d2 <= d3 THEN d2 ELSE d3 END AS dist
+      FROM dist
+    )
+    SELECT CAST(cluster AS INT) AS cluster,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(round(avg(dist), 4) AS DOUBLE) AS avg_dist,
+           CAST(min(dist) AS BIGINT) AS min_dist,
+           CAST(max(dist) AS BIGINT) AS max_dist
+    FROM assign GROUP BY cluster ORDER BY cluster
+    """
+
+
+@query(
+    "pipeline_embed_cluster",
+    sql=_embed_cluster_sql(),
+    survey_ops="I1,I9,vector-projection(ext),D2",
+    tables=("documents",),
+)
+def pipeline_embed_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed capstone #2: REAL pandas-UDF hash embedding -> integer
+    sign-matrix projection to 4 dims -> nearest-centroid assignment ->
+    per-cluster rollup, one declarative plan end-to-end through the Arrow
+    boundary. Everything after the UDF is integer column arithmetic, so
+    the DuckDB oracle replays the whole pipeline exactly.
+
+    Scale shape: the UDF is Arrow-batched and narrow; projection and
+    assignment are per-row expressions (centroids live in the plan as
+    literals, broadcast-free); the only shuffle is the final 4-group
+    rollup with map-side partial aggregation."""
+    signs, cents = _embed_cluster_consts()
+    d = embed_column(spark.table("documents"), "text")
+    proj = [
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array(*[F.lit(s) for s in col]),
+                lambda a, b: a.cast("long") * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias(f"p{j}")
+        for j, col in enumerate(signs)
+    ]
+    p = d.select("doc_id", *proj)
+    dists = [
+        sum(
+            (F.col(f"p{j}") - F.lit(c[j])) * (F.col(f"p{j}") - F.lit(c[j]))
+            for j in range(4)
+        ).alias(f"d{k}")
+        for k, c in enumerate(cents)
+    ]
+    dd = p.select("doc_id", *dists)
+    d0, d1, d2, d3 = (F.col(f"d{k}") for k in range(4))
+    cluster = (
+        F.when((d0 <= d1) & (d0 <= d2) & (d0 <= d3), 0)
+        .when((d1 <= d2) & (d1 <= d3), 1)
+        .when(d2 <= d3, 2)
+        .otherwise(3)
+    )
+    dist = (
+        F.when((d0 <= d1) & (d0 <= d2) & (d0 <= d3), d0)
+        .when((d1 <= d2) & (d1 <= d3), d1)
+        .when(d2 <= d3, d2)
+        .otherwise(d3)
+    )
+    return (
+        dd.select(cluster.cast("int").alias("cluster"), dist.alias("dist"))
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("dist"), 4).alias("avg_dist"),
+            F.min("dist").cast("bigint").alias("min_dist"),
+            F.max("dist").cast("bigint").alias("max_dist"),
+        )
+        .orderBy("cluster")
+    )
