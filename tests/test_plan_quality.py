@@ -208,3 +208,53 @@ def test_bloom_prune_probe_side_has_no_shuffle_before_join(spark):
                                  or "NestedLoop" in ln)
     ]
     assert len(semi) >= 4 and all("Broadcast" in ln for ln in semi), semi
+
+
+def test_contamination_broadcasts_eval_shingles(spark):
+    plan = _plan(spark, "text_contamination_overlap")
+    assert "BroadcastHashJoin" in plan, (
+        "benchmark shingle set must broadcast — the train side never "
+        "shuffles on shingle"
+    )
+    assert "SortMergeJoin" not in plan
+
+
+def test_chunking_is_shuffle_free_before_the_presentation_sort(spark):
+    plan = _plan(spark, "text_chunk_windows")
+    assert "Generate" in plan
+    # the ONLY exchange is the final ORDER BY's range partitioning; the
+    # scan -> tokenize -> explode -> hash pipeline itself never shuffles
+    exchanges = [
+        l for l in plan.splitlines() if l.strip().startswith("Arguments: ")
+        and "partitioning" in l
+    ]
+    assert len(exchanges) == 1 and "rangepartitioning" in exchanges[0], (
+        f"chunking must shuffle only for the presentation sort: {exchanges}"
+    )
+
+
+def test_global_shuffle_windows_are_bucket_partitioned(spark):
+    plan = _plan(spark, "text_global_shuffle")
+    # the data-sized window must hash-partition on the bucket column; the
+    # only acceptable unpartitioned window is the 256-row offset fixup
+    assert "hashpartitioning(bkt" in plan, (
+        "row_number over documents must partition by the hash bucket"
+    )
+
+
+def test_gapfill_shares_one_series_key_exchange(spark):
+    plan = _plan(spark, "events_gapfill_daily_locf")
+    assert "hashpartitioning(user_id" in plan, (
+        "spine join + LOCF window must key on the series id"
+    )
+
+
+def test_fuzzy_match_joins_the_distinct_dictionary(spark):
+    plan = _plan(spark, "ext_fuzzy_match_parts")
+    # dictionary reduction: both join inputs aggregate to distinct names
+    # BEFORE the fuzzy join, so the join never sees the row table
+    join_at = plan.find("Join")
+    assert join_at != -1
+    assert plan.count("HashAggregate") >= 2, (
+        "fuzzy join inputs must be the distinct-name dictionary"
+    )
