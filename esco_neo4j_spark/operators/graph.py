@@ -400,6 +400,61 @@ def pagerank(
     return state
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list,
+    num_iter: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart): all teleport
+    mass returns to the ``seeds`` set instead of spreading uniformly —
+    rank_i = tele(i) + d * sum(rank_src / outDeg_src), with
+    tele(i) = (1-d)/|seeds| for seeds and 0 elsewhere, initialized at the
+    teleport vector. Fixed iteration count like :func:`pagerank` (GraphX
+    staticPageRank semantics). The teleport constant is computed ONCE
+    driver-side and embedded as a literal so an SQL oracle can reuse the
+    identical double.
+
+    The reference exposes only global PageRank (gds.pageRank.stream,
+    analysis_queries.md:206-215); personalization is the standard
+    seeded-relevance extension (same superstep structure, different
+    teleport vector), used for 'related to THIS node' ranking.
+    """
+    tele = (1.0 - damping) / len(seeds)
+    verts = vertices_of(edges)
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("out_degree")
+    )
+    e_deg = _checkpoint(
+        edges.select("src", "dst").join(
+            out_deg.withColumnRenamed("id", "src"), "src"
+        )
+    )
+    tele_col = F.when(F.col("id").isin(seeds), F.lit(tele)).otherwise(
+        F.lit(0.0)
+    )
+    state = verts.withColumn("rank", tele_col)
+    state = _checkpoint(state)
+    for _ in range(num_iter):
+        contribs = (
+            e_deg.join(state.withColumnRenamed("id", "src"), "src")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("out_degree")).alias("contrib"),
+            )
+            .groupBy("id")
+            .agg(F.sum("contrib").alias("msg"))
+        )
+        state = verts.join(contribs, "id", "left").select(
+            "id",
+            (
+                tele_col + F.lit(damping) * F.coalesce(F.col("msg"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        state = _checkpoint(state)
+    return state
+
+
 def label_propagation(edges: DataFrame, max_iter: int = 10) -> DataFrame:
     """Community detection via synchronous label propagation — the scalable
     stand-in for the reference's Louvain call (analysis_queries.md:233-246;

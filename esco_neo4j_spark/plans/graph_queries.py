@@ -334,6 +334,69 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("id", F.round("rank", 6).alias("rank")).orderBy("id")
 
 
+_PPR_SEEDS = [7, 12]  # present at every sf (user ids are dense from 0)
+_PPR_DAMPING = 0.85
+_PPR_TELE = (1.0 - _PPR_DAMPING) / len(_PPR_SEEDS)
+
+
+def _ppr_unrolled_sql(n_iter: int = 10) -> str:
+    """DuckDB twin of operators/graph.personalized_pagerank, unrolled like
+    _pagerank_unrolled_sql (same in-degree <= 2 order-exactness argument).
+    The teleport constant is the SAME Python double embedded via repr on
+    both sides."""
+    seeds = ", ".join(str(s) for s in _PPR_SEEDS)
+    tele = f"CASE WHEN v.id IN ({seeds}) THEN {_PPR_TELE!r} ELSE 0.0 END"
+    base = f"""
+    WITH edges AS ({_EDGES_SQL}),
+    verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    odeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+    ed AS (SELECT e.src, e.dst, o.od FROM edges e JOIN odeg o ON e.src = o.src),
+    r0 AS (SELECT v.id, CAST({tele} AS DOUBLE) AS rank FROM verts v)"""
+    sql = [base]
+    for i in range(1, n_iter + 1):
+        sql.append(f""",
+    m{i} AS (
+      SELECT ed.dst AS id, sum(r.rank / ed.od) AS msg
+      FROM ed JOIN r{i - 1} r ON ed.src = r.id GROUP BY ed.dst
+    ),
+    r{i} AS (
+      SELECT v.id, {tele} + {_PPR_DAMPING!r} * coalesce(m.msg, 0.0) AS rank
+      FROM verts v LEFT JOIN m{i} m ON v.id = m.id
+    )""")
+    sql.append(f"""
+    SELECT id, CAST(round(rank, 6) AS DOUBLE) AS rank
+    FROM r{n_iter}
+    WHERE round(rank, 6) > 0
+    ORDER BY rank DESC, id LIMIT 50""")
+    return "".join(sql)
+
+
+@query(
+    "graph_personalized_pagerank",
+    sql=_ppr_unrolled_sql(n_iter=10),
+    survey_ops="K4-adjacent(ppr,ext)",
+    tables=("events",),
+)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seeded at users {7, 12} on the
+    parent-pointer graph: 'how relevant is each node to THESE nodes' —
+    the seeded-relevance extension of graph_pagerank (teleport mass
+    restricted to the seed set). Top-50 nonzero ranks; the zero cut runs
+    on the 6dp-ROUNDED rank on both engines."""
+    from esco_neo4j_spark.operators.graph import personalized_pagerank
+
+    pr = personalized_pagerank(
+        _edges(spark), seeds=_PPR_SEEDS, num_iter=10, damping=_PPR_DAMPING
+    )
+    r6 = F.round("rank", 6)
+    return (
+        pr.select("id", r6.alias("rank"))
+        .filter(r6 > 0)
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(50)
+    )
+
+
 @query(
     "graph_label_propagation",
     # iterations UNROLLED as chained CTEs — full value oracle (all-integer
