@@ -285,6 +285,19 @@ def _bucket_offsets(per_bucket: DataFrame, value_col: str) -> DataFrame:
     )
 
 
+def shuffle_rank(d: DataFrame) -> DataFrame:
+    """(doc_id, shuffle_pos): the two-level distributed global rank used
+    by text_global_shuffle — exposed for reuse and for scale tests."""
+    cols = _shuffle_cols(d)
+    counts = cols.groupBy("bkt").agg(F.count("*").alias("c"))
+    offs = _bucket_offsets(counts, "c")
+    win = Window.partitionBy("bkt").orderBy("h", "doc_id")
+    pos = (F.col("off") + F.row_number().over(win)).cast("bigint")
+    return cols.join(F.broadcast(offs), "bkt").select(
+        "doc_id", pos.alias("shuffle_pos")
+    )
+
+
 @query(
     "text_global_shuffle",
     sql=f"""
@@ -309,16 +322,12 @@ def text_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark; here the rank is assembled distributed — row_number within
     each of 256 hash-prefix buckets, plus broadcast per-bucket offsets
     (see module docstring)."""
-    d = _shuffle_cols(spark.table("documents"))
-    counts = d.groupBy("bkt").agg(F.count("*").alias("c"))
-    offs = _bucket_offsets(counts, "c")
-    win = Window.partitionBy("bkt").orderBy("h", "doc_id")
-    pos = (F.col("off") + F.row_number().over(win)).cast("bigint")
+    pos = F.col("shuffle_pos")
     return (
-        d.join(F.broadcast(offs), "bkt")
+        shuffle_rank(spark.table("documents"))
         .select(
             "doc_id",
-            pos.alias("shuffle_pos"),
+            "shuffle_pos",
             F.floor((pos - 1) / 64).cast("int").alias("shard_id"),
         )
         .orderBy("shuffle_pos")

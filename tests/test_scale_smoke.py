@@ -1,0 +1,77 @@
+"""Scale smoke tests: run the scale-critical machinery on MILLIONS of
+generated rows (100-1000x the sf0.001 fixtures) and assert exact
+invariants. These catch the failure modes the small fixtures cannot — a
+single-partition window, an accidental O(n^2) expansion, a driver-side
+materialization — because any of those either breaks the invariant or
+blows the test far past its budget at this size.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+N = 2_000_000
+
+
+@pytest.fixture(scope="module")
+def big(spark):
+    # deterministic synthetic ids; 64 partitions so every stage is
+    # genuinely parallel (a 1-partition accident would be invisible)
+    return spark.range(0, N, 1, 64).withColumnRenamed("id", "doc_id")
+
+
+def test_distributed_shuffle_rank_is_a_permutation_at_2m(spark, big):
+    from esco_neo4j_spark.plans.corpus_queries import shuffle_rank
+
+    r = shuffle_rank(big)
+    stats = r.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("shuffle_pos").alias("d"),
+        F.min("shuffle_pos").alias("lo"),
+        F.max("shuffle_pos").alias("hi"),
+    ).collect()[0]
+    assert (stats["n"], stats["d"]) == (N, N)
+    assert (stats["lo"], stats["hi"]) == (1, N)
+
+
+def test_exact_dedup_at_4m_rows_2m_groups(spark):
+    # 4m rows, every content value duplicated exactly twice across
+    # different "docs" — the one-shuffle hash dedup must keep 2m firsts
+    rows = spark.range(0, 2 * N, 1, 64).select(
+        F.col("id").alias("doc_id"),
+        F.md5((F.col("id") % N).cast("string")).alias("content_hash"),
+    )
+    firsts = rows.groupBy("content_hash").agg(
+        F.min("doc_id").alias("keep"), F.count("*").alias("n")
+    )
+    got = firsts.agg(
+        F.count("*").alias("groups"),
+        F.sum("n").alias("total"),
+        F.max("n").alias("biggest"),
+    ).collect()[0]
+    assert (got["groups"], got["total"], got["biggest"]) == (N, 2 * N, 2)
+
+
+def test_chunking_expression_handles_a_million_token_document(spark):
+    # per-row boundedness: one pathological document with 1m tokens must
+    # chunk without skew machinery — work is O(doc length), not O(corpus)
+    from esco_neo4j_spark.plans.corpus_queries import _CHUNK_S, _CHUNK_W
+
+    one = spark.range(1).select(
+        F.lit(1).alias("doc_id"),
+        F.array_repeat(F.lit("tok"), 1_000_000).alias("toks"),
+    )
+    n_chunks = (
+        F.ceil(
+            F.greatest(F.size("toks") - _CHUNK_W, F.lit(0))
+            / F.lit(float(_CHUNK_S))
+        ).cast("bigint")
+        + 1
+    )
+    exploded = one.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("ci", "c"),
+    )
+    expected = -(-(1_000_000 - _CHUNK_W) // _CHUNK_S) + 1
+    assert exploded.count() == expected
