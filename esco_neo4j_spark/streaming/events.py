@@ -281,3 +281,81 @@ def sessionize_stateful(events: DataFrame, gap_s: float = 3600.0) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+TOTALS_OUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+
+
+def running_totals_tws(events: DataFrame) -> DataFrame:
+    """Custom stateful operator on the transformWithStateInPandas API
+    (Spark 4's arbitrary-state successor to applyInPandasWithState,
+    RocksDB-backed): per-user running (event count, value sum), emitted
+    once per user per micro-batch.
+
+    State is a single ValueState tuple — bounded per key, mergeable
+    across batches by construction; at 100 TB/day the state store scales
+    with DISTINCT keys, not events, and RocksDB spills it off-heap.
+    Batch twin: groupBy(user_id).agg(count, sum) — asserted equal in
+    tests/test_streaming.py.
+
+    DEPENDENCY: the transformWithState state-server protocol requires
+    ``protobuf``, which this container does not ship — the parity test
+    skips cleanly when the import is missing (the applyInPandasWithState
+    sessionizer above is the fully-tested custom-stateful path here)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [
+            StructField("n_events", LongType(), True),
+            StructField("total_value", DoubleType(), True),
+        ]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = 0, 0.0
+            if self._totals.exists():
+                prev = self._totals.get()
+                n, total = int(prev[0]), float(prev[1])
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    # transformWithState requires the RocksDB state store (the default
+    # HDFS-backed provider does not implement arbitrary-state v2)
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        TOTALS_OUT_SCHEMA,
+        "Update",
+        "None",
+    )

@@ -205,3 +205,40 @@ def test_cms_sketch_sink_equals_batch_sketch(spark, event_dir, tmp_path):
         ).collect()
     )
     assert est_stream == est_batch
+
+
+def test_transform_with_state_totals_equal_batch(spark, event_dir):
+    """transformWithStateInPandas running totals == the batch aggregate
+    (count/sum per user). Requires protobuf (the transformWithState
+    state-server wire format); skipped where absent."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState needs protobuf, not shipped here",
+    )
+    from pyspark.sql import functions as F
+
+    from esco_neo4j_spark.streaming.events import (
+        read_event_stream,
+        running_totals_tws,
+        run_to_memory,
+    )
+
+    stream = running_totals_tws(read_event_stream(spark, event_dir))
+    run_to_memory(stream, "t_totals", output_mode="update")
+    got = _rows(
+        spark.table("t_totals")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.round(F.max("total_value"), 2).alias("total_value"),
+        )
+    )
+    want = _rows(
+        spark.read.parquet(event_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    assert got == want and len(got) > 0
