@@ -417,6 +417,123 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- PII / sensitive-term scrubbing ---------------------------------------
+#
+# Dictionary + pattern redaction, the compliance pass every training-data
+# pipeline runs before tokenization. Two pattern families: a blocklist of
+# sensitive terms (here corpus words standing in for name/entity lists) and
+# a structural email pattern (zero hits on this synthetic corpus — the
+# plumbing is still exercised and value-checked). Match counts come from
+# size(split(text, pat)) - 1, identical semantics in Spark (Java regex,
+# limit -1 keeps trailing empties) and DuckDB (regexp_split_to_array).
+_TERM_PAT = r"\b(customer|key|hash)\b"
+_EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+@query(
+    "text_pii_scrub",
+    sql=f"""
+    WITH scrubbed AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(text, '{_TERM_PAT}')) - 1 AS n_term_hits,
+             len(regexp_split_to_array(text, '{_EMAIL_PAT}')) - 1 AS n_email_hits,
+             regexp_replace(regexp_replace(text, '{_EMAIL_PAT}', '[EMAIL]', 'g'),
+                            '{_TERM_PAT}', '[REDACTED]', 'g') AS clean
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_term_hits AS INT) AS n_term_hits,
+           CAST(n_email_hits AS INT) AS n_email_hits,
+           CAST(length(clean) AS INT) AS clean_len,
+           md5(clean) AS clean_md5
+    FROM scrubbed
+    ORDER BY doc_id
+    """,
+    survey_ops="text-pii(ext),H7,H9",
+    tables=("documents",),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact blocklisted terms and email-shaped spans from every document
+    and report per-doc hit counts plus an md5 of the scrubbed text (so the
+    oracle value-checks the REDACTION itself, not just the counts). Pure
+    regexp column expressions — narrow, no shuffle, whole-stage codegen;
+    at 100 TB this is a free rider on the first scan of the corpus. Large
+    real blocklists (10^5+ names) should compile to an Aho-Corasick-style
+    single pass or a broadcast-joined token table instead of one giant
+    alternation; the structural patterns stay regexes."""
+    d = spark.table("documents")
+    n_terms = F.size(F.split(F.col("text"), _TERM_PAT, -1)) - 1
+    n_emails = F.size(F.split(F.col("text"), _EMAIL_PAT, -1)) - 1
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_PAT, "[EMAIL]"),
+        _TERM_PAT,
+        "[REDACTED]",
+    )
+    return (
+        d.select(
+            "doc_id",
+            n_terms.cast("int").alias("n_term_hits"),
+            n_emails.cast("int").alias("n_email_hits"),
+            F.length(clean).cast("int").alias("clean_len"),
+            F.md5(clean).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_unigram_logprob",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+    ),
+    tf AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+    n AS (SELECT count(*) AS n_total FROM toks)
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_tokens,
+           CAST(sum(CAST(round(-ln(cnt::DOUBLE / n_total::DOUBLE) * 1000000)
+                         AS BIGINT)) AS BIGINT) AS sum_micro_nats
+    FROM toks JOIN tf USING (term) CROSS JOIN n
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    survey_ops="text-lm-quality(ext),D3,C1",
+    tables=("documents",),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model surprisal per document — the KenLM-style
+    quality score's simplest honest proxy: fit corpus unigram
+    probabilities (one partial-aggregable count per term), then charge
+    each token -ln p(term). Per-token surprisal is quantized to integer
+    micro-nats BEFORE the per-doc sum, so the aggregate is an exact
+    integer in any summation order — float non-associativity cannot break
+    the cross-engine value hash, a trick worth stealing for any
+    double-summing oracle. The term table is vocabulary-sized and
+    broadcast; the only corpus-sized shuffle is the per-doc re-group. At
+    100 TB: identical shape, vocabulary still fits in a broadcast."""
+    d = spark.table("documents")
+    toks = d.select(
+        "doc_id", F.explode(word_tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = toks.agg(F.count("*").alias("n_total"))
+    micro = F.round(
+        -F.log(F.col("cnt").cast("double") / F.col("n_total").cast("double"))
+        * 1_000_000
+    ).cast("bigint")
+    return (
+        toks.join(F.broadcast(tf), "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", micro.alias("micro_nats"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            F.sum("micro_nats").cast("bigint").alias("sum_micro_nats"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "text_tfidf_top_terms",
     sql=f"""
