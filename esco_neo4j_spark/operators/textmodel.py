@@ -96,6 +96,32 @@ def make_embed_udf(dim: int = HASH_EMBED_DIM, model_name: str = "all-MiniLM-L6-v
     return embed
 
 
+def make_compression_udf(level: int = 6):
+    """Compression-ratio quality signal: deflate bytes per input byte.
+
+    A low-compressibility document is high-entropy (random noise, binary
+    junk); an extremely compressible one is boilerplate/repetition — both
+    tails get filtered in large-corpus curation, complementing the
+    token-level heuristics (text_repetition_scores, text_quality_scores).
+    zlib at a FIXED level is deterministic for a given input, so the
+    pytest golden recomputes the exact byte counts in plain Python; there
+    is no SQL equivalent, hence the query registers without an oracle
+    (driver rows-only). Arrow-batched pandas_udf — the per-row Python
+    work is a single C call into zlib."""
+
+    @F.pandas_udf(T.IntegerType())
+    def comp_len(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        return (
+            texts.fillna("")
+            .map(lambda t: len(zlib.compress(t.encode("utf-8"), level)))
+            .astype("int32")
+        )
+
+    return comp_len
+
+
 def mock_translate_series(texts: pd.Series, lang: str = "he") -> pd.Series:
     """Deterministic stand-in for MarianMT generate (reference:
     src/esco_translate.py:291-300): reverse word order, tag with target

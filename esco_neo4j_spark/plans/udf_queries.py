@@ -278,3 +278,36 @@ def pipeline_embed_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@query(
+    "udf_compression_ratio",
+    sql=None,  # zlib has no SQL equivalent; exact pytest golden instead
+    survey_ops="text-quality,I1,I2",
+    tables=("documents",),
+)
+def udf_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality scores per document (deflate bytes per
+    raw byte) through the Arrow-batched pandas UDF — the entropy-based
+    curation signal token heuristics cannot see. Rows-only in the driver
+    gate (no SQL zlib); tests/test_textmodel.py recomputes the exact
+    byte counts in plain Python. Narrow map, no shuffle: at 100 TB this
+    rides the first corpus scan like every other per-doc scorer."""
+    from esco_neo4j_spark.operators.textmodel import make_compression_udf
+
+    d = spark.table("documents")
+    comp = make_compression_udf()(F.col("text"))
+    return (
+        d.select(
+            "doc_id",
+            F.length("text").cast("int").alias("raw_len"),
+            comp.alias("comp_len"),
+        )
+        .withColumn(
+            "ratio",
+            F.round(
+                F.col("comp_len") / F.greatest(F.col("raw_len"), F.lit(1)), 6
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -54,3 +54,28 @@ def test_translate_writeback_preserves_all_columns(spark):
     out = translate_column(df, "text")
     row = out.collect()[0]
     assert row["extra"] == "x" and row["text_he"] == "he:b a"
+
+
+def test_compression_ratio_golden(spark):
+    # exact zlib byte counts, recomputed in plain Python over the same
+    # parquet — proves the Arrow round-trip alters nothing
+    import os
+    import zlib
+
+    import duckdb
+
+    from esco_neo4j_spark.plans import REGISTRY
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    got = {
+        r["doc_id"]: (r["raw_len"], r["comp_len"])
+        for r in REGISTRY["udf_compression_ratio"].fn(spark, sf_dir).collect()
+    }
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    assert len(got) == len(docs) > 0
+    for doc_id, text in docs:
+        raw = len(text)
+        comp = len(zlib.compress(text.encode("utf-8"), 6))
+        assert got[doc_id] == (raw, comp)
