@@ -427,3 +427,61 @@ def text_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", F.col("rk").cast("int").alias("rk"))
         .orderBy("source", "rk")
     )
+
+
+# per-source token budget for pipeline_token_budget (greedy fill below)
+_TOKEN_BUDGET = 2_500
+
+
+@query(
+    "pipeline_token_budget",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_TOKENS}) AS n_tokens FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source
+                                 ORDER BY n_tokens DESC, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM ranked WHERE cum_tokens <= {_TOKEN_BUDGET}
+    ORDER BY source, doc_id
+    """,
+    survey_ops="corpus-budget(ext),E,F2",
+    tables=("documents",),
+)
+def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget fill per source: rank each source's documents
+    by a priority key (longest-first here; any INTEGER priority plugs in
+    — integer keys keep the cross-engine order exact, where a float
+    score's last-ulp tie could flip the cutoff row) and keep documents
+    while the running token total stays within the per-source budget.
+    This is how a mixture spec ("N tokens from web, M from code") turns
+    into a concrete document set. One hash exchange on source; the
+    running sum is Spark's single-pass cumulative frame, and the budget
+    gate prunes before anything downstream is computed."""
+    d = spark.table("documents")
+    t = d.select(
+        "doc_id", "source", F.size(word_tokens(F.col("text"))).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= _TOKEN_BUDGET)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        )
+        .orderBy("source", "doc_id")
+    )

@@ -984,3 +984,60 @@ def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "events_transition_matrix",
+    sql="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    counts AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+           CAST(round(n::DOUBLE / sum(n) OVER (PARTITION BY prev_type), 6)
+                AS DOUBLE) AS p
+    FROM counts
+    ORDER BY prev_type, next_type
+    """,
+    survey_ops="sequence(ext),E,D2",
+    tables=("events",),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: lag() pairs consecutive events per user (ordered by ts with
+    event_id as the deterministic tiebreak), then (prev, next) counts and
+    row-normalized probabilities. The normalizing sum is a window over
+    the tiny (type x type) count table, so the only corpus-sized shuffle
+    is the per-user hash exchange the lag window needs — the same scale
+    shape as sessionization, and the building block for clickstream
+    next-step prediction and anomalous-path mining."""
+    ev = spark.table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    counts = (
+        ev.select(
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    norm = Window.partitionBy("prev_type")
+    return (
+        counts.select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.sum("n").over(norm), 6
+            ).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
