@@ -258,3 +258,53 @@ def test_fuzzy_match_joins_the_distinct_dictionary(spark):
     assert plan.count("HashAggregate") >= 2, (
         "fuzzy join inputs must be the distinct-name dictionary"
     )
+
+
+def test_pii_scrub_is_a_pure_scan_map(spark):
+    plan = _plan(spark, "text_pii_scrub")
+    # redaction is a per-row projection: nothing between the scan and the
+    # presentation sort may shuffle
+    head = plan.split("Sort")[0]
+    assert "Exchange" not in head, "PII scrub must not shuffle before the sort"
+
+
+def test_unigram_logprob_broadcasts_vocabulary(spark):
+    plan = _plan(spark, "text_unigram_logprob")
+    assert "BroadcastHashJoin" in plan, (
+        "token->vocab join must broadcast the vocabulary"
+    )
+    assert "SortMergeJoin" not in plan
+
+
+def _simple_plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    return buf.getvalue()
+
+
+def test_token_budget_has_single_source_exchange(spark):
+    plan = _simple_plan(spark, "pipeline_token_budget")
+    # one hash exchange on source for the cumulative window; the final
+    # ORDER BY is a rangepartitioning exchange — nothing else
+    hash_exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert len(hash_exchanges) == 1, (
+        f"budget fill needs exactly one hash exchange, saw {hash_exchanges}"
+    )
+
+
+def test_transition_matrix_single_user_exchange(spark):
+    plan = _simple_plan(spark, "events_transition_matrix")
+    # the corpus-sized exchange is the per-user lag window; the (prev,
+    # next) group-by and the normalizing window run on partial-aggregated
+    # / type-cardinality-bounded data
+    user_exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "user_id" in l
+    ]
+    assert len(user_exchanges) == 1, (
+        "lag window must hash-partition on user_id exactly once"
+    )
