@@ -870,3 +870,61 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_core(parents.union(preds).distinct(), k=2)
         .orderBy("id")
     )
+
+
+@query(
+    "graph_harmonic_closeness",
+    # oracle exploits the TREE shape: undirected tree distance d(u,v) =
+    # min over common ancestors a of d(u,a)+d(a,v) (minimized at the
+    # LCA), from each node's parent-chain — fully independent of the
+    # Spark side's generic frontier BFS.
+    sql=f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    verts AS (
+      SELECT src AS id FROM edges UNION SELECT dst FROM edges
+    ),
+    up AS (
+      SELECT id, id AS anc, 0 AS d FROM verts
+      UNION ALL
+      SELECT u.id, e.dst, u.d + 1 FROM up u JOIN edges e ON u.anc = e.src
+    ),
+    pairdist AS (
+      SELECT a.id AS u, min(a.d + b.d) AS dist
+      FROM up a JOIN up b ON a.anc = b.anc AND a.id <> b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT u AS id, CAST(count(*) AS BIGINT) AS n_reachable,
+           CAST(sum(CAST(round(1000000.0 / dist) AS BIGINT)) AS BIGINT)
+             AS harmonic_micro
+    FROM pairdist GROUP BY u ORDER BY id
+    """,
+    survey_ops="K4(ext),K1",
+    tables=("events",),
+)
+def graph_harmonic_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic closeness centrality C(u) = sum over v != u of 1/d(u,v)
+    — the closeness variant that is well-defined on disconnected graphs
+    (unreachable pairs contribute 0 instead of poisoning an average).
+    Runs the GENERIC undirected multi-source BFS closure (frontier
+    anti-join path — undirected inputs must never take the walk-
+    enumerating CTE); per-pair contributions are quantized to integer
+    micro-units before summing, so the centrality is exact in any
+    partition order. Completes the centrality family next to PageRank
+    (influence flow) and betweenness (brokerage): closeness measures
+    broadcast reach. Scale: state is the reachable pair set keyed
+    (origin, id) — O(V * diameter) rounds; at 100x prefer sampled
+    pivots (the Brandes-Pich move betweenness already makes)."""
+    tc = transitive_closure(_edges(spark), max_depth=20, directed=False)
+    # the undirected closure legitimately reaches u from u via
+    # parent-and-back (depth 2); closeness is over OTHER vertices only
+    tc = tc.filter(F.col("src") != F.col("dst"))
+    return (
+        tc.groupBy(F.col("src").alias("id"))
+        .agg(
+            F.count("*").alias("n_reachable"),
+            F.sum(
+                F.round(F.lit(1_000_000.0) / F.col("depth")).cast("bigint")
+            ).cast("bigint").alias("harmonic_micro"),
+        )
+        .orderBy("id")
+    )
