@@ -1041,3 +1041,81 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@query(
+    "events_winsorized_stats",
+    sql="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type,
+             quantile_cont(cents, 0.05) AS p05,
+             quantile_cont(cents, 0.95) AS p95
+      FROM c GROUP BY event_type
+    ),
+    clamped AS (
+      SELECT c.event_type,
+             CAST(round(least(greatest(c.cents, s.p05), s.p95) * 20)
+                  AS BIGINT) AS micro
+      FROM c JOIN stats s ON c.event_type = s.event_type
+    )
+    SELECT cl.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(s.p05 / 100.0, 4) AS DOUBLE) AS p05,
+           CAST(round(s.p95 / 100.0, 4) AS DOUBLE) AS p95,
+           CAST(sum(cl.micro) AS BIGINT) AS sum_micro,
+           CAST(round(sum(cl.micro) / (count(*) * 2000.0), 4) AS DOUBLE)
+             AS winsorized_mean
+    FROM clamped cl JOIN stats s ON cl.event_type = s.event_type
+    GROUP BY cl.event_type, s.p05, s.p95
+    ORDER BY cl.event_type
+    """,
+    survey_ops="robust-stats(ext),D8,C1",
+    tables=("events",),
+)
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (outlier-clamped) robust mean per event type: exact
+    p05/p95 percentiles per group, broadcast back onto the rows, values
+    clamped into the band, then re-aggregated. Every summed quantity is
+    an exact INTEGER: values quantize to cents, and the interpolated
+    percentiles land on 1/20-cent rationals (q=0.05 on integer cents),
+    so scaling by 20 restores integrality — the winsorized mean is then
+    one exact integer division, immune to float summation order. Scale
+    shape: group-stats table is type-cardinality-bounded and broadcast;
+    the rows shuffle once for the final partial-agg groupBy. At 100 TB
+    swap the exact percentile for percentile_approx and keep the rest."""
+    ev = spark.table("events")
+    c = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    stats = c.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.05)").alias("p05"),
+        F.expr("percentile(cents, 0.95)").alias("p95"),
+    )
+    micro = F.round(
+        F.least(F.greatest(F.col("cents").cast("double"), F.col("p05")),
+                F.col("p95")) * 20
+    ).cast("bigint")
+    return (
+        c.join(F.broadcast(stats), "event_type")
+        .select("event_type", "p05", "p95", micro.alias("micro"))
+        .groupBy("event_type", "p05", "p95")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("micro").cast("bigint").alias("sum_micro"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("p05") / 100.0, 4).alias("p05"),
+            F.round(F.col("p95") / 100.0, 4).alias("p95"),
+            "sum_micro",
+            F.round(
+                F.col("sum_micro") / (F.col("n") * F.lit(2000.0)), 4
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("event_type")
+    )
