@@ -1119,3 +1119,68 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_attribution_left",
+    sql="""
+    WITH ev AS (SELECT * REPLACE (make_timestamp(epoch_ns(ts)//1000) AS ts) FROM events)
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+    FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM ev WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 600 SECOND AND p.ts
+    ORDER BY purchase_id, click_id NULLS FIRST
+    """,
+    survey_ops="J(ext),range-join(ext),C8",
+    tables=("events",),
+)
+def events_attribution_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.interval_join_left: purchases with their
+    attributed clicks, plus an explicit null row for UNATTRIBUTED
+    purchases. Scale-safe shape: the matched pairs come from the same
+    banded (user_id, time-bucket) equi-join as events_interval_join; the
+    unmatched purchases come from a LEFT ANTI join against the matched
+    purchase-id set (hash join on a key whose cardinality is bounded by
+    the purchase count) — at no point does a raw range predicate drive
+    the join. The DuckDB oracle plans the naive LEFT JOIN natively."""
+    ev = spark.table("events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.floor(F.unix_micros("ts") / 600_000_000).alias("bucket"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    probed = purchases.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.floor(F.unix_micros("p_ts") / 600_000_000) - 1,
+                F.floor(F.unix_micros("p_ts") / 600_000_000),
+            )
+        ),
+    )
+    gap = F.unix_micros("p_ts") - F.unix_micros("c_ts")
+    matched = (
+        probed.join(clicks, ["user_id", "bucket"])
+        .filter((gap >= 0) & (gap <= 600_000_000))
+        .select("purchase_id", "click_id", "user_id", gap.alias("gap_us"))
+    )
+    unmatched = (
+        purchases.join(
+            matched.select("purchase_id"), "purchase_id", "left_anti"
+        )
+        .select(
+            "purchase_id",
+            F.lit(None).cast("bigint").alias("click_id"),
+            "user_id",
+            F.lit(None).cast("bigint").alias("gap_us"),
+        )
+    )
+    return matched.unionByName(unmatched).orderBy(
+        "purchase_id", F.asc_nulls_first("click_id")
+    )

@@ -161,6 +161,59 @@ def interval_join(
     )
 
 
+def interval_join_left(
+    events: DataFrame,
+    bound_s: int = 600,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join: every purchase, with its
+    attributed clicks when they exist and an explicit null row when none
+    do — the attribution report that must also show the UNATTRIBUTED
+    conversions. Batch twin: plans/event_queries.events_attribution_left
+    (DuckDB-oracle checked); tests/test_streaming.py asserts stream ==
+    batch.
+
+    Outer semantics need the same state-expiry pair as the inner join
+    (two-sided watermark + time-bounded condition), and add a subtlety
+    the inner join does not have: a null row can only be EMITTED once the
+    purchase-side watermark has passed the end of that purchase's match
+    window (before that, a matching click could still arrive). Purchases
+    near the head of the stream therefore surface only after the
+    watermark advances — tests append a far-future sentinel event to
+    flush them, and a production pipeline sees the same rows one
+    watermark-delay late. State stays bounded exactly as in the inner
+    case.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    cond = F.expr(
+        f"p_user = c_user AND c_ts >= p_ts - interval {int(bound_s)} seconds"
+        " AND c_ts <= p_ts"
+    )
+    return purchases.join(clicks, cond, "leftOuter").select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+
+
 def upsert_sink(stream_df: DataFrame, path: str, keys: list[str], checkpoint: str):
     """foreachBatch sink that MERGEs each micro-batch into a parquet table
     (sources/merge.py upsert) — the streaming face of the incremental

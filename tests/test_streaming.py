@@ -242,3 +242,45 @@ def test_transform_with_state_totals_equal_batch(spark, event_dir):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_left_outer_join_equals_batch(spark, event_dir, tmp_path):
+    """LEFT-OUTER stream-stream interval join == batch left join. Outer
+    null rows only emit once the watermark passes each purchase's match
+    window, so the input gets far-future sentinel events (one per side)
+    that push every real window closed; sentinels are filtered from the
+    comparison (the sentinel purchase itself legitimately stays in state
+    forever — its own window never closes)."""
+    import datetime
+    import shutil
+
+    from esco_neo4j_spark.streaming.events import interval_join_left
+
+    path = str(tmp_path / "events_sentinel")
+    shutil.copytree(event_dir, path)
+    base = spark.read.parquet(event_dir)
+    far = datetime.datetime(2030, 1, 1)
+    sent = spark.createDataFrame(
+        [
+            (10**9, far, 999999, "click", 0.0, "{}"),
+            (10**9 + 1, far, 999999, "purchase", 0.0, "{}"),
+        ],
+        base.schema,
+    )
+    sent.write.mode("append").parquet(path)
+
+    stream = interval_join_left(read_event_stream(spark, path))
+    run_to_memory(stream, "t_ivleft", output_mode="append")
+    got = _rows(spark.table("t_ivleft").filter("user_id <> 999999"))
+    want = _rows(
+        interval_join_left(spark.read.parquet(path)).filter("user_id <> 999999")
+    )
+    assert got == want and len(got) > 0
+    assert any(r[1] is None for r in got), "unattributed purchases must surface"
+
+    # ... and against the REGISTRY batch twin (banded equi-join + anti-join),
+    # algorithmically independent and itself DuckDB-checked.
+    from esco_neo4j_spark.plans import REGISTRY
+
+    twin = _rows(REGISTRY["events_attribution_left"].fn(spark, SF_DIR))
+    assert got == twin
