@@ -564,3 +564,78 @@ def vec_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .limit(200)
     )
+
+
+def _matryoshka_sql(prefix_dims: int = 16, m: int = 50, k: int = 10) -> str:
+    # coarse dot as an explicit LEFT-ASSOCIATED chain over the same
+    # doubles Spark's aggregate() fold sees -> bit-identical candidate
+    # cutoff (the _lsh_bucket_sql trick); full cosine rounded 6dp as in
+    # every other vector query.
+    chain = " + ".join(
+        f"v.v[{j + 1}] * a.aemb[{j + 1}]" for j in range(prefix_dims)
+    )
+    return f"""
+    WITH a AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS aemb FROM embeddings
+      WHERE vec_id = 0
+    ),
+    v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE embedding IS NOT NULL
+    ),
+    coarse AS (
+      SELECT v.vec_id, v.v, (0.0 + {chain}) AS cdot
+      FROM v CROSS JOIN a
+    ),
+    cand AS (
+      SELECT vec_id, v, cdot FROM coarse
+      QUALIFY row_number() OVER (ORDER BY cdot DESC, vec_id) <= {m}
+    )
+    SELECT c.vec_id,
+           CAST(round(c.cdot, 6) AS DOUBLE) AS coarse_score,
+           CAST(round(list_cosine_similarity(c.v, a.aemb), 6) AS DOUBLE)
+             AS score
+    FROM cand c CROSS JOIN a
+    ORDER BY score DESC, vec_id LIMIT {k}
+    """
+
+
+@query(
+    "vec_matryoshka_rerank",
+    sql=_matryoshka_sql(),
+    survey_ops="A7,K7,vector-matryoshka(ext)",
+    tables=("embeddings",),
+)
+def vec_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style two-stage search: a cheap dot product over the
+    FIRST 16 of 64 dimensions picks m=50 candidates, then exact full-
+    dimension cosine reranks to the final top-10 — the truncated-prefix
+    pattern matryoshka-trained embeddings exist for, and the third ANN
+    family next to IVF (partition pruning) and LSH (hash pruning): here
+    the pruning axis is DIMENSIONS, so stage 1 reads a quarter of the
+    vector bytes. The coarse dot is a left-associated double fold on
+    both engines (bit-identical, so the candidate CUTOFF is exact, not
+    rounded); stage 2 scores only m rows. Both stages are scans +
+    TakeOrderedAndProject — no shuffle, no index build; at 100 TB store
+    the prefix as its own column (or PQ-code it) so stage 1's scan
+    shrinks on disk too."""
+    anchor = _anchor_vec(spark)
+    prefix = [float(x) for x in anchor[:16]]
+    e = spark.table("embeddings").filter(F.col("embedding").isNotNull())
+    cdot = dot_product(F.slice(F.col("embedding"), 1, 16), prefix)
+    cand = (
+        e.select("vec_id", "embedding", cdot.alias("cdot"))
+        .orderBy(F.desc("cdot"), F.asc("vec_id"))
+        .limit(50)
+    )
+    return (
+        cand.select(
+            "vec_id",
+            F.round("cdot", 6).alias("coarse_score"),
+            F.round(
+                cosine_similarity(F.col("embedding"), anchor), 6
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )
