@@ -1184,3 +1184,67 @@ def events_attribution_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matched.unionByName(unmatched).orderBy(
         "purchase_id", F.asc_nulls_first("click_id")
     )
+
+
+@query(
+    "events_activity_streaks",
+    sql="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    isl AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS INT) AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, CAST(count(*) AS INT) AS streak_days,
+             min(day) AS streak_start, max(day) AS streak_end
+      FROM isl GROUP BY user_id, grp
+    )
+    SELECT user_id, streak_days,
+           strftime(streak_start, '%Y-%m-%d') AS streak_start,
+           strftime(streak_end, '%Y-%m-%d') AS streak_end
+    FROM streaks
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY streak_days DESC, streak_start) = 1
+    ORDER BY user_id
+    """,
+    survey_ops="gaps-islands(ext),E,D2",
+    tables=("events",),
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands pattern: distinct active days, island key = day
+    minus row_number (consecutive days share it), count per island, keep
+    each user's longest (earliest start on ties). Both windows partition
+    by user_id, so the whole query rides ONE hash exchange; island keys
+    are exact date arithmetic — nothing floats. The engagement metric
+    behind retention dashboards, and the shape behind uptime/outage
+    interval reports."""
+    ev = spark.table("events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.withColumn(
+        "grp", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count("*").cast("int").alias("streak_days"),
+        F.min("day").alias("streak_start"),
+        F.max("day").alias("streak_end"),
+    )
+    pick = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_days"), F.asc("streak_start")
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "streak_days",
+            F.date_format("streak_start", "yyyy-MM-dd").alias("streak_start"),
+            F.date_format("streak_end", "yyyy-MM-dd").alias("streak_end"),
+        )
+        .orderBy("user_id")
+    )

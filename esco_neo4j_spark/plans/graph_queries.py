@@ -928,3 +928,43 @@ def graph_harmonic_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id")
     )
+
+
+@query(
+    "graph_eccentricity",
+    # same LCA tree-distance oracle as graph_harmonic_closeness, reduced
+    # by max instead of a harmonic sum
+    sql=f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    verts AS (
+      SELECT src AS id FROM edges UNION SELECT dst FROM edges
+    ),
+    up AS (
+      SELECT id, id AS anc, 0 AS d FROM verts
+      UNION ALL
+      SELECT u.id, e.dst, u.d + 1 FROM up u JOIN edges e ON u.anc = e.src
+    ),
+    pairdist AS (
+      SELECT a.id AS u, min(a.d + b.d) AS dist
+      FROM up a JOIN up b ON a.anc = b.anc AND a.id <> b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT u AS id, CAST(max(dist) AS INT) AS eccentricity
+    FROM pairdist GROUP BY u ORDER BY id
+    """,
+    survey_ops="K4(ext),K1",
+    tables=("events",),
+)
+def graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex eccentricity (max undirected distance to any reachable
+    vertex) — max over the same generic BFS closure harmonic closeness
+    sums over; the graph's diameter and radius read off as max/min of
+    this column. Integer distances, so the reduction is exact by
+    construction."""
+    tc = transitive_closure(_edges(spark), max_depth=20, directed=False)
+    return (
+        tc.filter(F.col("src") != F.col("dst"))
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.max("depth").cast("int").alias("eccentricity"))
+        .orderBy("id")
+    )
