@@ -1248,3 +1248,47 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_scd2_intervals",
+    sql="""
+    WITH ev AS (SELECT * REPLACE (make_timestamp(epoch_ns(ts)//1000) AS ts) FROM events)
+    SELECT user_id,
+           event_type AS state,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           coalesce(strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S'),
+                    '9999-12-31 00:00:00') AS valid_to,
+           CAST(lead(ts) OVER w IS NULL AS BOOLEAN) AS is_current
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    QUALIFY user_id < 20
+    ORDER BY user_id, valid_from, state
+    """,
+    survey_ops="scd2(ext),E,H10",
+    tables=("events",),
+)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: each user's change events
+    become half-open validity intervals via lead() over (ts, event_id) —
+    valid_to is the next change's timestamp, the open interval gets the
+    conventional 9999-12-31 sentinel and is flagged current. One hash
+    exchange on user_id; this is how an event log becomes a point-in-
+    time-joinable dimension table (pair with ext_asof_join to query it).
+    Output restricted to 20 users to keep the driver compare bounded."""
+    ev = spark.table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (
+        ev.filter(F.col("user_id") < 20)
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.date_format("ts", _FMT_SPARK).alias("valid_from"),
+            F.coalesce(
+                F.date_format(nxt, _FMT_SPARK), F.lit("9999-12-31 00:00:00")
+            ).alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from", "state")
+    )
