@@ -968,3 +968,85 @@ def graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("depth").cast("int").alias("eccentricity"))
         .orderBy("id")
     )
+
+
+_WEDGES_SQL = """
+    SELECT src, dst, 1 + ((src + dst) % 3) AS w FROM (
+      SELECT DISTINCT user_id AS src, user_id // 2 AS dst
+      FROM events WHERE user_id >= 1
+      UNION
+      SELECT DISTINCT user_id, user_id - 1
+      FROM events WHERE user_id >= 2
+    )
+"""
+
+
+def _pagerank_weighted_unrolled_sql(
+    n_iter: int = 10, damping: float = 0.85, scale: int = 10**9
+) -> str:
+    """Unrolled DuckDB twin of operators/graph.pagerank_weighted_fixedpoint.
+    All state is BIGINT units; the only float op per vertex per iteration
+    is the single damping multiply+round — deterministic on both engines —
+    so the whole 10-iteration chain is value-exact BY CONSTRUCTION, not
+    empirically (contrast _pagerank_unrolled_sql's in-degree<=2 argument)."""
+    base = int(round((1.0 - damping) * scale))
+    sql = [f"""
+    WITH edges AS ({_WEDGES_SQL}),
+    verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    wsum AS (SELECT src, sum(w) AS wtot FROM edges GROUP BY src),
+    ed AS (SELECT e.src, e.dst, e.w, s.wtot FROM edges e JOIN wsum s ON e.src = s.src),
+    r0 AS (SELECT id, CAST({scale} AS BIGINT) AS r FROM verts)"""]
+    for i in range(1, n_iter + 1):
+        sql.append(f""",
+    m{i} AS (
+      SELECT ed.dst AS id, sum((r.r * ed.w) // ed.wtot) AS msg
+      FROM ed JOIN r{i - 1} r ON ed.src = r.id GROUP BY ed.dst
+    ),
+    r{i} AS (
+      SELECT v.id,
+             CAST({base} + round({damping!r} * coalesce(m.msg, 0)) AS BIGINT)
+               AS r
+      FROM verts v LEFT JOIN m{i} m ON v.id = m.id
+    )""")
+    sql.append(f"""
+    SELECT id, r AS rank_units,
+           CAST(round(r / {float(scale)!r}, 6) AS DOUBLE) AS rank
+    FROM r{n_iter} ORDER BY id""")
+    return "".join(sql)
+
+
+@query(
+    "graph_pagerank_weighted",
+    sql=_pagerank_weighted_unrolled_sql(),
+    survey_ops="K4-adjacent(pagerank-weighted,ext)",
+    tables=("events",),
+)
+def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED PageRank on the parent+predecessor graph (out-degree <= 2,
+    edge weight 1 + (src+dst) % 3), computed in fixed-point integer units
+    so per-vertex message sums are associative — bit-identical at any
+    parallelism, hence a FULL value oracle where float PageRank on a
+    >2-in-degree graph could only ever be empirically stable (see
+    operators/graph.pagerank_weighted_fixedpoint)."""
+    from esco_neo4j_spark.operators.graph import pagerank_weighted_fixedpoint
+
+    ev = spark.table("events")
+    parents = ev.filter(F.col("user_id") >= 1).select(
+        F.col("user_id").alias("src"),
+        (F.col("user_id") / 2).cast("bigint").alias("dst"),
+    )
+    preds = ev.filter(F.col("user_id") >= 2).select(
+        F.col("user_id").alias("src"),
+        (F.col("user_id") - 1).cast("bigint").alias("dst"),
+    )
+    e = (
+        parents.union(preds)
+        .distinct()
+        .withColumn("weight", 1 + (F.col("src") + F.col("dst")) % 3)
+    )
+    pr = pagerank_weighted_fixedpoint(e, num_iter=10)
+    return pr.select(
+        "id",
+        "rank_units",
+        F.round(F.col("rank_units") / 1_000_000_000.0, 6).alias("rank"),
+    ).orderBy("id")
