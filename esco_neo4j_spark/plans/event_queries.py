@@ -1292,3 +1292,68 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from", "state")
     )
+
+
+@query(
+    "events_mad_dispersion",
+    sql="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(cents, 0.5) AS med_cents
+      FROM c GROUP BY event_type
+    ),
+    dev AS (
+      SELECT c.event_type,
+             CAST(round(abs(c.cents - m.med_cents) * 2) AS BIGINT) AS half_dev
+      FROM c JOIN med m ON c.event_type = m.event_type
+    )
+    SELECT d.event_type,
+           CAST(round(m.med_cents / 100.0, 4) AS DOUBLE) AS median_value,
+           CAST(round(quantile_cont(d.half_dev, 0.5) / 200.0, 4) AS DOUBLE)
+             AS mad_value
+    FROM dev d JOIN med m ON d.event_type = m.event_type
+    GROUP BY d.event_type, m.med_cents
+    ORDER BY d.event_type
+    """,
+    survey_ops="robust-stats(ext),D8,C1",
+    tables=("events",),
+)
+def events_mad_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type — the robust dispersion
+    companion to events_winsorized_stats: median of |value - median|.
+    Same integrality discipline: values quantize to cents; the group
+    median lands on half-cents (quantile of integers), so deviations
+    double to exact integers BEFORE the second quantile — both medians
+    are then single interpolated values with no order-sensitive float
+    sum anywhere. Broadcast-joined group medians; two corpus exchanges
+    (the two groupBys). At 100 TB use percentile_approx twice."""
+    ev = spark.table("events")
+    c = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    med = c.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5)").alias("med_cents")
+    )
+    dev = (
+        c.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            "med_cents",
+            F.round(F.abs(F.col("cents") - F.col("med_cents")) * 2)
+            .cast("bigint")
+            .alias("half_dev"),
+        )
+    )
+    return (
+        dev.groupBy("event_type", "med_cents")
+        .agg(F.expr("percentile(half_dev, 0.5)").alias("mad_half"))
+        .select(
+            "event_type",
+            F.round(F.col("med_cents") / 100.0, 4).alias("median_value"),
+            F.round(F.col("mad_half") / 200.0, 4).alias("mad_value"),
+        )
+        .orderBy("event_type")
+    )

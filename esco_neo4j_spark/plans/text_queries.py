@@ -597,3 +597,56 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "score", F.col("rk").cast("int").alias("rk"))
         .orderBy("doc_id", "rk")
     )
+
+
+@query(
+    "text_vocab_stats",
+    sql=f"""
+    WITH toks AS (
+      SELECT source, unnest({_TOKENS}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT source, term, count(*) AS n FROM toks GROUP BY source, term
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(round(count(*)::DOUBLE / sum(n), 6) AS DOUBLE)
+             AS type_token_ratio,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           CAST(round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::DOUBLE
+                / count(*), 6) AS DOUBLE) AS hapax_fraction
+    FROM tf GROUP BY source ORDER BY source
+    """,
+    survey_ops="text-vocab(ext),D2,D5",
+    tables=("documents",),
+)
+def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-linguistics vocabulary profile per source: type-token
+    ratio (lexical diversity) and hapax-legomena fraction (terms seen
+    once — the Heaps'-law tail that dominates tokenizer vocab design).
+    Two partial-aggregable groupBys; every ratio is ONE division of two
+    exact integers, so 6dp rounding is deterministic. The diagnostic
+    that catches template-generated or looped text at corpus level,
+    complementing the per-document repetition scores."""
+    d = spark.table("documents")
+    toks = d.select(
+        "source", F.explode(word_tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("source", "term").agg(F.count("*").alias("n"))
+    hapax = F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("total_tokens"),
+            F.count("*").cast("bigint").alias("vocab_size"),
+            F.round(
+                F.count("*").cast("double") / F.sum("n").cast("double"), 6
+            ).alias("type_token_ratio"),
+            hapax.cast("bigint").alias("hapax"),
+            F.round(
+                hapax.cast("double") / F.count("*").cast("double"), 6
+            ).alias("hapax_fraction"),
+        )
+        .orderBy("source")
+    )

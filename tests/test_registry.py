@@ -35,4 +35,7 @@ def test_every_query_has_oracle_or_documented_rows_only():
         # GK quantile sketches are implementation-specific; rank-error
         # bounded against exact quantiles in tests/test_sketches.py
         "events_value_quantiles_approx",
+        # no SQL zlib exists; exact plain-Python byte-count golden in
+        # tests/test_textmodel.py
+        "udf_compression_ratio",
     }
