@@ -151,6 +151,28 @@ def lsh_candidate_pairs(
     key the self-join uses, so AQE reuses the exchange) — standard practice
     for LSH dedup at scale; recall loss is confined to pathological keys.
     """
+    banded = _banded_keys(sigs, bands, rows_per_band, max_bucket)
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def _banded_keys(
+    sigs: DataFrame,
+    bands: int,
+    rows_per_band: int,
+    max_bucket: int | None,
+) -> DataFrame:
+    """(id, sig) -> (id, band_id, band_key) with the hot-bucket cap applied
+    (shared by the self-join and incremental candidate paths)."""
     from pyspark.sql import Window
 
     banded = sigs.select(
@@ -180,16 +202,69 @@ def lsh_candidate_pairs(
             .filter(F.col("_bucket_n") <= max_bucket)
             .drop("_bucket_n")
         )
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
+    return banded
+
+
+def minhash_incremental_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    new_pred,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int | None = 64,
+) -> DataFrame:
+    """Incremental near-dup detection: candidates for the NEW batch only.
+
+    A living 100 TB corpus never re-deduplicates the world on ingest —
+    it checks the incoming batch against everything. The probe side of
+    the banded equi-join is restricted to batch documents
+    (``new_pred(id_col) == true``), so join work scales with
+    |batch| x bucket width, not |corpus|^2; batch-batch pairs are kept
+    once (id_a < id_b), batch-base pairs always, base-base pairs never
+    computed. Same signatures, banding, and hot-bucket cap as
+    minhash_dedup_pairs — at steady state the corpus side's banded keys
+    are precomputed once and stored, making ingest dedup a pure probe.
+
+    ``new_pred``: Column -> Column boolean predicate identifying batch
+    docs from the id (deterministic, so the oracle replays it).
+    Returns (batch_id, other_id, jaccard, other_is_base).
+    """
+    rows_per_band = num_hashes // bands
+    sh = shingled(df, text_col, id_col, shingle_n)
+    hashed = sh.select("id", F.transform("sh", md5_int28).alias("hs"))
+    sigs = _minhash_sig_from_hashed(hashed, num_hashes)
+    banded = _banded_keys(sigs, bands, rows_per_band, max_bucket)
+    a = banded.filter(new_pred(F.col("id"))).alias("a")
+    b = banded.alias("b")
+    cands = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.id") != F.col("b.id"))
+            & (~new_pred(F.col("b.id")) | (F.col("a.id") < F.col("b.id"))),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
+    union = F.size(F.array_union(F.col("sa"), F.col("sb"))).cast("double")
+    return (
+        cands.join(
+            sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sa")), "id_a"
+        )
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sb")), "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("id_a").alias("batch_id"),
+            F.col("id_b").alias("other_id"),
+            "jaccard",
+            (~new_pred(F.col("id_b"))).alias("other_is_base"),
+        )
     )
 
 

@@ -340,3 +340,45 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# incremental variant: candidate join probes ONLY batch docs (id % 5 == 0)
+_INC_CTES = _MINHASH_CTES.replace(
+    "AND a.id < b.id",
+    "AND a.id % 5 = 0 AND a.id <> b.id AND (b.id % 5 <> 0 OR a.id < b.id)",
+)
+_INC_SQL = f"""
+    WITH {_INC_CTES},
+    pairs AS ({_MINHASH_PAIRS_SELECT})
+    SELECT id_a AS batch_id, id_b AS other_id, jaccard,
+           CAST(id_b % 5 <> 0 AS BOOLEAN) AS other_is_base
+    FROM pairs ORDER BY batch_id, other_id
+"""
+
+
+@query(
+    "dedup_minhash_incremental",
+    sql=_INC_SQL,
+    survey_ops="dedup-incremental(ext),dedup-minhash",
+    tables=("documents",),
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time near-dup check: the NEW batch (docs with id % 5 == 0
+    standing in for today's crawl) probed against the whole corpus via
+    the same MinHash banding as dedup_minhash_lsh — batch-batch pairs
+    once, batch-base pairs always, base-base pairs NEVER computed. This
+    is the asymmetric join a living corpus actually runs on ingest (work
+    scales with |batch| x bucket width, not |corpus|^2); the oracle
+    replays identical signatures, banding, bucket cap, and the
+    probe-side restriction."""
+    from esco_neo4j_spark.operators.dedup import minhash_incremental_pairs
+
+    return minhash_incremental_pairs(
+        spark.table("documents"),
+        "text",
+        "doc_id",
+        new_pred=lambda c: c % 5 == 0,
+        threshold=0.5,
+        num_hashes=16,
+        bands=4,
+    ).orderBy("batch_id", "other_id")
