@@ -268,6 +268,49 @@ def minhash_incremental_pairs(
     )
 
 
+def minhash_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int | None = 64,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT dedup: C(A in B) = |A∩B| / |A|.
+
+    Jaccard misses subset duplication — a short document quoted whole
+    inside a long one scores low symmetrically but ~1.0 directionally.
+    Same banded LSH candidates as minhash_dedup_pairs (recall bounded by
+    the banding, as there); the verify step scores BOTH directions and
+    keeps pairs where either containment >= threshold. Each score is one
+    division of two exact integers. Returns (id_a, id_b, containment_a,
+    containment_b) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sh = shingled(df, text_col, id_col, shingle_n)
+    hashed = sh.select("id", F.transform("sh", md5_int28).alias("hs"))
+    sigs = _minhash_sig_from_hashed(hashed, num_hashes)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band, max_bucket)
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
+    c_a = F.round(inter / F.size("sa").cast("double"), 6)
+    c_b = F.round(inter / F.size("sb").cast("double"), 6)
+    return (
+        cands.join(
+            sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sa")), "id_a"
+        )
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sb")), "id_b")
+        .withColumn("containment_a", c_a)
+        .withColumn("containment_b", c_b)
+        .filter(
+            (F.col("containment_a") >= threshold)
+            | (F.col("containment_b") >= threshold)
+        )
+        .select("id_a", "id_b", "containment_a", "containment_b")
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str,

@@ -382,3 +382,37 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=16,
         bands=4,
     ).orderBy("batch_id", "other_id")
+
+
+_CONTAIN_SQL = f"""
+    WITH {_MINHASH_CTES}
+    SELECT c.id_a, c.id_b,
+           CAST(round(len(list_intersect(x.sh, y.sh))::DOUBLE / len(x.sh), 6)
+             AS DOUBLE) AS containment_a,
+           CAST(round(len(list_intersect(x.sh, y.sh))::DOUBLE / len(y.sh), 6)
+             AS DOUBLE) AS containment_b
+    FROM cands c JOIN sh x ON c.id_a = x.id JOIN sh y ON c.id_b = y.id
+    WHERE round(len(list_intersect(x.sh, y.sh))::DOUBLE / len(x.sh), 6) >= 0.7
+       OR round(len(list_intersect(x.sh, y.sh))::DOUBLE / len(y.sh), 6) >= 0.7
+    ORDER BY id_a, id_b
+"""
+
+
+@query(
+    "dedup_containment",
+    sql=_CONTAIN_SQL,
+    survey_ops="dedup-containment(ext),dedup-minhash",
+    tables=("documents",),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup over the same banded LSH candidates
+    as dedup_minhash_lsh: |A∩B|/|A| and /|B| both scored, pair kept when
+    either direction >= 0.7 — the detector for subset duplication
+    (quotes, boilerplate-wrapped copies) that symmetric Jaccard
+    under-scores. Single-division integer ratios; oracle replays the
+    full candidate generation."""
+    from esco_neo4j_spark.operators.dedup import minhash_containment_pairs
+
+    return minhash_containment_pairs(
+        spark.table("documents"), "text", "doc_id", threshold=0.7
+    ).orderBy("id_a", "id_b")
