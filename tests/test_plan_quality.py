@@ -308,3 +308,32 @@ def test_transition_matrix_single_user_exchange(spark):
     assert len(user_exchanges) == 1, (
         "lag window must hash-partition on user_id exactly once"
     )
+
+
+def test_matryoshka_both_stages_are_topk(spark):
+    plan = _plan(spark, "vec_matryoshka_rerank")
+    assert plan.count("TakeOrderedAndProject") >= 2, (
+        "both the candidate cut and the rerank must plan as top-k"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_has_no_cartesian_join(spark):
+    plan = _plan(spark, "dedup_minhash_incremental")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "candidate generation must stay a banded equi-join"
+    )
+
+
+def test_mad_broadcasts_group_medians(spark):
+    plan = _plan(spark, "events_mad_dispersion")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_attribution_left_is_equi_plus_anti(spark):
+    plan = _simple_plan(spark, "events_attribution_left")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan, "unmatched purchases must come from an anti-join"

@@ -75,3 +75,58 @@ def test_chunking_expression_handles_a_million_token_document(spark):
     )
     expected = -(-(1_000_000 - _CHUNK_W) // _CHUNK_S) + 1
     assert exploded.count() == expected
+
+
+def test_token_budget_fill_at_2m_rows_100_sources(spark):
+    # the cumulative window must run per-source in parallel and cut
+    # exactly at the budget: 100 sources x 20k docs of 10 tokens each,
+    # budget 2500 -> exactly 250 kept per source, max cum <= budget
+    from esco_neo4j_spark.plans.corpus_queries import _TOKEN_BUDGET
+    from pyspark.sql import Window
+
+    rows = spark.range(0, N, 1, 64).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 100).cast("string").alias("source"),
+        F.lit(10).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept = (
+        rows.withColumn("cum", F.sum("n_tokens").over(w))
+        .filter(F.col("cum") <= _TOKEN_BUDGET)
+    )
+    got = kept.groupBy("source").agg(
+        F.count("*").alias("n"), F.max("cum").alias("hi")
+    )
+    stats = got.agg(
+        F.count("*").alias("sources"),
+        F.min("n").alias("lo_n"),
+        F.max("n").alias("hi_n"),
+        F.max("hi").alias("max_cum"),
+    ).collect()[0]
+    per_source = _TOKEN_BUDGET // 10
+    assert (
+        stats["sources"], stats["lo_n"], stats["hi_n"]
+    ) == (100, per_source, per_source)
+    assert stats["max_cum"] <= _TOKEN_BUDGET
+
+
+def test_lag_transition_pairs_at_2m_events(spark):
+    # the lag window pairs exactly n-1 consecutive rows per key: 2m
+    # events over 1000 users -> sum of (n_k - 1) = N - 1000 transitions
+    from pyspark.sql import Window
+
+    ev = spark.range(0, N, 1, 64).select(
+        (F.col("id") % 1000).alias("user_id"),
+        F.col("id").alias("event_id"),
+        (F.col("id") % 7).cast("string").alias("event_type"),
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    pairs = (
+        ev.select("event_type", F.lag("event_type").over(w).alias("prev"))
+        .filter(F.col("prev").isNotNull())
+    )
+    assert pairs.count() == N - 1000
