@@ -1357,3 +1357,70 @@ def events_mad_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_session_window_native",
+    sql="""
+    WITH ev AS (SELECT * REPLACE (make_timestamp(epoch_ns(ts)//1000) AS ts) FROM events),
+    ordered AS (
+      SELECT user_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM ev
+    ),
+    flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch(ts) - epoch(prev_ts) >= 1800 THEN 1 ELSE 0 END
+               AS new_s
+      FROM ordered
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+             AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    survey_ops="J(ext),E(ext)",
+    tables=("events",),
+)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rows via Spark's NATIVE session_window (30-minute
+    gap): the JVM-side merging-interval aggregation that runs unchanged
+    under Structured Streaming — the scale path next to the
+    applyInPandasWithState sessionizer (streaming/events.py), which
+    exists for CUSTOM per-session logic. Session end is last event +
+    gap, Spark's convention, mirrored in the oracle; values sum as
+    integer cents. The oracle derives the same sessions independently
+    via the lag >= gap island method."""
+    ev = spark.table("events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", _FMT_SPARK)
+            .alias("session_start"),
+            F.date_format("session_window.end", _FMT_SPARK)
+            .alias("session_end"),
+            "n_events",
+            "sum_cents",
+        )
+        .orderBy("user_id", "session_start")
+    )
