@@ -329,7 +329,14 @@ def minhash_dedup_pairs(
     # NB: shingles appear in three plan branches (signature + both verify
     # joins); measured head-to-head, recomputing them beats .cache() —
     # the tokenize+shingle+md5 projection is cheaper than serializing the
-    # shingle arrays into the block store (2.4s vs 8.1s first-run at sf0.1)
+    # shingle arrays into the block store (2.4s vs 8.1s first-run at sf0.1).
+    # A semi-join that re-shingles only candidate docs for the verify also
+    # measured WORSE (3.6-4.0s): Spark has no common-subexpression
+    # materialization, so referencing the candidate subtree from the two
+    # semi-joined branches re-evaluates the whole banding pipeline three
+    # times. On a real cluster the move is to MATERIALIZE candidates
+    # (checkpoint/table) and verify against a shingle probe of just those
+    # docs — a two-job pipeline, not one plan.
     sh = shingled(df, text_col, id_col, shingle_n)
     hashed = sh.select("id", F.transform("sh", md5_int28).alias("hs"))
     sigs = _minhash_sig_from_hashed(hashed, num_hashes)
