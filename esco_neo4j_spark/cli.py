@@ -177,6 +177,10 @@ def cmd_query(args) -> int:
         return 2
     spark = _spark(args)
     df = REGISTRY[args.name].fn(spark, args.sf_dir)
+    if args.explain:
+        # the plan IS the product at 100 TB — surface it next to results
+        df.explain("formatted")
+        return 0
     _print_df(df, args.json, limit=args.limit)
     return 0
 
@@ -258,6 +262,11 @@ def build_parser() -> argparse.ArgumentParser:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     q.add_argument("--limit", type=int, default=50)
     q.add_argument("--json", action="store_true")
+    q.add_argument(
+        "--explain",
+        action="store_true",
+        help="print the formatted physical plan instead of results",
+    )
     q.set_defaults(fn=cmd_query)
 
     ls = sub.add_parser("list", help="list registered queries")

@@ -1424,3 +1424,95 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "events_ab_test_lift",
+    sql="""
+    WITH assigned AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7))::BIGINT % 2
+               AS variant,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    agg AS (
+      SELECT event_type,
+             sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b,
+             sum(CASE WHEN variant = 0 THEN cents ELSE 0 END) AS sum_a,
+             sum(CASE WHEN variant = 1 THEN cents ELSE 0 END) AS sum_b,
+             sum(CASE WHEN variant = 0 THEN cents * cents ELSE 0 END) AS ssq_a,
+             sum(CASE WHEN variant = 1 THEN cents * cents ELSE 0 END) AS ssq_b
+      FROM assigned GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(round(sum_a / (n_a * 100.0), 4) AS DOUBLE) AS mean_a,
+           CAST(round(sum_b / (n_b * 100.0), 4) AS DOUBLE) AS mean_b,
+           CAST(round((sum_b / CAST(n_b AS DOUBLE))
+                      / (sum_a / CAST(n_a AS DOUBLE)) - 1.0, 6) AS DOUBLE)
+             AS lift,
+           CAST(round(
+             (sum_b / CAST(n_b AS DOUBLE) - sum_a / CAST(n_a AS DOUBLE))
+             / sqrt(
+                 (ssq_a - sum_a * (sum_a / CAST(n_a AS DOUBLE)))
+                   / (n_a - 1) / n_a
+               + (ssq_b - sum_b * (sum_b / CAST(n_b AS DOUBLE)))
+                   / (n_b - 1) / n_b
+               ), 4) AS DOUBLE) AS z_stat
+    FROM agg
+    ORDER BY event_type
+    """,
+    survey_ops="ab-test(ext),D8",
+    tables=("events",),
+)
+def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout per metric (event type): deterministic
+    50/50 assignment from a user-id hash (the same stable-bucket device
+    as the stratified sampler — users keep their arm across sessions and
+    tables), then per-arm mean, relative lift, and Welch z-statistic.
+    Everything aggregated is an exact integer (counts, cent sums, cent
+    sums-of-squares), partial-aggregable map-side; the float arithmetic
+    runs once per (metric, arm) scalar on both engines in the same
+    written order, so 4-6dp rounding is deterministic. One corpus
+    exchange on event_type."""
+    ev = spark.table("events")
+    variant = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 7), 16, 10)
+        .cast("bigint") % 2
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    a = ev.select("event_type", variant.alias("variant"), cents.alias("cents"))
+    agg = a.groupBy("event_type").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("cents")).otherwise(0)).alias("sum_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("cents")).otherwise(0)).alias("sum_b"),
+        F.sum(
+            F.when(F.col("variant") == 0, F.col("cents") * F.col("cents")).otherwise(0)
+        ).alias("ssq_a"),
+        F.sum(
+            F.when(F.col("variant") == 1, F.col("cents") * F.col("cents")).otherwise(0)
+        ).alias("ssq_b"),
+    )
+    mean_a_c = F.col("sum_a") / F.col("n_a").cast("double")
+    mean_b_c = F.col("sum_b") / F.col("n_b").cast("double")
+    var_term = (
+        (F.col("ssq_a") - F.col("sum_a") * mean_a_c)
+        / (F.col("n_a") - 1) / F.col("n_a")
+        + (F.col("ssq_b") - F.col("sum_b") * mean_b_c)
+        / (F.col("n_b") - 1) / F.col("n_b")
+    )
+    return (
+        agg.select(
+            "event_type",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(F.col("sum_a") / (F.col("n_a") * 100.0), 4).alias("mean_a"),
+            F.round(F.col("sum_b") / (F.col("n_b") * 100.0), 4).alias("mean_b"),
+            F.round(mean_b_c / mean_a_c - 1.0, 6).alias("lift"),
+            F.round((mean_b_c - mean_a_c) / F.sqrt(var_term), 4).alias("z_stat"),
+        )
+        .orderBy("event_type")
+    )

@@ -1106,3 +1106,99 @@ def ext_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lev", "name_a", "name_b")
     )
+
+
+@query(
+    "aq_association_rules",
+    sql="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+    supp AS (
+      SELECT l_partkey, count(*) AS n FROM li GROUP BY l_partkey
+    ),
+    pair AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_ab
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p.part_a, p.part_b,
+           CAST(p.n_ab AS BIGINT) AS n_ab,
+           CAST(round(p.n_ab::DOUBLE / sa.n, 6) AS DOUBLE) AS confidence_a_b,
+           CAST(round(p.n_ab::DOUBLE * n.n_orders / (sa.n * sb.n), 6)
+             AS DOUBLE) AS lift
+    FROM pair p
+    JOIN supp sa ON p.part_a = sa.l_partkey
+    JOIN supp sb ON p.part_b = sb.l_partkey
+    CROSS JOIN n
+    WHERE p.n_ab >= 2
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT 50
+    """,
+    survey_ops="assoc-rules(ext),C4,D5",
+    tables=("lineitem",),
+)
+def aq_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets: pair support from the
+    capped co-occurrence self-join (same skew guard as
+    aq_part_cooccurrence), item support from one groupBy, then
+    confidence(a->b) = n_ab/n_a and lift = n_ab*N/(n_a*n_b) — each a
+    single division of exact integer counts, so 6dp rounding is
+    deterministic. Item supports are a small table joined back broadcast;
+    the only corpus-sized exchanges are the basket self-join and the two
+    count aggregations. The market-basket classic, and the relational
+    form of the reference's related-skill query (AQ:127-134) upgraded
+    from counts to normalized strength."""
+    from esco_neo4j_spark.operators.skew import cap_key_fanout
+
+    li = (
+        cap_key_fanout(
+            spark.table("lineitem").select("l_orderkey", "l_partkey"),
+            ["l_orderkey"],
+            256,
+        )
+        .distinct()
+    )
+    n_orders = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    supp = li.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    a = li.alias("a")
+    b = li.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    sa = supp.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a"))
+    sb = supp.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b"))
+    return (
+        pair.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(F.col("n_ab").cast("double") / F.col("n_a"), 6).alias(
+                "confidence_a_b"
+            ),
+            F.round(
+                F.col("n_ab").cast("double") * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(50)
+    )
