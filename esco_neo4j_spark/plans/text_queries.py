@@ -650,3 +650,52 @@ def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_bpe_pair_counts",
+    sql=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS} AS ws FROM documents),
+    pairs AS (
+      SELECT unnest(list_transform(
+               generate_series(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i + 1]
+             )) AS pair
+      FROM t WHERE len(ws) >= 2
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 100
+    """,
+    survey_ops="text-bpe(ext),D2,F2",
+    tables=("documents",),
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent-pair frequencies — the inner statistic of a
+    BPE tokenizer-training iteration (merge the most frequent pair,
+    recount). Pair construction is a per-row array expression (sequence +
+    transform, zero shuffle, cost bounded by document length); the only
+    exchange carries map-side partial counts, and the top-100 plans as
+    TakeOrderedAndProject. A full distributed BPE trainer is this query
+    in a loop with a broadcast merge table — each iteration exactly this
+    shape."""
+    d = spark.table("documents")
+    ws = word_tokens(F.col("text"))
+    t = d.select(ws.alias("ws")).filter(F.size("ws") >= 2)
+    pairs = t.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("ws", i), F.element_at("ws", i + 1)
+                ),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(100)
+    )
