@@ -416,3 +416,57 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_containment_pairs(
         spark.table("documents"), "text", "doc_id", threshold=0.7
     ).orderBy("id_a", "id_b")
+
+
+_CLUSTER_SIZES_SQL = f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs AS ({_MINHASH_PAIRS_SELECT}),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    walk AS (
+      SELECT src AS id, dst AS reach FROM und
+      UNION
+      SELECT w.id, u.dst FROM walk w JOIN und u ON w.reach = u.src
+    ),
+    comp AS (SELECT id, least(id, min(reach)) AS comp FROM walk GROUP BY id),
+    sizes AS (SELECT comp, count(*) AS cluster_size FROM comp GROUP BY comp)
+    SELECT CAST(cluster_size AS INT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    ORDER BY cluster_size
+"""
+
+
+@query(
+    "dedup_cluster_sizes",
+    sql=_CLUSTER_SIZES_SQL,
+    survey_ops="dedup-canonical,K-cc,D2",
+    tables=("documents",),
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram: MinHash pairs -> connected
+    components -> component sizes -> size distribution. THE health
+    report of a dedup run — a fat tail here means boilerplate families
+    or template storms (and predicts how much the canonical pass will
+    remove); the per-size doc totals reconcile against the corpus count.
+    CC runs on the tiny pair graph; everything downstream is
+    component-table sized."""
+    from esco_neo4j_spark.operators.dedup import minhash_dedup_pairs
+    from esco_neo4j_spark.operators.graph import connected_components
+
+    pairs = minhash_dedup_pairs(
+        spark.table("documents"), "text", "doc_id", threshold=0.5
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy(F.col("cluster_size").cast("int").alias("cluster_size"))
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("cluster_size").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -1202,3 +1202,54 @@ def aq_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(50)
     )
+
+
+@query(
+    "aq_supplier_revenue_share",
+    sql="""
+    WITH rev AS (
+      SELECT s.s_nationkey, s.s_suppkey, s.s_name,
+             sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT s_nationkey, s_suppkey, s_name,
+           CAST(round(cents / 100.0, 2) AS DOUBLE) AS revenue,
+           CAST(round(cents::DOUBLE
+                      / sum(cents) OVER (PARTITION BY s_nationkey), 6)
+             AS DOUBLE) AS nation_share
+    FROM rev
+    ORDER BY s_nationkey, nation_share DESC, s_suppkey
+    """,
+    survey_ops="ratio-to-report(ext),E,D3",
+    tables=("lineitem", "supplier"),
+)
+def aq_supplier_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each supplier's share of their nation's revenue —
+    the share-of-parent window pattern behind every contribution report.
+    Revenue aggregates as exact integer cents (partial map-side); the
+    share is one division against a window sum over the supplier-level
+    (already tiny) table, so the only corpus-sized exchange is the
+    revenue groupBy. The same shape computes market share, traffic
+    share, and budget utilization."""
+    li = spark.table("lineitem")
+    s = spark.table("supplier")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "s_suppkey", "s_name")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w = Window.partitionBy("s_nationkey")
+    return (
+        rev.select(
+            "s_nationkey",
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+            F.round(
+                F.col("cents").cast("double") / F.sum("cents").over(w), 6
+            ).alias("nation_share"),
+        )
+        .orderBy("s_nationkey", F.desc("nation_share"), "s_suppkey")
+    )
