@@ -1516,3 +1516,62 @@ def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_first_touch_attribution",
+    sql="""
+    WITH ev AS (SELECT * REPLACE (make_timestamp(epoch_ns(ts)//1000) AS ts) FROM events)
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+    FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM ev WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 600 SECOND AND p.ts
+    QUALIFY row_number() OVER (PARTITION BY p.event_id
+                               ORDER BY c.ts, c.event_id) = 1
+    ORDER BY purchase_id
+    """,
+    survey_ops="J(ext),E,range-join(ext)",
+    tables=("events",),
+)
+def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-touch attribution: each purchase credited to its EARLIEST
+    click in the window (event_id tiebreak) — the argmin-per-group cut
+    of the all-touch interval join. Candidates come from the same
+    banded (user, bucket) equi-join; the argmin is a per-purchase window
+    over the already-tiny matched set. Completes the attribution trio:
+    all-touch (events_interval_join), unattributed-aware left outer
+    (events_attribution_left), first-touch (here); swap the window order
+    for last-touch."""
+    ev = spark.table("events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.floor(F.unix_micros("ts") / 600_000_000).alias("bucket"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.explode(
+            F.array(
+                F.floor(F.unix_micros("ts") / 600_000_000) - 1,
+                F.floor(F.unix_micros("ts") / 600_000_000),
+            )
+        ).alias("bucket"),
+    )
+    gap = F.unix_micros("p_ts") - F.unix_micros("c_ts")
+    matched = (
+        purchases.join(clicks, ["user_id", "bucket"])
+        .filter((gap >= 0) & (gap <= 600_000_000))
+        .select("purchase_id", "click_id", "user_id", "c_ts", gap.alias("gap_us"))
+    )
+    w = Window.partitionBy("purchase_id").orderBy("c_ts", "click_id")
+    return (
+        matched.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("purchase_id", "click_id", "user_id", "gap_us")
+        .orderBy("purchase_id")
+    )

@@ -1050,3 +1050,88 @@ def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_units",
         F.round(F.col("rank_units") / 1_000_000_000.0, 6).alias("rank"),
     ).orderBy("id")
+
+
+@query(
+    "graph_link_prediction_jaccard",
+    sql=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    und AS (
+      SELECT src, dst FROM edges
+      UNION SELECT dst, src FROM edges
+    ),
+    wedge AS (
+      SELECT DISTINCT a.src AS u, b.src AS v
+      FROM und a JOIN und b ON a.dst = b.dst AND a.src < b.src
+    ),
+    existing AS (
+      SELECT src AS u, dst AS v FROM und
+    ),
+    cand AS (
+      SELECT w.u, w.v FROM wedge w
+      LEFT JOIN existing e ON w.u = e.u AND w.v = e.v
+      WHERE e.u IS NULL
+    ),
+    nbrs AS (
+      SELECT src AS id, list_sort(list(DISTINCT dst)) AS ns
+      FROM und GROUP BY src
+    )
+    SELECT c.u, c.v,
+           CAST(len(list_intersect(a.ns, b.ns)) AS INT) AS common,
+           CAST(round(len(list_intersect(a.ns, b.ns))::DOUBLE /
+                (len(a.ns) + len(b.ns) - len(list_intersect(a.ns, b.ns))), 6)
+             AS DOUBLE) AS jaccard
+    FROM cand c JOIN nbrs a ON c.u = a.id JOIN nbrs b ON c.v = b.id
+    ORDER BY jaccard DESC, u, v
+    LIMIT 50
+    """,
+    survey_ops="K-linkpred(ext),C4,D6",
+    tables=("events",),
+)
+def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighbor-set Jaccard — the classic graph-ML
+    feature: candidate pairs are WEDGES (two vertices sharing a
+    neighbor, minus existing edges), so candidate generation is an
+    equi-join on the common neighbor, never all-pairs; scores compare
+    sorted distinct-neighbor sets. The same guard philosophy as LSH
+    dedup: a super-hub's wedge fan-out is the skew risk at 100x — cap or
+    sample hub neighborhoods (degree-ordered orientation, as
+    triangle_count does) before the wedge join."""
+    e = _edges(spark)
+    und = e.select("src", "dst").union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    a, b = und.alias("a"), und.alias("b")
+    wedge = (
+        a.join(
+            b,
+            (F.col("a.dst") == F.col("b.dst"))
+            & (F.col("a.src") < F.col("b.src")),
+        )
+        .select(F.col("a.src").alias("u"), F.col("b.src").alias("v"))
+        .distinct()
+    )
+    existing = und.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    cand = wedge.join(existing, ["u", "v"], "left_anti")
+    nbrs = und.groupBy(F.col("src").alias("id")).agg(
+        F.array_sort(F.collect_set("dst")).alias("ns")
+    )
+    inter = F.size(F.array_intersect(F.col("na"), F.col("nb"))).cast("double")
+    union_sz = (
+        F.size("na") + F.size("nb")
+        - F.size(F.array_intersect(F.col("na"), F.col("nb")))
+    ).cast("double")
+    return (
+        cand.join(nbrs.select(F.col("id").alias("u"), F.col("ns").alias("na")), "u")
+        .join(nbrs.select(F.col("id").alias("v"), F.col("ns").alias("nb")), "v")
+        .select(
+            "u",
+            "v",
+            F.size(F.array_intersect(F.col("na"), F.col("nb")))
+            .cast("int")
+            .alias("common"),
+            F.round(inter / union_sz, 6).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "u", "v")
+        .limit(50)
+    )
