@@ -100,6 +100,38 @@ def enrich_segments(events: DataFrame, customers: DataFrame) -> DataFrame:
     )
 
 
+def session_rollup(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming twin of plans/event_queries.events_session_window_native:
+    per-session aggregation via the NATIVE session_window — the merging-
+    interval state Spark manages for us (sessions extend while events
+    arrive within ``gap``, close when the watermark passes last+gap, and
+    emit finalized in append mode). The applyInPandasWithState
+    sessionizer coexists for CUSTOM per-session logic; this is the
+    declarative scale path. Values sum as integer cents, matching the
+    batch twin's exactness discipline."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("session_start"),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss")
+            .alias("session_end"),
+            "n_events",
+            "sum_cents",
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> None:
     """Drive a bounded file-source stream to completion into a memory sink
     (deterministic in tests: processAllAvailable blocks until drained).

@@ -284,3 +284,33 @@ def test_stream_stream_left_outer_join_equals_batch(spark, event_dir, tmp_path):
 
     twin = _rows(REGISTRY["events_attribution_left"].fn(spark, SF_DIR))
     assert got == twin
+
+
+def test_streaming_session_window_equals_batch(spark, event_dir, tmp_path):
+    """Native session_window streaming aggregation == the DuckDB-checked
+    batch twin. Append mode emits a session only once the watermark
+    passes its close, so a far-future sentinel event flushes every real
+    session; the sentinel user's own (never-closing) session is filtered
+    from the comparison."""
+    import datetime
+    import shutil
+
+    from esco_neo4j_spark.streaming.events import session_rollup
+
+    path = str(tmp_path / "events_sess_sentinel")
+    shutil.copytree(event_dir, path)
+    base = spark.read.parquet(event_dir)
+    sent = spark.createDataFrame(
+        [(10**9, datetime.datetime(2030, 1, 1), 999999, "click", 0.0, "{}")],
+        base.schema,
+    )
+    sent.write.mode("append").parquet(path)
+
+    stream = session_rollup(read_event_stream(spark, path))
+    run_to_memory(stream, "t_sesswin", output_mode="append")
+    got = _rows(spark.table("t_sesswin").filter("user_id <> 999999"))
+
+    from esco_neo4j_spark.plans import REGISTRY
+
+    twin = _rows(REGISTRY["events_session_window_native"].fn(spark, SF_DIR))
+    assert got == twin and len(got) > 0
