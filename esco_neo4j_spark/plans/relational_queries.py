@@ -1253,3 +1253,36 @@ def aq_supplier_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_nationkey", F.desc("nation_share"), "s_suppkey")
     )
+
+
+# ONE dialect-neutral ANSI string: Spark SQL executes it verbatim AND it
+# is the DuckDB oracle — byte-identical text on both engines. Revenue
+# terms quantize to integer hundredths-of-cents per row before the sum.
+_ANSI_Q6 = """
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * l_discount * 10000)
+                         AS BIGINT)) AS BIGINT) AS revenue_microcents
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1994-01-01'
+      AND l_shipdate < DATE '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@query(
+    "ext_ansi_sql_front_door",
+    sql=_ANSI_Q6,
+    survey_ops="sql-interface(ext),B6,D1",
+    tables=("lineitem",),
+)
+def ext_ansi_sql_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door: spark.sql() runs the EXACT string the DuckDB
+    oracle runs — a TPC-H Q6-shaped filter-aggregate written in
+    dialect-neutral ANSI (DATE literals, BETWEEN, CAST/round), with the
+    revenue term quantized to integer units per row so the sum is exact
+    on any engine in any order. Demonstrates that a reference user can
+    hand this engine plain SQL and get Catalyst's full pushdown +
+    whole-stage codegen; every predicate here reaches the parquet
+    scan."""
+    return spark.sql(_ANSI_Q6)
