@@ -1286,3 +1286,78 @@ def ext_ansi_sql_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen; every predicate here reaches the parquet
     scan."""
     return spark.sql(_ANSI_Q6)
+
+
+@query(
+    "ext_pearson_corr",
+    sql="""
+    WITH q AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             sum(qty) AS sx, sum(cents) AS sy,
+             sum(qty * qty) AS sxx, sum(cents * cents) AS syy,
+             sum(qty * cents) AS sxy
+      FROM q GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           CAST(round(
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS DOUBLE) AS corr_qty_price
+    FROM s ORDER BY l_returnflag
+    """,
+    survey_ops="stats-corr(ext),D8",
+    tables=("lineitem",),
+)
+def ext_pearson_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs price per return flag, computed
+    from the five exact INTEGER power sums (n, sx, sy, sxx, syy, sxy) —
+    the single-pass partial-aggregable formulation; only the final
+    scalar expression touches floats, in the same written order on both
+    engines. The built-in corr() aggregates floats in partition order
+    and cannot be value-oracled; this shape can, and it is also the
+    numerically honest one at 100 TB (integer sums cannot drift).
+    Products stay far under int64: qty <= 50, cents <= ~1e7, rows ~6e6
+    at sf1."""
+    li = spark.table("lineitem")
+    q = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    s = q.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("qty").alias("sx"),
+        F.sum("cents").alias("sy"),
+        F.sum(F.col("qty") * F.col("qty")).alias("sxx"),
+        F.sum(F.col("cents") * F.col("cents")).alias("syy"),
+        F.sum(F.col("qty") * F.col("cents")).alias("sxy"),
+    )
+    # the POWER SUMS are exact int64; their combination overflows int64
+    # (n * syy ~ 1e21), so it runs in double — scalar IEEE ops on
+    # identical inputs, deterministic on both engines
+    d = lambda c: F.col(c).cast("double")
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = F.sqrt(
+        (d("n") * d("sxx") - d("sx") * d("sx"))
+        * (d("n") * d("syy") - d("sy") * d("sy"))
+    )
+    return (
+        s.select(
+            "l_returnflag",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(num / den, 6).alias("corr_qty_price"),
+        )
+        .orderBy("l_returnflag")
+    )
