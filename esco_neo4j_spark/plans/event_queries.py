@@ -1575,3 +1575,114 @@ def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFram
         .select("purchase_id", "click_id", "user_id", "gap_us")
         .orderBy("purchase_id")
     )
+
+
+@query(
+    "events_ols_trend",
+    sql="""
+    WITH p AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM p GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(round(
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100.0, 6)
+             AS DOUBLE) AS slope_per_day,
+           CAST(round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 4)
+             AS DOUBLE) AS mean_value
+    FROM s ORDER BY event_type
+    """,
+    survey_ops="stats-ols(ext),D8,H10",
+    tables=("events",),
+)
+def events_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-metric OLS trend: value regressed on days-since-epoch-start —
+    the drift detector behind every metric dashboard. Same power-sum
+    discipline as ext_pearson_corr: integer sums aggregate exactly, the
+    slope is one scalar double expression per group. x is an integer
+    day index and y integer cents, so nothing floats until the final
+    division."""
+    ev = spark.table("events")
+    p = ev.select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    s = p.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")
+    slope = (d("n") * d("sxy") - d("sx") * d("sy")) / (
+        d("n") * d("sxx") - d("sx") * d("sx")
+    )
+    return (
+        s.select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(slope / 100.0, 6).alias("slope_per_day"),
+            F.round(d("sy") / d("n") / 100.0, 4).alias("mean_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_benford_digits",
+    sql="""
+    WITH c AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
+      WHERE round(value * 100) >= 1
+    )
+    SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(count(*)::DOUBLE
+                / sum(count(*)) OVER (), 6) AS DOUBLE) AS freq
+    FROM c GROUP BY 1 ORDER BY 1
+    """,
+    survey_ops="data-quality(ext),D2,H9",
+    tables=("events",),
+)
+def events_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-digit distribution of transaction values — the Benford's-
+    law fraud/data-quality screen (fabricated or truncated numeric
+    columns deviate hard from the expected log distribution). The digit
+    comes from STRING slicing of the integer cents, not log10 — exact on
+    both engines; the frequency normalizer is a window over the 9-row
+    digit table. (This synthetic corpus's ~uniform values won't follow
+    Benford — the point is the screen itself, which flags exactly
+    that.)"""
+    ev = spark.table("events")
+    c = ev.select(
+        F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    ).filter(F.col("cents") >= 1)
+    digit = F.substring(F.col("cents").cast("string"), 1, 1).cast("int")
+    counts = c.groupBy(digit.alias("digit")).agg(F.count("*").alias("n"))
+    w = Window.partitionBy()
+    return (
+        counts.select(
+            "digit",
+            "n",
+            F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias(
+                "freq"
+            ),
+        )
+        .orderBy("digit")
+    )
