@@ -1686,3 +1686,58 @@ def events_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@query(
+    "events_week_over_week",
+    sql="""
+    WITH ev AS (SELECT * REPLACE (make_timestamp(epoch_ns(ts)//1000) AS ts) FROM events),
+    weekly AS (
+      SELECT event_type,
+             date_trunc('week', CAST(ts AS DATE)) AS week,
+             count(*) AS n,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM ev GROUP BY 1, 2
+    )
+    SELECT event_type,
+           strftime(week, '%Y-%m-%d') AS week,
+           CAST(n AS BIGINT) AS n,
+           CAST(lag(n) OVER w AS BIGINT) AS prev_n,
+           CAST(n - lag(n) OVER w AS BIGINT) AS delta_n,
+           CAST(round((cents - lag(cents) OVER w) / 100.0, 2) AS DOUBLE)
+             AS delta_value
+    FROM weekly
+    WINDOW w AS (PARTITION BY event_type ORDER BY week)
+    ORDER BY event_type, week
+    """,
+    survey_ops="wow(ext),E,H10",
+    tables=("events",),
+)
+def events_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week movement per metric: weekly rollup (integer cents)
+    then lag deltas — the top-movers table behind every ops review.
+    Weekly grain makes the window input type-cardinality x weeks sized,
+    so the lag window is effectively free; the only corpus exchange is
+    the rollup. Monday-start weeks via date_trunc on both engines."""
+    ev = spark.table("events")
+    weekly = ev.groupBy(
+        "event_type",
+        F.date_trunc("week", F.to_date("ts")).alias("week"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    return (
+        weekly.select(
+            "event_type",
+            F.date_format("week", "yyyy-MM-dd").alias("week"),
+            F.col("n").cast("bigint").alias("n"),
+            F.lag("n").over(w).cast("bigint").alias("prev_n"),
+            (F.col("n") - F.lag("n").over(w)).cast("bigint").alias("delta_n"),
+            F.round(
+                (F.col("cents") - F.lag("cents").over(w)) / 100.0, 2
+            ).alias("delta_value"),
+        )
+        .orderBy("event_type", "week")
+    )
