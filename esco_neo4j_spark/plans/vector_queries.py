@@ -639,3 +639,57 @@ def vec_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+def _recall_eval_sql() -> str:
+    cos = _COS.format(anchor=_ANCHOR_SQL)
+    lsh = _lsh_topk_sql(n_planes=4, n_tables=8)
+    return f"""
+    WITH lsh AS ({lsh}),
+    exact AS (
+      SELECT vec_id
+      FROM embeddings
+      WHERE embedding IS NOT NULL
+      ORDER BY round({cos}, 6) DESC, vec_id ASC
+      LIMIT 10
+    )
+    SELECT CAST(10 AS INT) AS k,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(round(count(*) / 10.0, 6) AS DOUBLE) AS recall
+    FROM lsh JOIN exact USING (vec_id)
+    """
+
+
+@query(
+    "vec_lsh_recall_eval",
+    sql=_recall_eval_sql(),
+    survey_ops="A7(scale),ann-eval(ext)",
+    tables=("embeddings",),
+)
+def vec_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation AS A QUERY: recall@10 of the hyperplane-LSH
+    top-k against brute-force exact top-k, computed by joining the two
+    result sets — the continuous-monitoring harness an ANN deployment
+    runs next to its index (sudden recall drops mean the data drifted
+    away from the hash planes). Both sides are already value-oracled
+    operators; their composition replays bit-exact in SQL, so even the
+    EVALUATION itself is hash-checked. At 100 TB run it over a sampled
+    anchor panel instead of one query point."""
+    from esco_neo4j_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    e = spark.table("embeddings")
+    anchor = _anchor_vec(spark)
+    lsh = lsh_topk(e, anchor, k=10, n_planes=4, n_tables=8).select("vec_id")
+    exact = brute_force_topk(e, anchor, k=10).select("vec_id")
+    return (
+        lsh.join(exact, "vec_id")
+        .agg(F.count("*").alias("n_hits"))
+        .select(
+            F.lit(10).cast("int").alias("k"),
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            F.round(F.col("n_hits") / 10.0, 6).alias("recall"),
+        )
+    )
