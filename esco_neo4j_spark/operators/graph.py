@@ -415,6 +415,44 @@ def pagerank(
     return state
 
 
+def multi_origin_depths(
+    edges: DataFrame,
+    origins: DataFrame,
+    max_depth: int = 20,
+    directed: bool = False,
+) -> DataFrame:
+    """Min hop-distance from EACH origin separately — (origin, id, depth)
+    keyed BFS restricted to a pivot set. This is the engine behind
+    sampled centrality (Brandes-Pich for betweenness, pivot-sampled
+    closeness): state is |origins| x reachable, not |V|^2, which is the
+    whole point at 100x. ``origins``: DataFrame with column ``id``.
+    Self-pairs are excluded (a cycle can reach an origin from itself).
+    """
+    e = edges.select("src", "dst") if directed else undirected(edges)
+    seed = (
+        e.join(origins.withColumnRenamed("id", "src").select("src"), "src")
+        .select(F.col("src").alias("origin"), F.col("dst").alias("id"))
+        .distinct()
+        .withColumn("depth", F.lit(1).cast("int"))
+    )
+    reached = _checkpoint(seed)
+    frontier = reached
+    for d in range(2, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["id"] == e["src"], "inner")
+            .select("origin", F.col("dst").alias("id"))
+            .distinct()
+            .join(reached.select("origin", "id"), ["origin", "id"], "left_anti")
+            .withColumn("depth", F.lit(d).cast("int"))
+        )
+        nxt = _checkpoint(nxt)
+        if nxt.isEmpty():
+            break
+        reached = reached.union(nxt)
+        frontier = nxt
+    return reached.filter(F.col("origin") != F.col("id"))
+
+
 def pagerank_weighted_fixedpoint(
     edges: DataFrame,
     weight_col: str = "weight",

@@ -1135,3 +1135,90 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.desc("jaccard"), "u", "v")
         .limit(50)
     )
+
+
+_N_PIVOTS = 8
+
+
+@query(
+    "graph_closeness_sampled",
+    # same LCA pairdist as the exact closeness oracle, restricted to the
+    # deterministic pivot set (the _N_PIVOTS smallest vertex ids)
+    sql=f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    -- explicit DISTINCT: under the RECURSIVE marker DuckDB leaves a bare
+    -- UNION's duplicates in place (same quirk the betweenness oracle hit),
+    -- which would corrupt BOTH the pivot set and the n_verts scale factor
+    verts AS (
+      SELECT DISTINCT id FROM (
+        SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges
+      )
+    ),
+    pivots AS (SELECT id FROM verts ORDER BY id LIMIT {_N_PIVOTS}),
+    n AS (SELECT count(*) AS n_verts FROM verts),
+    up AS (
+      SELECT id, id AS anc, 0 AS d FROM verts
+      UNION ALL
+      SELECT u.id, e.dst, u.d + 1 FROM up u JOIN edges e ON u.anc = e.src
+    ),
+    pairdist AS (
+      SELECT a.id AS u, b.id AS p, min(a.d + b.d) AS dist
+      FROM up a
+      JOIN up b ON a.anc = b.anc AND a.id <> b.id
+      WHERE b.id IN (SELECT id FROM pivots)
+      GROUP BY a.id, b.id
+    )
+    SELECT u AS id,
+           CAST(count(*) AS INT) AS n_pivots_reached,
+           CAST(sum(CAST(round(1000000.0 / dist) AS BIGINT)) AS BIGINT)
+             AS sum_micro,
+           CAST(round(sum(CAST(round(1000000.0 / dist) AS BIGINT))
+                      * (n.n_verts - 1)
+                      / ({_N_PIVOTS} * 1000000.0), 6) AS DOUBLE)
+             AS closeness_est
+    FROM pairdist CROSS JOIN n
+    GROUP BY u, n.n_verts ORDER BY id
+    """,
+    survey_ops="K4(ext),K1,sampled-centrality(ext)",
+    tables=("events",),
+)
+def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT-SAMPLED harmonic closeness — the 100x path the exact
+    operator's docstring promises: BFS from k=8 deterministic pivots
+    (smallest vertex ids; production uses a hashed sample) keyed
+    (origin, id), so state is k x V instead of V^2, and the estimator
+    scales the pivot sum by (n-1)/k — Brandes-Pich applied to
+    closeness. Per-pair contributions quantized to integer micro-units
+    (exact sums), the scale factor one scalar multiply. With
+    deterministic pivots the whole estimate is value-oracled — the
+    approximation ALGORITHM is in the hard gate, not just its
+    quality."""
+    from esco_neo4j_spark.operators.graph import multi_origin_depths
+
+    e = _edges(spark)
+    verts = e.select(F.col("src").alias("id")).union(
+        e.select(F.col("dst").alias("id"))
+    ).distinct()
+    n_verts = verts.count()
+    pivots = verts.orderBy("id").limit(_N_PIVOTS)
+    depths = multi_origin_depths(e, pivots, max_depth=20, directed=False)
+    micro = F.round(F.lit(1_000_000.0) / F.col("depth")).cast("bigint")
+    return (
+        depths.groupBy(F.col("id"))
+        .agg(
+            F.count("*").cast("int").alias("n_pivots_reached"),
+            F.sum(micro).cast("bigint").alias("sum_micro"),
+        )
+        .select(
+            "id",
+            "n_pivots_reached",
+            "sum_micro",
+            F.round(
+                F.col("sum_micro")
+                * F.lit(float(n_verts - 1))
+                / F.lit(_N_PIVOTS * 1_000_000.0),
+                6,
+            ).alias("closeness_est"),
+        )
+        .orderBy("id")
+    )
