@@ -1741,3 +1741,63 @@ def events_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "week")
     )
+
+
+@query(
+    "events_transition_dwell",
+    sql="""
+    WITH ev AS (SELECT * REPLACE (make_timestamp(epoch_ns(ts)//1000) AS ts) FROM events),
+    seq AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER w AS prev_type,
+             lag(ts) OVER w AS prev_ts
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(epoch_us(ts) - epoch_us(prev_ts)) AS BIGINT)
+             AS total_dwell_us,
+           CAST(round(sum(epoch_us(ts) - epoch_us(prev_ts))
+                      / (count(*) * 1000000.0), 4) AS DOUBLE)
+             AS avg_dwell_s
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    ORDER BY prev_type, next_type
+    """,
+    survey_ops="sequence(ext),E,D8",
+    tables=("events",),
+)
+def events_transition_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed transition matrix: how long users dwell before each
+    (prev -> next) step — the latency companion to
+    events_transition_matrix (think 'median time from click to
+    purchase' per path edge). Dwell gaps aggregate as exact integer
+    microseconds; the average is one division per (prev, next) cell.
+    Same single user_id exchange as every lag-window op."""
+    ev = spark.table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+            "dwell_us"
+        ),
+    ).filter(F.col("prev_type").isNotNull())
+    return (
+        seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("dwell_us").cast("bigint").alias("total_dwell_us"),
+        )
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            "total_dwell_us",
+            F.round(
+                F.col("total_dwell_us") / (F.col("n") * 1_000_000.0), 4
+            ).alias("avg_dwell_s"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
