@@ -470,3 +470,75 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+_EST_ERROR_SQL = f"""
+    WITH {_MINHASH_CTES}
+    SELECT c.id_a, c.id_b,
+           CAST(round(len(list_filter(generate_series(1, 16),
+                          i -> x.sig[i] = y.sig[i])) / 16.0, 6) AS DOUBLE)
+             AS jaccard_est,
+           CAST(round(len(list_intersect(xs.sh, ys.sh))::DOUBLE /
+                (len(xs.sh) + len(ys.sh) - len(list_intersect(xs.sh, ys.sh))),
+                6) AS DOUBLE) AS jaccard_exact
+    FROM cands c
+    JOIN sigs x ON c.id_a = x.id JOIN sigs y ON c.id_b = y.id
+    JOIN sh xs ON c.id_a = xs.id JOIN sh ys ON c.id_b = ys.id
+    ORDER BY id_a, id_b
+"""
+
+
+@query(
+    "dedup_minhash_est_error",
+    sql=_EST_ERROR_SQL,
+    survey_ops="dedup-minhash,ann-eval(ext)",
+    tables=("documents",),
+)
+def dedup_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash calibration report: for every LSH candidate pair, the
+    signature-estimated Jaccard (matching positions / 16) next to the
+    exact shingle Jaccard — the tuning table for num_hashes/bands
+    decisions (estimator stderr ~ sqrt(J(1-J)/16), and a drifting gap
+    here says re-tune before trusting the threshold). Like
+    vec_lsh_recall_eval, the approximation is EVALUATED inside the hard
+    gate: both estimate and truth replay bit-exact in SQL."""
+    from esco_neo4j_spark.operators.dedup import (
+        _minhash_sig_from_hashed,
+        lsh_candidate_pairs,
+        md5_int28,
+        shingled,
+    )
+
+    d = spark.table("documents")
+    sh = shingled(d, "text", "doc_id")
+    hashed = sh.select("id", F.transform("sh", md5_int28).alias("hs"))
+    sigs = _minhash_sig_from_hashed(hashed, 16)
+    cands = lsh_candidate_pairs(sigs, 4, 4, 64)
+    est = F.round(
+        F.size(
+            F.filter(
+                F.arrays_zip(F.col("siga"), F.col("sigb")),
+                lambda s: s["siga"] == s["sigb"],
+            )
+        )
+        / 16.0,
+        6,
+    )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
+    union = (
+        F.size("sa") + F.size("sb")
+        - F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    ).cast("double")
+    return (
+        cands.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("siga")), "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sigb")), "id_b")
+        .join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sa")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            est.alias("jaccard_est"),
+            F.round(inter / union, 6).alias("jaccard_exact"),
+        )
+        .orderBy("id_a", "id_b")
+    )
