@@ -13,7 +13,7 @@ while the oracle exploits the tree shape for an independent answer.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from esco_neo4j_spark.operators.graph import (
@@ -1222,3 +1222,91 @@ def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id")
     )
+
+
+_WALK_STEPS = 5
+
+
+def _random_walks_sql(n_steps: int = _WALK_STEPS) -> str:
+    und = """
+      SELECT src, dst FROM edges
+      UNION SELECT dst, src FROM edges
+    """
+    sql = [f"""
+    WITH edges AS ({_EDGES_SQL}),
+    und AS ({und}),
+    w0 AS (
+      SELECT DISTINCT src AS origin, src AS cur,
+             CAST(src AS VARCHAR) AS path
+      FROM und
+    )"""]
+    for i in range(1, n_steps + 1):
+        sql.append(f""",
+    w{i} AS (
+      SELECT w.origin, u.dst AS cur, w.path || '->' || CAST(u.dst AS VARCHAR)
+               AS path
+      FROM w{i - 1} w JOIN und u ON w.cur = u.src
+      QUALIFY row_number() OVER (
+        PARTITION BY w.origin
+        ORDER BY md5(CAST(w.origin AS VARCHAR) || '-' || {i} || '-'
+                     || CAST(u.dst AS VARCHAR)), u.dst) = 1
+    )""")
+    sql.append(f"""
+    SELECT origin, path, cur AS final_vertex
+    FROM w{n_steps} ORDER BY origin""")
+    return "".join(sql)
+
+
+@query(
+    "graph_random_walks",
+    sql=_random_walks_sql(),
+    survey_ops="K-walks(ext),graph-ml(ext)",
+    tables=("events",),
+)
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-corpus generation (the data-prep step of DeepWalk/node2vec:
+    walks become 'sentences' for embedding training): one 5-step walk
+    per origin vertex over the undirected view, where each step picks
+    the neighbor minimizing md5(origin, step, candidate) — a
+    deterministic hash in place of an RNG, which (a) makes walks
+    reproducible run-to-run and resume-safe, exactly like the hash-based
+    samplers, and (b) lets the oracle replay every step, so even the
+    'random' walks sit in the hard gate. Each step is one equi-join on
+    the frontier plus a per-origin argmin window — state is one row per
+    walk, never the whole path history."""
+    e = _edges(spark)
+    und = (
+        e.select("src", "dst")
+        .union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    state = und.select(F.col("src").alias("origin")).distinct().select(
+        "origin",
+        F.col("origin").alias("cur"),
+        F.col("origin").cast("string").alias("path"),
+    )
+    for i in range(1, _WALK_STEPS + 1):
+        score = F.md5(
+            F.concat_ws(
+                "-",
+                F.col("origin").cast("string"),
+                F.lit(str(i)),
+                F.col("dst").cast("string"),
+            )
+        )
+        w = Window.partitionBy("origin").orderBy(score, F.col("dst"))
+        state = (
+            state.join(und, state["cur"] == und["src"])
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "origin",
+                F.col("dst").alias("cur"),
+                F.concat(
+                    F.col("path"), F.lit("->"), F.col("dst").cast("string")
+                ).alias("path"),
+            )
+        )
+    return state.select(
+        "origin", "path", F.col("cur").alias("final_vertex")
+    ).orderBy("origin")
