@@ -542,3 +542,74 @@ def dedup_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+def _ingest_clean_sql() -> str:
+    from esco_neo4j_spark.plans.text_queries import _EMAIL_PAT, _TERM_PAT, _TOKENS
+
+    clean_tokens = _TOKENS.replace("lower(text)", "lower(clean)")
+    return f"""
+    WITH {_INC_CTES},
+    pairs AS ({_MINHASH_PAIRS_SELECT}),
+    dup AS (SELECT DISTINCT id_a AS doc_id FROM pairs),
+    scrubbed AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(text, '{_EMAIL_PAT}', '[EMAIL]', 'g'),
+                            '{_TERM_PAT}', '[REDACTED]', 'g') AS clean
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT s.doc_id,
+           CAST(len({clean_tokens}) AS INT) AS n_tokens,
+           md5(clean) AS clean_md5
+    FROM scrubbed s LEFT JOIN dup d ON s.doc_id = d.doc_id
+    WHERE d.doc_id IS NULL AND len({clean_tokens}) >= 20
+    ORDER BY s.doc_id
+    """
+
+
+@query(
+    "pipeline_ingest_clean",
+    sql=_ingest_clean_sql(),
+    survey_ops="pipeline(ext),text-pii(ext),dedup-incremental(ext),text-quality",
+    tables=("documents",),
+)
+def pipeline_ingest_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INGEST capstone — what actually happens when a new crawl batch
+    (docs with id % 5 == 0) lands: (1) PII scrub, (2) near-dup check
+    against the ENTIRE corpus via the asymmetric incremental LSH probe,
+    (3) quality gate (>= 20 tokens of the scrubbed text), emitting the
+    rows an upsert (sources/merge.py) would then apply. Third capstone
+    next to pipeline_training_mix (curation) and pipeline_embed_cluster
+    (enrichment): every stage is an already-oracled operator and the
+    COMPOSITION is value-checked end to end as one lazy plan — the
+    batch scrub is a narrow map, the dedup probe scales with
+    |batch| x bucket width, and the anti-join keys on batch-sized
+    ids."""
+    from esco_neo4j_spark.functions.text import word_tokens
+    from esco_neo4j_spark.operators.dedup import minhash_incremental_pairs
+    from esco_neo4j_spark.plans.text_queries import _EMAIL_PAT, _TERM_PAT
+
+    docs = spark.table("documents")
+    pairs = minhash_incremental_pairs(
+        docs, "text", "doc_id", new_pred=lambda c: c % 5 == 0
+    )
+    dup_ids = pairs.select(F.col("batch_id").alias("doc_id")).distinct()
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_PAT, "[EMAIL]"),
+        _TERM_PAT,
+        "[REDACTED]",
+    )
+    scrubbed = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", clean.alias("clean")
+    )
+    n_tok = F.size(word_tokens(F.col("clean")))
+    return (
+        scrubbed.join(dup_ids, "doc_id", "left_anti")
+        .filter(n_tok >= 20)
+        .select(
+            "doc_id",
+            n_tok.cast("int").alias("n_tokens"),
+            F.md5("clean").alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
