@@ -693,3 +693,57 @@ def vec_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hits") / 10.0, 6).alias("recall"),
         )
     )
+
+
+def _ivf_recall_sql() -> str:
+    from esco_neo4j_spark.plans.registry import REGISTRY
+
+    cos = _COS.format(anchor=_ANCHOR_SQL)
+    ivf = REGISTRY["vec_ivf_topk"].sql  # reuse the oracled formulation
+    return f"""
+    WITH ivf AS ({ivf}),
+    exact AS (
+      SELECT vec_id FROM embeddings
+      WHERE embedding IS NOT NULL
+      ORDER BY round({cos}, 6) DESC, vec_id ASC
+      LIMIT 10
+    )
+    SELECT CAST(10 AS INT) AS k,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(round(count(*) / 10.0, 6) AS DOUBLE) AS recall
+    FROM ivf JOIN exact USING (vec_id)
+    """
+
+
+@query(
+    "vec_ivf_recall_eval",
+    sql=_ivf_recall_sql(),
+    survey_ops="A7(scale),ann-eval(ext)",
+    tables=("embeddings",),
+)
+def vec_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the IVF probe (nprobe=2 of 8 cells) against exact
+    top-k — the eval-harness pattern from vec_lsh_recall_eval applied to
+    the second ANN family, proving the monitoring shape generalizes:
+    any index whose formulation is deterministic can have its quality
+    metric sit in the hard gate. The oracle REUSES vec_ivf_topk's
+    registered SQL as a CTE, so the two stay in lockstep by
+    construction."""
+    from esco_neo4j_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    e = spark.table("embeddings")
+    anchor = _anchor_vec(spark)
+    ivf = ivf_topk(e, anchor, k=10, n_cells=8, nprobe=2).select("vec_id")
+    exact = brute_force_topk(e, anchor, k=10).select("vec_id")
+    return (
+        ivf.join(exact, "vec_id")
+        .agg(F.count("*").alias("n_hits"))
+        .select(
+            F.lit(10).cast("int").alias("k"),
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            F.round(F.col("n_hits") / 10.0, 6).alias("recall"),
+        )
+    )
