@@ -1361,3 +1361,82 @@ def ext_pearson_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "ext_snapshot_diff_cdc",
+    sql="""
+    WITH curr AS (
+      SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE c_custkey % 17 <> 0
+    ),
+    next_snap AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 0 THEN upper(c_name) ELSE c_name END
+               AS c_name,
+             c_mktsegment
+      FROM customer
+      WHERE c_custkey % 13 <> 0
+    )
+    SELECT coalesce(c.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN c.c_custkey IS NULL THEN 'INSERT'
+                WHEN n.c_custkey IS NULL THEN 'DELETE'
+                ELSE 'UPDATE' END AS op,
+           n.c_name AS new_name
+    FROM curr c FULL OUTER JOIN next_snap n ON c.c_custkey = n.c_custkey
+    WHERE c.c_custkey IS NULL OR n.c_custkey IS NULL
+       OR c.c_name <> n.c_name OR c.c_mktsegment <> n.c_mktsegment
+    ORDER BY c_custkey
+    """,
+    survey_ops="cdc(ext),C8,G3",
+    tables=("customer",),
+)
+def ext_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture by snapshot diff: full-outer join two table
+    snapshots on the key and classify every divergent row INSERT /
+    UPDATE / DELETE — the change feed that drives the incremental MERGE
+    path (sources/merge.py) when the source system cannot emit one
+    itself. Unchanged rows are filtered inside the join's output before
+    anything downstream sees them; at scale the two snapshot scans are
+    the cost, and partition-level pruning (only diff partitions whose
+    stats changed) is the standard cut. Deterministic synthetic
+    snapshots: 'current' drops key%17==0, 'next' drops key%13==0 and
+    upper-cases names for key%10==0."""
+    c = spark.table("customer")
+    curr = c.filter(F.col("c_custkey") % 17 != 0).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    nxt = (
+        c.filter(F.col("c_custkey") % 13 != 0)
+        .select(
+            "c_custkey",
+            F.when(
+                F.col("c_custkey") % 10 == 0, F.upper("c_name")
+            ).otherwise(F.col("c_name")).alias("c_name"),
+            "c_mktsegment",
+        )
+    )
+    a, b = curr.alias("a"), nxt.alias("b")
+    joined = a.join(b, F.col("a.c_custkey") == F.col("b.c_custkey"), "full_outer")
+    op = (
+        F.when(F.col("a.c_custkey").isNull(), "INSERT")
+        .when(F.col("b.c_custkey").isNull(), "DELETE")
+        .otherwise("UPDATE")
+    )
+    changed = (
+        F.col("a.c_custkey").isNull()
+        | F.col("b.c_custkey").isNull()
+        | (F.col("a.c_name") != F.col("b.c_name"))
+        | (F.col("a.c_mktsegment") != F.col("b.c_mktsegment"))
+    )
+    return (
+        joined.filter(changed)
+        .select(
+            F.coalesce(F.col("a.c_custkey"), F.col("b.c_custkey")).alias(
+                "c_custkey"
+            ),
+            op.alias("op"),
+            F.col("b.c_name").alias("new_name"),
+        )
+        .orderBy("c_custkey")
+    )
