@@ -1801,3 +1801,74 @@ def events_transition_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@query(
+    "events_pareto_concentration",
+    sql="""
+    WITH per_user AS (
+      SELECT user_id,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT user_id, cents,
+             sum(cents) OVER (ORDER BY cents DESC, user_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cum_cents,
+             sum(cents) OVER () AS total_cents,
+             row_number() OVER (ORDER BY cents DESC, user_id) AS rk,
+             count(*) OVER () AS n_users
+      FROM per_user
+    )
+    SELECT CAST(min(rk) AS BIGINT) AS users_for_80pct,
+           CAST(max(n_users) AS BIGINT) AS n_users,
+           CAST(round(min(rk)::DOUBLE / max(n_users), 6) AS DOUBLE)
+             AS user_fraction
+    FROM ranked
+    WHERE cum_cents * 10 >= total_cents * 8
+    """,
+    survey_ops="pareto(ext),E,D8",
+    tables=("events",),
+)
+def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: how many top users generate 80% of total
+    value — the whale-curve number behind capacity planning and abuse
+    review. The windows run over the PER-USER aggregate (dimension-
+    sized, not the event corpus: the events exchange is the rollup);
+    the 80% membership test is exact integer arithmetic
+    (cum*10 >= total*8), so no float boundary can flip the cutoff
+    user."""
+    ev = spark.table("events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents")
+    )
+    w_cum = (
+        Window.orderBy(F.desc("cents"), F.asc("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    ranked = per_user.select(
+        F.sum("cents").over(w_cum).alias("cum_cents"),
+        F.sum("cents").over(w_all).alias("total_cents"),
+        F.row_number().over(
+            Window.orderBy(F.desc("cents"), F.asc("user_id"))
+        ).alias("rk"),
+        F.count("*").over(w_all).alias("n_users"),
+    )
+    return (
+        ranked.filter(
+            F.col("cum_cents") * 10 >= F.col("total_cents") * 8
+        )
+        .agg(
+            F.min("rk").cast("bigint").alias("users_for_80pct"),
+            F.max("n_users").cast("bigint").alias("n_users"),
+        )
+        .select(
+            "users_for_80pct",
+            "n_users",
+            F.round(
+                F.col("users_for_80pct").cast("double") / F.col("n_users"), 6
+            ).alias("user_fraction"),
+        )
+    )
