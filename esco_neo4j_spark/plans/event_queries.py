@@ -1872,3 +1872,40 @@ def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("user_fraction"),
         )
     )
+
+
+@query(
+    "events_calendar_heatmap",
+    sql="""
+    WITH ev AS (SELECT * REPLACE (make_timestamp(epoch_ns(ts)//1000) AS ts) FROM events)
+    SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hour,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM ev GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    survey_ops="H10,D2,calendar(ext)",
+    tables=("events",),
+)
+def events_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour activity heatmap — the calendar rollup behind
+    load planning and anomaly baselines (compare a live hour against its
+    (dow, hour) cell). One partial-agg exchange onto a 7x24-bounded
+    result. Dialect trap worth pinning: Spark's dayofweek is 1-based
+    (Sunday=1) while DuckDB's is 0-based (Sunday=0) — the oracle
+    applies +1."""
+    ev = spark.table("events")
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hour"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .orderBy("dow", "hour")
+    )

@@ -699,3 +699,91 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(100)
     )
+
+
+@query(
+    "text_source_divergence",
+    sql=f"""
+    WITH toks AS (
+      SELECT source, unnest({_TOKENS}) AS term FROM documents
+      WHERE source IN ('src0', 'src1')
+    ),
+    tf AS (
+      SELECT source, term, count(*) AS n FROM toks GROUP BY source, term
+    ),
+    tot AS (SELECT source, sum(n) AS nt FROM tf GROUP BY source),
+    probs AS (
+      SELECT t.term,
+             sum(CASE WHEN t.source = 'src0'
+                      THEN t.n / CAST(x.nt AS DOUBLE) ELSE 0 END) AS p,
+             sum(CASE WHEN t.source = 'src1'
+                      THEN t.n / CAST(x.nt AS DOUBLE) ELSE 0 END) AS q
+      FROM tf t JOIN tot x ON t.source = x.source
+      GROUP BY t.term
+    ),
+    contrib AS (
+      SELECT term,
+             CAST(round((CASE WHEN p > 0
+                    THEN p * ln(2.0 * p / (p + q)) ELSE 0 END
+                  + CASE WHEN q > 0
+                    THEN q * ln(2.0 * q / (p + q)) ELSE 0 END)
+                  * 500000000) AS BIGINT) AS nano_half
+      FROM probs
+    )
+    SELECT CAST(sum(nano_half) AS BIGINT) AS js_nano,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(round(sum(nano_half) / 1000000000.0, 6) AS DOUBLE)
+             AS js_divergence
+    FROM contrib
+    """,
+    survey_ops="text-divergence(ext),D8,G1",
+    tables=("documents",),
+)
+def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between two sources' term
+    distributions — the distribution-shift detector a corpus pipeline
+    runs when a new crawl source lands (high JS vs the reference mix
+    means re-balance before training). Per-term probabilities are exact
+    integer counts over exact totals; each term's JS contribution is
+    quantized to integer nano-nats BEFORE the global sum (the
+    quantize-before-sum discipline), so the divergence is order-exact
+    across engines. Vocabulary-sized state throughout after the one
+    token-count exchange."""
+    d = spark.table("documents").filter(F.col("source").isin("src0", "src1"))
+    toks = d.select(
+        "source", F.explode(word_tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("source", "term").agg(F.count("*").alias("n"))
+    tot = tf.groupBy("source").agg(F.sum("n").alias("nt"))
+    probs = (
+        tf.join(F.broadcast(tot), "source")
+        .groupBy("term")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("source") == "src0",
+                    F.col("n") / F.col("nt").cast("double"),
+                ).otherwise(0.0)
+            ).alias("p"),
+            F.sum(
+                F.when(
+                    F.col("source") == "src1",
+                    F.col("n") / F.col("nt").cast("double"),
+                ).otherwise(0.0)
+            ).alias("q"),
+        )
+    )
+    p, q = F.col("p"), F.col("q")
+    half = F.when(p > 0, p * F.log(F.lit(2.0) * p / (p + q))).otherwise(0.0) + \
+        F.when(q > 0, q * F.log(F.lit(2.0) * q / (p + q))).otherwise(0.0)
+    contrib = probs.select(
+        F.round(half * 500_000_000).cast("bigint").alias("nano_half")
+    )
+    return contrib.agg(
+        F.sum("nano_half").cast("bigint").alias("js_nano"),
+        F.count("*").cast("bigint").alias("n_terms"),
+    ).select(
+        "js_nano",
+        "n_terms",
+        F.round(F.col("js_nano") / 1_000_000_000.0, 6).alias("js_divergence"),
+    )
