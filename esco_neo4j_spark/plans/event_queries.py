@@ -1909,3 +1909,58 @@ def events_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hour")
     )
+
+
+@query(
+    "events_interarrival_hist",
+    sql="""
+    WITH ev AS (SELECT * REPLACE (make_timestamp(epoch_ns(ts)//1000) AS ts) FROM events),
+    gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id))
+               AS gap_us
+      FROM ev
+    ),
+    bucketed AS (
+      SELECT CAST(length(bin(gap_us)) - 1 AS INT) AS log2_bucket
+      FROM gaps WHERE gap_us IS NOT NULL AND gap_us > 0
+    )
+    SELECT log2_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(power(2.0, log2_bucket) / 1000000.0, 3) AS DOUBLE)
+             AS bucket_floor_s
+    FROM bucketed GROUP BY log2_bucket ORDER BY log2_bucket
+    """,
+    survey_ops="interarrival(ext),E,D2",
+    tables=("events",),
+)
+def events_interarrival_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution on log2 buckets — the burstiness
+    profile behind rate limiting and capacity planning (a bimodal shape
+    = sessions within bursts). The bucket index is floor(log2(gap)) but
+    computed EXACTLY as length(bin(gap)) - 1 — the binary-string length
+    trick — because float log2 at a power-of-two boundary can land on
+    either side depending on the libm; both engines agree on string
+    length by construction. One lag-window exchange on user_id, output
+    bounded by ~40 buckets."""
+    ev = spark.table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_us"
+        )
+    ).filter(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
+    bucket = (F.length(F.bin("gap_us")) - 1).cast("int")
+    return (
+        gaps.groupBy(bucket.alias("log2_bucket"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "log2_bucket",
+            "n",
+            F.round(
+                F.pow(F.lit(2.0), F.col("log2_bucket")) / 1_000_000.0, 3
+            ).alias("bucket_floor_s"),
+        )
+        .orderBy("log2_bucket")
+    )

@@ -1310,3 +1310,74 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select(
         "origin", "path", F.col("cur").alias("final_vertex")
     ).orderBy("origin")
+
+
+@query(
+    "graph_assortativity",
+    sql=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    und AS (
+      SELECT src, dst FROM edges
+      UNION ALL SELECT dst, src FROM edges
+    ),
+    deg AS (SELECT src AS id, count(*) AS d FROM und GROUP BY src),
+    pairs AS (
+      SELECT a.d AS x, b.d AS y
+      FROM und u JOIN deg a ON u.src = a.id JOIN deg b ON u.dst = b.id
+    ),
+    s AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM pairs
+    )
+    SELECT CAST(n AS BIGINT) AS n_edge_ends,
+           CAST(round(
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS DOUBLE) AS assortativity
+    FROM s
+    """,
+    survey_ops="K-assortativity(ext),stats-corr(ext)",
+    tables=("events",),
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity — Newman's r: Pearson correlation of the
+    degrees at the two ends of every (directed-view) edge, the one-
+    number summary of whether hubs attach to hubs (social graphs, r>0)
+    or to leaves (hierarchies/hub-spoke, r<0). Same exact-integer
+    power-sum discipline as ext_pearson_corr: degree join + five int64
+    sums, one scalar double tail. Two broadcast-ready joins of the edge
+    list against the degree table; at 100x the degree table is
+    vertex-sized and the sums stay partial-aggregable."""
+    e = _edges(spark)
+    und = e.select("src", "dst").union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = und.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    pairs = (
+        und.join(deg.select(F.col("id").alias("src"), F.col("d").alias("x")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("d").alias("y")), "dst")
+        .select("x", "y")
+    )
+    s = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = F.sqrt(
+        (d("n") * d("sxx") - d("sx") * d("sx"))
+        * (d("n") * d("syy") - d("sy") * d("sy"))
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_edge_ends"),
+        F.round(num / den, 6).alias("assortativity"),
+    )
