@@ -1440,3 +1440,64 @@ def ext_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "ext_histogram_equiwidth",
+    sql="""
+    WITH c AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ),
+    bounds AS (
+      SELECT min(cents) AS lo, max(cents) AS hi,
+             greatest((max(cents) - min(cents)) // 20 + 1, 1) AS w
+      FROM c
+    ),
+    bucketed AS (
+      SELECT least((c.cents - b.lo) // b.w, 19) AS bucket, b.lo, b.w
+      FROM c CROSS JOIN bounds b
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(round((lo + bucket * w) / 100.0, 2) AS DOUBLE) AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n
+    FROM bucketed GROUP BY bucket, lo, w ORDER BY bucket
+    """,
+    survey_ops="histogram(ext),D8,D2",
+    tables=("orders",),
+)
+def ext_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bucket equi-width value histogram over order totals — the
+    profiling primitive behind range-partition planning and data-skew
+    triage. Bounds come from one tiny min/max aggregate broadcast back;
+    the bucket index is pure INTEGER arithmetic ((cents - lo) div w,
+    clamped), so bucket membership cannot float-drift at any scale. Two
+    scans (bounds + bucketing) — the one-pass variant trades this for
+    approximate bounds; at 100 TB use column statistics for the bounds
+    and keep the exact bucketing pass."""
+    o = spark.table("orders")
+    c = o.select(F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+    bounds = c.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.greatest(
+            F.floor((F.max("cents") - F.min("cents")) / 20) + 1, F.lit(1)
+        ).cast("bigint").alias("w"),
+    )
+    bucketed = c.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor((F.col("cents") - F.col("lo")) / F.col("w")), F.lit(19)
+        ).alias("bucket"),
+        "lo",
+        "w",
+    )
+    return (
+        bucketed.groupBy("bucket", "lo", "w")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.round((F.col("lo") + F.col("bucket") * F.col("w")) / 100.0, 2)
+            .alias("bucket_lo"),
+            "n",
+        )
+        .orderBy("bucket")
+    )
