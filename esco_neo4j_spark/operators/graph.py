@@ -505,6 +505,62 @@ def pagerank_weighted_fixedpoint(
     return state.select("id", F.col("r").alias("rank_units"))
 
 
+def hits_fixedpoint(
+    edges: DataFrame, num_iter: int = 5, scale: int = 10**9
+) -> DataFrame:
+    """HITS (hubs & authorities) in fixed-point integer units: the
+    mutual-reinforcement iteration a = sum_in(h); h = sum_out(a), each
+    L1-rescaled to ``scale`` by exact integer division per round.
+    Integer message sums are associative, so like
+    pagerank_weighted_fixedpoint this is bit-identical at any
+    parallelism and fully value-oracle-able (the float HITS normalizes
+    by an L2 norm — order-sensitive twice over). Products stay in
+    int64: raw <= in_degree * scale, raw * scale <= ~1e19 only past
+    in-degree 9 — callers with hub-heavy graphs should drop scale to
+    1e8. Returns (id, hub_units, auth_units)."""
+    e = edges.select("src", "dst")
+    verts = vertices_of(e)
+    e = _checkpoint(e)
+
+    def _rescale(df: DataFrame, col: str) -> DataFrame:
+        total = df.agg(F.sum(col).alias("s"))
+        return (
+            df.crossJoin(F.broadcast(total))
+            .select("id", F.expr(f"({col} * {int(scale)}) div s").alias(col))
+        )
+
+    h = _checkpoint(verts.withColumn("h", F.lit(int(scale))))
+    a = None
+    for _ in range(num_iter):
+        araw = (
+            e.join(h.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("h").alias("a"))
+        )
+        a = _rescale(
+            verts.join(araw, "id", "left").select(
+                "id", F.coalesce(F.col("a"), F.lit(0)).alias("a")
+            ),
+            "a",
+        )
+        a = _checkpoint(a)
+        hraw = (
+            e.join(a.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("a").alias("h"))
+        )
+        h = _rescale(
+            verts.join(hraw, "id", "left").select(
+                "id", F.coalesce(F.col("h"), F.lit(0)).alias("h")
+            ),
+            "h",
+        )
+        h = _checkpoint(h)
+    return h.join(a, "id").select(
+        "id", F.col("h").alias("hub_units"), F.col("a").alias("auth_units")
+    )
+
+
 def personalized_pagerank(
     edges: DataFrame,
     seeds: list,
