@@ -1964,3 +1964,106 @@ def events_interarrival_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("log2_bucket")
     )
+
+
+@query(
+    "events_peak_concurrency",
+    sql="""
+    WITH ev AS (SELECT * REPLACE (make_timestamp(epoch_ns(ts)//1000) AS ts) FROM events),
+    ordered AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM ev
+    ),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch(ts) - epoch(prev_ts) >= 1800 THEN 1 ELSE 0 END
+               AS new_s
+      FROM ordered
+    ),
+    sess AS (
+      SELECT user_id, min(ts) AS s_start,
+             max(ts) + INTERVAL 30 MINUTE AS s_end
+      FROM (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+      ) GROUP BY user_id, sid
+    ),
+    bounds AS (
+      SELECT s_start AS t, 1 AS delta FROM sess
+      UNION ALL SELECT s_end, -1 FROM sess
+    ),
+    swept AS (
+      SELECT t, sum(delta) OVER (ORDER BY t, delta DESC
+                                 ROWS UNBOUNDED PRECEDING) AS live
+      FROM bounds
+    )
+    SELECT CAST(max(live) AS BIGINT) AS peak_concurrency,
+           strftime(min(t) FILTER (WHERE live = (SELECT max(live) FROM swept)),
+                    '%Y-%m-%d %H:%M:%S') AS first_peak_at
+    FROM swept
+    """,
+    survey_ops="sweep-line(ext),E,J(ext)",
+    tables=("events",),
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions — the capacity-planning number: derive
+    30-min-gap sessions (same islands as the session_window twin), then
+    a classic sweep line: +1 at each start, -1 at each end (+gap), and
+    the max of the running sum. Tie rule pinned: starts sort before ends
+    at the same instant (delta DESC), so a back-to-back handoff counts
+    as overlapping. The sweep's total-order window runs over the
+    session-BOUNDARY table (two rows per session — dimension-sized, not
+    the event corpus); at 100x bucket the sweep by day and carry
+    per-bucket offsets, the same two-level trick as the global
+    shuffle."""
+    ev = spark.table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_seconds(F.col("ts"))
+                - F.unix_seconds(F.lag("ts").over(w))
+                >= 1800
+            ),
+            1,
+        ).otherwise(0).alias("new_s"),
+    )
+    sid_w = (
+        Window.partitionBy("user_id").orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = (
+        flagged.withColumn("sid", F.sum("new_s").over(sid_w))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("s_start"),
+            (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("s_end"),
+        )
+    )
+    bounds = sess.select(F.col("s_start").alias("t"), F.lit(1).alias("delta")).union(
+        sess.select(F.col("s_end").alias("t"), F.lit(-1).alias("delta"))
+    )
+    sweep_w = (
+        Window.orderBy("t", F.desc("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = bounds.select("t", F.sum("delta").over(sweep_w).alias("live"))
+    mx = swept.agg(F.max("live").alias("peak"))
+    return (
+        swept.crossJoin(F.broadcast(mx))
+        .filter(F.col("live") == F.col("peak"))
+        .groupBy("peak")
+        .agg(F.min("t").alias("first_peak"))
+        .select(
+            F.col("peak").cast("bigint").alias("peak_concurrency"),
+            F.date_format("first_peak", _FMT_SPARK).alias("first_peak_at"),
+        )
+    )
