@@ -6,7 +6,7 @@ oracle mirrors each regexp/aggregation in DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from esco_neo4j_spark.functions.text import quality_features, word_tokens
@@ -786,4 +786,72 @@ def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "js_nano",
         "n_terms",
         F.round(F.col("js_nano") / 1_000_000_000.0, 6).alias("js_divergence"),
+    )
+
+
+@query(
+    "text_zipf_fit",
+    sql=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKENS}) AS term FROM documents
+    ),
+    tf AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
+    ranked AS (
+      SELECT CAST(round(ln(row_number() OVER (ORDER BY n DESC, term))
+                        * 1000000) AS BIGINT) AS lx,
+             CAST(round(ln(n) * 1000000) AS BIGINT) AS ly
+      FROM tf
+    ),
+    s AS (
+      SELECT count(*) AS k, sum(lx) AS sx, sum(ly) AS sy,
+             sum(lx * lx) AS sxx, sum(lx * ly) AS sxy
+      FROM ranked
+    )
+    SELECT CAST(k AS BIGINT) AS vocab_size,
+           CAST(round(
+             (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS DOUBLE)
+             AS zipf_slope
+    FROM s
+    """,
+    survey_ops="text-zipf(ext),stats-ols(ext),E",
+    tables=("documents",),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS slope of log-frequency on log-rank over the
+    corpus vocabulary (natural text sits near -1; template/generated
+    corpora flatten — a corpus-level authenticity screen next to JS
+    divergence). Per-term logs are single deterministic doubles
+    quantized to integer micro-units BEFORE the power sums (the usual
+    discipline), the slope one scalar tail. The rank window is a total
+    order but runs over the VOCABULARY, not the corpus — at 100 TB the
+    vocab is still bucket-rankable with the two-level trick."""
+    d = spark.table("documents")
+    toks = d.select(F.explode(word_tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("term").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    ranked = tf.select(
+        F.round(F.log(F.row_number().over(w).cast("double")) * 1_000_000)
+        .cast("bigint")
+        .alias("lx"),
+        F.round(F.log(F.col("n").cast("double")) * 1_000_000)
+        .cast("bigint")
+        .alias("ly"),
+    )
+    s = ranked.agg(
+        F.count("*").alias("k"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    d_ = lambda c: F.col(c).cast("double")
+    slope = (d_("k") * d_("sxy") - d_("sx") * d_("sy")) / (
+        d_("k") * d_("sxx") - d_("sx") * d_("sx")
+    )
+    return s.select(
+        F.col("k").cast("bigint").alias("vocab_size"),
+        F.round(slope, 6).alias("zipf_slope"),
     )
