@@ -337,3 +337,30 @@ def test_attribution_left_is_equi_plus_anti(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti" in plan, "unmatched purchases must come from an anti-join"
+
+
+def test_association_rules_broadcasts_supports(spark):
+    plan = _plan(spark, "aq_association_rules")
+    assert "BroadcastHashJoin" in plan, "item supports must broadcast"
+    assert "CartesianProduct" not in plan
+
+
+def test_histogram_broadcasts_bounds(spark):
+    plan = _plan(spark, "ext_histogram_equiwidth")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+        "1-row bounds must broadcast"
+    )
+    assert "SortMergeJoin" not in plan
+
+
+def test_zipf_rank_window_runs_on_vocabulary(spark):
+    # the total-order window must consume the term-count AGGREGATE (the
+    # vocabulary), never raw tokens: a Window directly over the exploded
+    # corpus would be the scale bug
+    plan = _simple_plan(spark, "text_zipf_fit")
+    gen = plan.index("Generate")  # the explode
+    win = plan.index("Window")
+    agg_between = plan[win:gen].count("HashAggregate")
+    assert agg_between >= 1, (
+        "rank window must sit above the vocab aggregate, not raw tokens"
+    )
