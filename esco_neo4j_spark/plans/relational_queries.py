@@ -1501,3 +1501,55 @@ def ext_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "ext_join_cardinality_probe",
+    sql="""
+    WITH a AS (
+      SELECT o_custkey AS k, count(*) AS na FROM orders GROUP BY o_custkey
+    ),
+    b AS (
+      SELECT c_custkey AS k, count(*) AS nb FROM customer GROUP BY c_custkey
+    )
+    SELECT CAST(sum(na * nb) AS BIGINT) AS join_rows,
+           CAST(count(*) AS BIGINT) AS matching_keys,
+           CAST(max(na * nb) AS BIGINT) AS hottest_key_rows,
+           CAST(round(max(na * nb)::DOUBLE / sum(na * nb), 6) AS DOUBLE)
+             AS hottest_fraction
+    FROM a JOIN b USING (k)
+    """,
+    survey_ops="join-stats(ext),D2,C1",
+    tables=("orders", "customer"),
+)
+def ext_join_cardinality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT join-size probe: |A join B| = sum over matching keys of
+    n_a(k) * n_b(k), computed from the two per-key count tables WITHOUT
+    materializing the join — the statistic a planner estimates from
+    histograms, and the skew triage a data engineer runs before
+    submitting a suspicious join (hottest_fraction near 1 means one key
+    dominates the output; reach for the salted join). Both inputs
+    partial-aggregate before the key-table join, so the probe costs two
+    rollups regardless of how large the joined output would be."""
+    o = spark.table("orders")
+    c = spark.table("customer")
+    a = o.groupBy(F.col("o_custkey").alias("k")).agg(F.count("*").alias("na"))
+    b = c.groupBy(F.col("c_custkey").alias("k")).agg(F.count("*").alias("nb"))
+    prod = F.col("na") * F.col("nb")
+    return (
+        a.join(b, "k")
+        .agg(
+            F.sum(prod).cast("bigint").alias("join_rows"),
+            F.count("*").cast("bigint").alias("matching_keys"),
+            F.max(prod).cast("bigint").alias("hottest_key_rows"),
+        )
+        .select(
+            "join_rows",
+            "matching_keys",
+            "hottest_key_rows",
+            F.round(
+                F.col("hottest_key_rows").cast("double") / F.col("join_rows"),
+                6,
+            ).alias("hottest_fraction"),
+        )
+    )
