@@ -613,3 +613,35 @@ def pipeline_ingest_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_simhash_hamming_hist",
+    sql=f"""
+    WITH pairs AS ({_simhash_sql(60)})
+    SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY hamming ORDER BY hamming
+    """,
+    survey_ops="dedup-simhash,ann-eval(ext),D2",
+    tables=("documents",),
+)
+def dedup_simhash_hamming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash calibration: the full pairwise hamming-distance
+    distribution — where the near-dup threshold should sit is read
+    straight off this histogram (a clean corpus shows a far-mode around
+    ~30 of 60 bits with a near-dup spike at <= 3; a merged mode means
+    the fingerprint is saturating and needs more bits). Like the brute
+    simhash query it rides the all-pairs comparison — the CALIBRATION
+    pass you run on a sample, not the corpus; the production path stays
+    the lossless 4x15-bit banding. Integer XOR popcounts, 61-row
+    output."""
+    from esco_neo4j_spark.operators.dedup import simhash_pairs
+
+    pairs = simhash_pairs(
+        spark.table("documents"), "text", "doc_id", max_hamming=60
+    )
+    return (
+        pairs.groupBy(F.col("hamming").cast("int").alias("hamming"))
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("hamming")
+    )

@@ -2067,3 +2067,74 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("first_peak", _FMT_SPARK).alias("first_peak_at"),
         )
     )
+
+
+@query(
+    "events_autocorr_daily",
+    sql="""
+    WITH ev AS (SELECT * REPLACE (make_timestamp(epoch_ns(ts)//1000) AS ts) FROM events),
+    daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM ev GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, cents AS y,
+             lag(cents) OVER (PARTITION BY event_type ORDER BY day) AS x
+      FROM daily
+    ),
+    s AS (
+      SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM lagged WHERE x IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(round(
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS DOUBLE) AS autocorr_lag1
+    FROM s ORDER BY event_type
+    """,
+    survey_ops="stats-autocorr(ext),E,D8",
+    tables=("events",),
+)
+def events_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each metric's daily total — the
+    persistence/seasonality diagnostic (white noise ~ 0, trending or
+    weekly-cyclic series deviate) that decides whether yesterday
+    predicts today before anyone fits a forecaster. Daily rollup in
+    integer cents, lag pairs per type, then the exact power-sum Pearson
+    tail — three dimension-sized stages after the one corpus rollup."""
+    ev = spark.table("events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        F.col("cents").alias("y"),
+        F.lag("cents").over(w).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    s = lagged.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = F.sqrt(
+        (d("n") * d("sxx") - d("sx") * d("sx"))
+        * (d("n") * d("syy") - d("sy") * d("sy"))
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(num / den, 6).alias("autocorr_lag1"),
+    ).orderBy("event_type")
