@@ -2138,3 +2138,108 @@ def events_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_days"),
         F.round(num / den, 6).alias("autocorr_lag1"),
     ).orderBy("event_type")
+
+
+@query(
+    "events_cusum_changepoint",
+    sql="""
+    WITH ev AS (SELECT * REPLACE (make_timestamp(epoch_ns(ts)//1000) AS ts) FROM events),
+    daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM ev GROUP BY 1, 2
+    ),
+    scaled AS (
+      SELECT event_type, day,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             cents * count(*) OVER (PARTITION BY event_type)
+               - sum(cents) OVER (PARTITION BY event_type) AS d
+      FROM daily
+    ),
+    pref AS (
+      SELECT event_type, day, n,
+             sum(d) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS p
+      FROM scaled
+    ),
+    cus AS (
+      SELECT event_type, day, n,
+             p - least(0, min(p) OVER (PARTITION BY event_type ORDER BY day
+                                       ROWS UNBOUNDED PRECEDING)) AS s_up,
+             greatest(0, max(p) OVER (PARTITION BY event_type ORDER BY day
+                                      ROWS UNBOUNDED PRECEDING)) - p AS s_dn
+      FROM pref
+    ),
+    ranked AS (
+      SELECT event_type, day, n, s_up, s_dn,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY s_up DESC, day) AS r_up,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY s_dn DESC, day) AS r_dn
+      FROM cus
+    )
+    SELECT u.event_type,
+           strftime(u.day, '%Y-%m-%d') AS up_alarm_day,
+           CAST(round(u.s_up / (100.0 * u.n), 4) AS DOUBLE) AS up_drift,
+           strftime(d.day, '%Y-%m-%d') AS down_alarm_day,
+           CAST(round(d.s_dn / (100.0 * d.n), 4) AS DOUBLE) AS down_drift
+    FROM ranked u JOIN ranked d
+      ON u.event_type = d.event_type AND u.r_up = 1 AND d.r_dn = 1
+    ORDER BY u.event_type
+    """,
+    survey_ops="changepoint(ext),E,D8",
+    tables=("events",),
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over each metric's daily series — the
+    standard drift alarm (Page 1954) for data-quality monitoring: "did
+    this feed's level shift, and on which day?". The textbook recurrence
+    S_t = max(0, S_{t-1} + (x_t - target)) is a non-associative scan, so
+    instead we use the exact identity S_t = P_t - min(0, min_{j<=t} P_j)
+    with P the prefix sum of deviations — two window passes over the SAME
+    (event_type ORDER BY day) sort, i.e. one exchange + one sort total.
+    Deviations are scaled by n (d_t = n*cents_t - total) so everything
+    stays in exact integer cents*n units; the mean never appears as a
+    float. Mirror statistic high-water-mark - P_t alarms downward shifts.
+    Daily rollup first means window state is days-per-series, not raw
+    events — scale-safe at 100 TB."""
+    ev = spark.table("events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    wp = Window.partitionBy("event_type")
+    wo = wp.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    scaled = daily.select(
+        "event_type",
+        "day",
+        F.count("*").over(wp).alias("n"),
+        (F.col("cents") * F.count("*").over(wp) - F.sum("cents").over(wp)).alias("d"),
+    )
+    pref = scaled.withColumn("p", F.sum("d").over(wo))
+    cus = pref.select(
+        "event_type",
+        "day",
+        "n",
+        (F.col("p") - F.least(F.lit(0), F.min("p").over(wo))).alias("s_up"),
+        (F.greatest(F.lit(0), F.max("p").over(wo)) - F.col("p")).alias("s_dn"),
+    )
+    ranked = cus.select(
+        "event_type",
+        "day",
+        "n",
+        "s_up",
+        "s_dn",
+        F.row_number().over(wp.orderBy(F.desc("s_up"), F.asc("day"))).alias("r_up"),
+        F.row_number().over(wp.orderBy(F.desc("s_dn"), F.asc("day"))).alias("r_dn"),
+    )
+    up = ranked.filter(F.col("r_up") == 1).select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("up_alarm_day"),
+        F.round(F.col("s_up") / (100.0 * F.col("n")), 4).alias("up_drift"),
+    )
+    dn = ranked.filter(F.col("r_dn") == 1).select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("down_alarm_day"),
+        F.round(F.col("s_dn") / (100.0 * F.col("n")), 4).alias("down_drift"),
+    )
+    return up.join(dn, "event_type").orderBy("event_type")

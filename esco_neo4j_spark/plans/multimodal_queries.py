@@ -225,3 +225,128 @@ def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("body_md5")
     )
+
+
+# --- aHash: 8x8 average-hash fingerprint over the payload body ------------
+# 64 sample positions spread evenly over the body bytes; bit i = sampled
+# byte i brighter than the sample mean (64*p_i > sum). Positions and the
+# bit pack are generated from ONE Python loop into identical SQL fragments
+# for both engines; i*len < 6.4e9 and 64*p_i sums stay exactly
+# representable, so floor-double arithmetic is bit-identical.
+_PIX = [
+    f"ascii(substring(body, CAST(floor(({i} * len) / 64) AS BIGINT) + 1, 1))"
+    for i in range(64)
+]
+_PTOT = " + ".join(f"p{i}" for i in range(64))
+_HLO = " + ".join(
+    f"(CASE WHEN 64 * p{i} > ptot THEN {1 << i} ELSE 0 END)" for i in range(32)
+)
+_HHI = " + ".join(
+    f"(CASE WHEN 64 * p{i} > ptot THEN {1 << (i - 32)} ELSE 0 END)"
+    for i in range(32, 64)
+)
+_BAND = (
+    "CASE WHEN j < 4 THEN CAST(floor(h_lo / pow(2, 8 * j)) AS BIGINT) % 256 "
+    "ELSE CAST(floor(h_hi / pow(2, 8 * (j - 4))) AS BIGINT) % 256 END"
+)
+
+
+@query(
+    "mm_ahash_hamming_hist",
+    sql=f"""
+    WITH m AS (
+      SELECT doc_id, {_BODY} AS body FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, body, length(body) AS len FROM m WHERE length(body) >= 64
+    ),
+    px AS (
+      SELECT doc_id, {', '.join(f'{e} AS p{i}' for i, e in enumerate(_PIX))}
+      FROM sized
+    ),
+    tot AS (SELECT *, {_PTOT} AS ptot FROM px),
+    h AS (
+      SELECT doc_id, {_HLO} AS h_lo, {_HHI} AS h_hi FROM tot
+    ),
+    bands AS (
+      SELECT doc_id, h_lo, h_hi, j, {_BAND} AS band
+      FROM h CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS j)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+             a.h_lo AS alo, a.h_hi AS ahi, b.h_lo AS blo, b.h_hi AS bhi
+      FROM bands a JOIN bands b
+        ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id
+    )
+    SELECT CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) AS BIGINT)
+             AS hamming,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM cand GROUP BY 1 ORDER BY 1
+    """,
+    survey_ops="multimodal-phash(ext),C9,D2",
+    tables=("documents",),
+)
+def mm_ahash_hamming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-hash (aHash, the pHash family's DCT-free sibling) perceptual
+    fingerprint over the media payload BODY, plus the banded-candidate
+    Hamming histogram that calibrates a visual near-dup threshold. The
+    64-bit fingerprint is computed from 64 evenly-spaced body samples in
+    one projection (no shuffle, whole-stage codegen); candidate pairs come
+    from 8x8-bit pigeonhole bands — lossless for hamming<=7, the same
+    banding contract as dedup_simhash_banded — so no all-pairs join ever
+    forms. Real pixel decode stays behind the documented stub; this proves
+    the full fingerprint->band->join->bit_count refine pipeline on the
+    deterministic synthetic bodies. Two shuffles total (band join, final
+    histogram), both bounded, scale-safe at 100 TB."""
+    media = attach_payload(spark.table("documents"))
+    body = F.decode(
+        F.expr("substring(payload, 21, length(payload) - 20)"), "UTF-8"
+    )
+    sized = media.select(
+        "doc_id", body.alias("body")
+    ).withColumn("len", F.length("body")).filter(F.col("len") >= 64)
+    px = sized.select(
+        "doc_id", *[F.expr(e).alias(f"p{i}") for i, e in enumerate(_PIX)]
+    )
+    tot = px.withColumn("ptot", F.expr(_PTOT))
+    h = tot.select(
+        "doc_id",
+        F.expr(_HLO).alias("h_lo"),
+        F.expr(_HHI).alias("h_hi"),
+    )
+    bands = h.select(
+        "doc_id",
+        "h_lo",
+        "h_hi",
+        F.explode(F.array(*[F.lit(j) for j in range(8)])).alias("j"),
+    ).withColumn("band", F.expr(_BAND))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.h_lo").alias("alo"),
+            F.col("a.h_hi").alias("ahi"),
+            F.col("b.h_lo").alias("blo"),
+            F.col("b.h_hi").alias("bhi"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            (
+                F.expr("bit_count(alo ^ blo)") + F.expr("bit_count(ahi ^ bhi)")
+            )
+            .cast("bigint")
+            .alias("hamming")
+        )
+        .groupBy("hamming")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .orderBy("hamming")
+    )

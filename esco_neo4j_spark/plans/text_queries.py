@@ -855,3 +855,138 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("bigint").alias("vocab_size"),
         F.round(slope, 6).alias("zipf_slope"),
     )
+
+
+@query(
+    "text_nb_source_classifier",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    ct AS (
+      SELECT d.source, t.term, count(*) AS cnt
+      FROM toks t JOIN documents d USING (doc_id)
+      GROUP BY d.source, t.term
+    ),
+    cls AS (
+      SELECT source, sum(cnt) AS tok_total FROM ct GROUP BY source
+    ),
+    v AS (SELECT count(DISTINCT term) AS vocab FROM toks),
+    prior AS (
+      SELECT source,
+             CAST(round(ln(count(*)::DOUBLE
+                           / (SELECT count(*) FROM documents)) * 1000000)
+                  AS BIGINT) AS prior_micro
+      FROM documents GROUP BY source
+    ),
+    lik AS (
+      SELECT t.term, cls.source,
+             CAST(round(ln((coalesce(ct.cnt, 0) + 1)::DOUBLE
+                           / (cls.tok_total + v.vocab)) * 1000000)
+                  AS BIGINT) AS micro
+      FROM (SELECT DISTINCT term FROM toks) t
+      CROSS JOIN cls CROSS JOIN v
+      LEFT JOIN ct ON ct.term = t.term AND ct.source = cls.source
+    ),
+    scored AS (
+      SELECT tf.doc_id, lik.source,
+             sum(tf.tf * lik.micro) AS ll
+      FROM tf JOIN lik USING (term)
+      GROUP BY tf.doc_id, lik.source
+    ),
+    best AS (
+      SELECT s.doc_id, s.source AS predicted,
+             row_number() OVER (PARTITION BY s.doc_id
+                                ORDER BY s.ll + p.prior_micro DESC,
+                                         s.source) AS r
+      FROM scored s JOIN prior p ON s.source = p.source
+    )
+    SELECT d.source AS actual_source, b.predicted AS predicted_source,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM best b JOIN documents d USING (doc_id)
+    WHERE b.r = 1
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    survey_ops="text-classifier(ext),D3,C1,E",
+    tables=("documents",),
+)
+def text_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes document classifier, trained and scored in
+    one plan — the CCNet/GPT-3 "quality classifier" pattern (score every
+    crawl page against a trusted-corpus model) with the documents table's
+    source field as the label. Training is two bounded aggregates
+    (class-term counts, class priors); the model — vocab x n_classes
+    Laplace-smoothed log-likelihoods, quantized to integer micro-nats so
+    every per-doc sum is order-exact — is broadcast back against per-doc
+    term frequencies. Fan-out is n_classes (a small constant), the only
+    corpus-sized shuffles are the tf rollup and the per-doc re-group, and
+    the readout is the confusion matrix. At 100 TB the model table is
+    still vocabulary-sized: same broadcast, same plan."""
+    d = spark.table("documents")
+    toks = d.select(
+        "doc_id", F.explode(word_tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    ct = (
+        toks.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cls = ct.groupBy("source").agg(F.sum("cnt").alias("tok_total"))
+    vocab = toks.agg(F.countDistinct("term").alias("vocab"))
+    n_docs_total = d.count()  # 1 driver-side scalar (class prior denominator)
+    prior = d.groupBy("source").agg(
+        F.round(
+            F.log(F.count("*").cast("double") / F.lit(float(n_docs_total)))
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("prior_micro")
+    )
+    terms = toks.select("term").distinct()
+    lik = (
+        terms.crossJoin(F.broadcast(cls))
+        .crossJoin(F.broadcast(vocab))
+        .join(ct, ["term", "source"], "left")
+        .select(
+            "term",
+            "source",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tok_total") + F.col("vocab")).cast("double")
+                )
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("micro"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(lik), "term")
+        .groupBy("doc_id", "source")
+        .agg(F.sum(F.col("tf") * F.col("micro")).alias("ll"))
+    )
+    best = (
+        scored.join(F.broadcast(prior), "source")
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.desc(F.col("ll") + F.col("prior_micro")), F.asc("source")
+                )
+            ),
+        )
+        .filter(F.col("r") == 1)
+        .select("doc_id", F.col("source").alias("predicted_source"))
+    )
+    return (
+        best.join(d.select("doc_id", F.col("source").alias("actual_source")), "doc_id")
+        .groupBy("actual_source", "predicted_source")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("actual_source", "predicted_source")
+    )
