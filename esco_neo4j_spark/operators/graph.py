@@ -1281,3 +1281,62 @@ def strongly_connected_components(
             )
         )
     return out
+
+
+def luby_mis(edges: DataFrame, rounds: int = 8) -> DataFrame:
+    """Maximal independent set by Luby's algorithm (Luby 1986), the
+    canonical O(log n)-round symmetry-breaking primitive: each round every
+    still-active vertex joins the MIS iff its per-round priority beats
+    every active neighbor's, then winners and their neighbors retire.
+    Priorities are a deterministic arithmetic hash of (id, round) — no
+    RNG, so the run is replayable and a SQL oracle can unroll the exact
+    same rounds. Returns (id, mis_round).
+
+    Per round: one semi-join to restrict edges to active endpoints, one
+    neighbor-comparison anti-join, one removal anti-join — all keyed
+    shuffles on vertex id, frontier-sized state, checkpointed per round.
+    Runs a FIXED number of rounds (early exit only when no vertex is
+    active, which later rounds would no-op anyway) so a fixed-depth
+    unrolled oracle is equivalent by construction. Independence and
+    maximality are property-tested in tests/test_graph.py.
+    Cypher analog: none in the reference (extension per SURVEY §2.K).
+    """
+    P = 2_147_483_647
+    und = (
+        undirected(edges)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    active = vertices_of(edges)
+    parts: list[DataFrame] = []
+    for r in range(1, rounds + 1):
+
+        def h(c):
+            return (F.lit(22853) * (c + F.lit(r * 1_000_003)) + 977) % P
+
+        act_e = und.join(
+            active.withColumnRenamed("id", "src"), "src", "leftsemi"
+        ).join(active.withColumnRenamed("id", "dst"), "dst", "leftsemi")
+        a_id, n_id = F.col("src"), F.col("dst")
+        blocked = (
+            act_e.filter(
+                (h(n_id) < h(a_id)) | ((h(n_id) == h(a_id)) & (n_id < a_id))
+            )
+            .select(a_id.alias("id"))
+            .distinct()
+        )
+        winners = _checkpoint(active.join(blocked, "id", "left_anti"))
+        parts.append(winners.withColumn("mis_round", F.lit(r).cast("int")))
+        nbrs = (
+            und.join(winners.withColumnRenamed("id", "src"), "src", "leftsemi")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        removed = winners.select("id").union(nbrs)
+        active = _checkpoint(active.join(removed, "id", "left_anti"))
+        if active.count() == 0:
+            break
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

@@ -485,3 +485,56 @@ def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "doc_id")
     )
+
+
+@query(
+    "text_weighted_sample",
+    sql="""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             ln(((22853 * doc_id + 977) % 2147483647 + 1)
+                / 2147483648.0) / greatest(n_chars, 1) AS k
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY k DESC, doc_id) AS rk
+      FROM keyed
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY source, rk
+    """,
+    survey_ops="text-sampling,E,F2",
+    tables=("documents",),
+)
+def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k=5 per source, weight =
+    n_chars — the Efraimidis-Spirakis exponential-keys scheme that
+    length-weighted training-mix construction needs (pick documents with
+    probability proportional to size, never twice). Each doc gets key
+    ln(u)/w for a deterministic arithmetic-hash u in (0,1]; the k largest
+    keys per group are exactly an ES weighted draw, so the whole sample
+    is one partitioned window — same single-exchange shape as the
+    unweighted reservoir query. ln is evaluated on identical doubles in
+    both engines; ordering (not the key value) is all that's compared, so
+    a 1-ulp libm difference cannot flip a rank unless two keys collide to
+    within it, which distinct hashes preclude."""
+    d = spark.table("documents")
+    P = 2_147_483_647
+    u = ((F.lit(22853) * F.col("doc_id") + 977) % P + 1) / F.lit(2147483648.0)
+    key = F.log(u) / F.greatest(F.col("n_chars"), F.lit(1))
+    w = Window.partitionBy("source").orderBy(F.desc(key), F.asc("doc_id"))
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "source", "n_chars", F.col("rk").cast("int").alias("rk"))
+        .orderBy("source", "rk")
+    )

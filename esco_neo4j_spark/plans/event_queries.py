@@ -2243,3 +2243,98 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s_dn") / (100.0 * F.col("n")), 4).alias("down_drift"),
     )
     return up.join(dn, "event_type").orderBy("event_type")
+
+
+@query(
+    "events_kmv_distinct_rollup",
+    sql="""
+    WITH ev AS (SELECT * REPLACE (make_timestamp(epoch_ns(ts)//1000) AS ts) FROM events),
+    h AS (
+      SELECT DISTINCT event_type, CAST(ts AS DATE) AS d,
+             (22853 * user_id + 977) % 2147483647 AS h
+      FROM ev
+    ),
+    daily AS (
+      SELECT event_type, d, h,
+             row_number() OVER (PARTITION BY event_type, d ORDER BY h) AS r
+      FROM h
+    ),
+    pooled AS (
+      SELECT DISTINCT event_type, h FROM daily WHERE r <= 64
+    ),
+    merged AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+      FROM pooled
+    ),
+    agg AS (
+      SELECT event_type, count(*) AS cnt, max(h) AS hk
+      FROM merged WHERE r <= 64 GROUP BY event_type
+    ),
+    exact AS (
+      SELECT event_type, count(DISTINCT user_id) AS exact_users
+      FROM ev GROUP BY event_type
+    )
+    SELECT a.event_type,
+           CAST(CASE WHEN a.cnt < 64 THEN a.cnt
+                     ELSE floor(63.0 * 2147483647.0 / a.hk) END AS BIGINT)
+             AS approx_users,
+           CAST(x.exact_users AS BIGINT) AS exact_users
+    FROM agg a JOIN exact x USING (event_type)
+    ORDER BY a.event_type
+    """,
+    survey_ops="sketch(ext),D5,E",
+    tables=("events",),
+)
+def events_kmv_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al.) — the fourth
+    member of the mergeable-sketch family (CMS / Bloom / HLL / KMV) and
+    the one whose state is pure ORDER STATISTICS: keep the k=64 smallest
+    distinct arithmetic hash values, estimate distinct = (k-1)*M/h_(k).
+    Mergeability is set union + re-take-k-smallest, shown by the same
+    two-level rollup as the HLL query: bounded 64-row daily registers,
+    pooled across days, estimated once. Fewer than k values means the
+    sketch IS the exact distinct set — the estimate degrades to exact,
+    handled by the CASE. Everything is integer hashing plus one double
+    division, so the whole estimate — not just its error bound — value-
+    matches the oracle. Exact COUNT(DISTINCT) joined alongside for the
+    error readout."""
+    ev = spark.table("events")
+    P = 2_147_483_647
+    h = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("d"),
+            ((F.lit(22853) * F.col("user_id") + 977) % P).alias("h"),
+        )
+        .distinct()
+    )
+    daily = h.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("event_type", "d").orderBy("h")
+        ),
+    ).filter(F.col("r") <= 64)
+    pooled = daily.select("event_type", "h").distinct()
+    merged = pooled.withColumn(
+        "r",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("h")),
+    ).filter(F.col("r") <= 64)
+    agg = merged.groupBy("event_type").agg(
+        F.count("*").alias("cnt"), F.max("h").alias("hk")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    approx = F.when(F.col("cnt") < 64, F.col("cnt")).otherwise(
+        F.floor(F.lit(63.0) * F.lit(2147483647.0) / F.col("hk"))
+    )
+    return (
+        agg.join(exact, "event_type")
+        .select(
+            "event_type",
+            approx.cast("bigint").alias("approx_users"),
+            F.col("exact_users").cast("bigint").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )

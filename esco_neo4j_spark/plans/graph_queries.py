@@ -1454,3 +1454,64 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = parents.union(preds).distinct()
     return hits_fixedpoint(e, num_iter=5).orderBy("id")
+
+
+def _mis_unrolled_sql(rounds: int = 8) -> str:
+    """DuckDB twin of operators/graph.luby_mis: the fixed-round schedule
+    and per-(id, round) arithmetic-hash priorities replay exactly, so the
+    unrolled CTE chain is equal by construction — including rounds after
+    the set is maximal, which are empty on both sides."""
+
+    def h(col: str, r: int) -> str:
+        return f"((22853 * ({col} + {r * 1_000_003}) + 977) % 2147483647)"
+
+    sql = [f"""
+    WITH edges AS ({_EDGES_SQL}),
+    und AS MATERIALIZED (
+      SELECT src, dst FROM edges WHERE src <> dst
+      UNION
+      SELECT dst, src FROM edges WHERE src <> dst
+    ),
+    a0 AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges)"""]
+    for r in range(1, rounds + 1):
+        ha, hn = h("a.id", r), h("n.id", r)
+        sql.append(f""",
+    m{r} AS MATERIALIZED (
+      SELECT a.id FROM a{r - 1} a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM und e JOIN a{r - 1} n ON n.id = e.dst
+        WHERE e.src = a.id
+          AND ({hn} < {ha} OR ({hn} = {ha} AND n.id < a.id))
+      )
+    ),
+    a{r} AS MATERIALIZED (
+      SELECT id FROM a{r - 1}
+      WHERE id NOT IN (SELECT id FROM m{r})
+        AND id NOT IN (SELECT e.dst FROM und e
+                       WHERE e.src IN (SELECT id FROM m{r}))
+    )""")
+    union = "\n      UNION ALL\n      ".join(
+        f"SELECT id, {r} AS mis_round FROM m{r}" for r in range(1, rounds + 1)
+    )
+    sql.append(f"""
+    SELECT id, CAST(mis_round AS INT) AS mis_round
+    FROM ({union}) ORDER BY id""")
+    return "".join(sql)
+
+
+@query(
+    "graph_mis_luby",
+    sql=_mis_unrolled_sql(),
+    survey_ops="K(ext),C8,G2",
+    tables=("events",),
+)
+def graph_mis_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal independent set via Luby's randomized-symmetry-breaking
+    algorithm with deterministic per-round hash priorities — the building
+    block for distributed coloring/scheduling (and the classic proof that
+    'inherently sequential' greedy graph algorithms parallelize). The
+    fixed 8-round schedule replays bit-exactly in the unrolled oracle;
+    independence + maximality are separately property-tested."""
+    from esco_neo4j_spark.operators.graph import luby_mis
+
+    return luby_mis(_edges(spark), rounds=8).orderBy("id")

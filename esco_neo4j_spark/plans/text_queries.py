@@ -990,3 +990,87 @@ def text_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_docs"))
         .orderBy("actual_source", "predicted_source")
     )
+
+
+@query(
+    "text_bigram_lm_score",
+    sql=f"""
+    WITH docs AS (
+      SELECT doc_id, {_TOKENS} AS toks FROM documents
+    ),
+    toks AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+    uni AS (SELECT term, count(*) AS cu FROM toks GROUP BY term),
+    v AS (SELECT count(*) AS vocab FROM uni),
+    big AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      FROM docs WHERE len(toks) >= 2
+    ),
+    bcnt AS (SELECT bg, count(*) AS cb FROM big GROUP BY bg),
+    scored AS (
+      SELECT big.doc_id,
+             CAST(round(-ln((bcnt.cb + 1)::DOUBLE
+                            / (uni.cu + v.vocab)::DOUBLE) * 1000000)
+                  AS BIGINT) AS micro
+      FROM big
+      JOIN bcnt USING (bg)
+      JOIN uni ON uni.term = split_part(big.bg, ' ', 1)
+      CROSS JOIN v
+    )
+    SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+           CAST(sum(micro) AS BIGINT) AS sum_micro_nats
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    survey_ops="text-lm-quality(ext),D3,C1",
+    tables=("documents",),
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model surprisal per document — the sequence-aware
+    upgrade of text_unigram_logprob (KenLM-style fluency scoring charges
+    -ln p(w2|w1), add-1 smoothed over the corpus vocabulary, per bigram).
+    Bigrams are built PER ROW with transform(sequence(...)) over the token
+    array — no positional window, no per-doc shuffle — then counted
+    corpus-wide. Unlike the unigram model, the bigram table scales with
+    corpus diversity, so the likelihood join is a plain shuffle join (NOT
+    a broadcast — documented 100 TB difference); per-bigram surprisal is
+    quantized to integer micro-nats before the per-doc sum, keeping the
+    aggregate order-exact."""
+    d = spark.table("documents")
+    docs = d.select("doc_id", word_tokens(F.col("text")).alias("toks"))
+    toks = docs.select("doc_id", F.explode("toks").alias("term"))
+    uni = toks.groupBy("term").agg(F.count("*").alias("cu"))
+    vocab = uni.agg(F.count("*").alias("vocab"))
+    big = (
+        docs.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> concat(element_at(toks, i), ' ', "
+                    "element_at(toks, i + 1)))"
+                )
+            ).alias("bg"),
+        )
+    )
+    bcnt = big.groupBy("bg").agg(F.count("*").alias("cb"))
+    micro = F.round(
+        -F.log(
+            (F.col("cb") + 1).cast("double")
+            / (F.col("cu") + F.col("vocab")).cast("double")
+        )
+        * 1_000_000
+    ).cast("bigint")
+    return (
+        big.join(bcnt, "bg")
+        .join(uni, F.substring_index(F.col("bg"), " ", 1) == F.col("term"))
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", micro.alias("micro"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_bigrams"),
+            F.sum("micro").cast("bigint").alias("sum_micro_nats"),
+        )
+        .orderBy("doc_id")
+    )

@@ -360,3 +360,26 @@ def test_kcore_refuses_truncated_peeling(spark):
     )
     with pytest.raises(ValueError, match="fixpoint"):
         k_core(chain, k=2, max_iter=3)
+
+
+def test_luby_mis_independent_and_maximal(spark):
+    """MIS property check on the bridge graph + an isolated star: no two
+    MIS members are adjacent (independence) and every non-member has a
+    MIS neighbor (maximality)."""
+    from esco_neo4j_spark.operators.graph import luby_mis, undirected
+
+    edges = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in BRIDGE_GRAPH]
+        + [(10, i) for i in range(11, 15)],
+        "src bigint, dst bigint",
+    )
+    mis = {r.id for r in luby_mis(edges, rounds=8).collect()}
+    adj = {
+        (r.src, r.dst)
+        for r in undirected(edges).filter("src <> dst").distinct().collect()
+    }
+    verts = {v for e in adj for v in e}
+    assert all((a, b) not in adj for a in mis for b in mis if a != b)
+    assert all(
+        v in mis or any((v, m) in adj for m in mis) for v in verts
+    )
