@@ -2338,3 +2338,126 @@ def events_kmv_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_psi_drift",
+    sql="""
+    WITH ev AS (
+      SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS period,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM (SELECT * REPLACE (make_timestamp(epoch_ns(ts)//1000) AS ts) FROM events)
+    ),
+    ref AS (
+      SELECT event_type, min(vc) AS mn, max(vc) AS mx
+      FROM ev WHERE period = 0 GROUP BY event_type
+    ),
+    binned AS (
+      SELECT e.event_type, e.period,
+             greatest(0, least(9, (e.vc - r.mn) * 10 // greatest(r.mx - r.mn, 1)))
+               AS bin
+      FROM ev e JOIN ref r USING (event_type)
+    ),
+    spine AS (
+      SELECT event_type, b.bin
+      FROM ref CROSS JOIN (SELECT unnest(range(10)) AS bin) b
+    ),
+    cnt AS (
+      SELECT s.event_type, s.bin,
+             coalesce(sum(CASE WHEN b.period = 0 THEN 1 END), 0) AS cref,
+             coalesce(sum(CASE WHEN b.period = 1 THEN 1 END), 0) AS ccur
+      FROM spine s
+      LEFT JOIN binned b ON b.event_type = s.event_type AND b.bin = s.bin
+      GROUP BY s.event_type, s.bin
+    ),
+    tot AS (
+      SELECT event_type, sum(cref) AS nref, sum(ccur) AS ncur
+      FROM cnt GROUP BY event_type
+    ),
+    terms AS (
+      SELECT c.event_type,
+             CAST(round(
+               (((c.cref + 1)::DOUBLE / (t.nref + 10)) -
+                ((c.ccur + 1)::DOUBLE / (t.ncur + 10))) *
+               ln(((c.cref + 1)::DOUBLE / (t.nref + 10)) /
+                  ((c.ccur + 1)::DOUBLE / (t.ncur + 10))) * 1000000000)
+                  AS BIGINT) AS nano
+      FROM cnt c JOIN tot t USING (event_type)
+    )
+    SELECT event_type,
+           CAST(round(sum(nano) / 1000000000.0, 6) AS DOUBLE) AS psi
+    FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+    survey_ops="drift-psi(ext),D8,G1",
+    tables=("events",),
+)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per metric — the model-monitoring
+    standard for "has this feature's distribution shifted since the
+    reference window?" (PSI < 0.1 stable, > 0.25 action). Ten equi-width
+    bins are FIXED from the reference fortnight's min/max in integer
+    cents — pure integer bin assignment, so binning is bit-identical
+    cross-engine — and the current fortnight is clamped into them, the
+    detail that keeps a monitoring PSI comparable run over run. Laplace-
+    smoothed (p-q)*ln(p/q) terms are quantized to nano-nats before the
+    per-type sum (order-exact aggregate, same trick as the LM scores).
+    The bin-bounds table is dimension-sized and broadcast; one corpus
+    pass builds the counts. Complements events_cusum_changepoint (level
+    shift in time) and text_source_divergence (corpus JS divergence)."""
+    ev = spark.table("events").select(
+        "event_type",
+        F.when(
+            F.col("ts") < F.to_timestamp(F.lit("2024-01-16")), 0
+        ).otherwise(1).alias("period"),
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    ref = (
+        ev.filter(F.col("period") == 0)
+        .groupBy("event_type")
+        .agg(F.min("vc").alias("mn"), F.max("vc").alias("mx"))
+    )
+    binned = ev.join(F.broadcast(ref), "event_type").select(
+        "event_type",
+        "period",
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(9),
+                ((F.col("vc") - F.col("mn")) * 10).cast("bigint")
+                / F.greatest(F.col("mx") - F.col("mn"), F.lit(1)),
+            ).cast("bigint"),
+        ).alias("bin"),
+    )
+    spine = ref.select(
+        "event_type", F.explode(F.array(*[F.lit(i) for i in range(10)])).alias("bin")
+    )
+    cnt = (
+        spine.join(
+            binned.groupBy("event_type", "bin", "period").count(),
+            ["event_type", "bin"],
+            "left",
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("period") == 0, F.col("count"))), F.lit(0)
+            ).alias("cref"),
+            F.coalesce(
+                F.sum(F.when(F.col("period") == 1, F.col("count"))), F.lit(0)
+            ).alias("ccur"),
+        )
+    )
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("cref").alias("nref"), F.sum("ccur").alias("ncur")
+    )
+    p = (F.col("cref") + 1).cast("double") / (F.col("nref") + 10)
+    q = (F.col("ccur") + 1).cast("double") / (F.col("ncur") + 10)
+    nano = F.round((p - q) * F.log(p / q) * 1_000_000_000).cast("bigint")
+    return (
+        cnt.join(F.broadcast(tot), "event_type")
+        .select("event_type", nano.alias("nano"))
+        .groupBy("event_type")
+        .agg(F.round(F.sum("nano") / 1_000_000_000.0, 6).alias("psi"))
+        .orderBy("event_type")
+    )

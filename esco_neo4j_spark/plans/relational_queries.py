@@ -1553,3 +1553,119 @@ def ext_join_cardinality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hottest_fraction"),
         )
     )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    sql="""
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) / 100.0 AS DOUBLE) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    survey_ops="C1,C6,D3,F2",
+    tables=("customer", "orders", "lineitem"),
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) adapted to the synthetic schema —
+    the canonical selective-dimension -> fact -> fact join: the BUILDING
+    customer slice broadcasts into orders, the date filters push to both
+    parquet scans, and only the surviving orders shuffle against
+    lineitem. Revenue summed in integer cents so the top-10 cutoff is
+    order-exact. o_orderpriority stands in for the reference schema's
+    o_shippriority (not generated here)."""
+    c = spark.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = spark.table("orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-03-15"))
+    )
+    l = spark.table("lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1998-03-15"))
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return (
+        l.join(
+            F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(cents) / 100.0).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_local_supplier",
+    sql="""
+    SELECT n.n_name,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) / 100.0 AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+    survey_ops="C1,C6,D3,F1",
+    tables=("customer", "orders", "lineitem", "supplier", "nation", "region"),
+)
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume) adapted — the classic 6-way join
+    with a correlated same-nation constraint between the customer and
+    supplier legs. All four dimensions (customer, supplier, nation,
+    region) broadcast; the single shuffle join is orders x lineitem, and
+    the ASIA/date predicates prune both fact scans before it. Integer-
+    cent revenue keeps the per-nation ranking value-exact."""
+    r = spark.table("region").filter(F.col("r_name") == "ASIA")
+    n = spark.table("nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = spark.table("supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    o = spark.table("orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    c = spark.table("customer")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return (
+        spark.table("lineitem")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(c),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg((F.sum(cents) / 100.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
