@@ -1340,3 +1340,84 @@ def luby_mis(edges: DataFrame, rounds: int = 8) -> DataFrame:
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+def msf_boruvka(
+    edges: DataFrame, weight_col: str = "weight", max_iter: int = 20
+) -> DataFrame:
+    """Minimum spanning forest by Boruvka's algorithm — the textbook
+    distributed MST (the standard Pregel/GraphX example): every component
+    picks its minimum-weight outgoing edge, all picks join the forest at
+    once, components contract, repeat. With distinct weights (ties broken
+    by (weight, a, b), making the MSF unique regardless) the picked edges
+    never close a cycle, so components at least halve per round —
+    O(log V) rounds. Returns the forest edge list (a, b, weight).
+
+    Per round: one broadcast-sized join of edges to the component map,
+    one per-component min via row_number, then contraction by hash-min
+    connected components over the PICKED edges only (component-count
+    sized, shrinking geometrically). No SQL oracle exists (nested
+    iteration: CC inside Boruvka rounds) — the registry entry is a
+    rows-only check; tests/test_graph.py pins the exact edge set against
+    an independent plain-Python Kruskal on the same input.
+    Cypher analog: none in the reference (extension per SURVEY §2.K).
+    """
+    # least/greatest canonicalization already folds both directions, so no
+    # undirected view is needed (it would also drop the weight column)
+    canon = (
+        edges.select("src", "dst", weight_col)
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            F.col(weight_col).alias("w"),
+        )
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+    )
+    canon = _checkpoint(canon)
+    comp = vertices_of(canon.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    comp = comp.withColumn("component", F.col("id"))
+    forest = None
+    for _ in range(max_iter):
+        ca = comp.select(F.col("id").alias("a"), F.col("component").alias("cca"))
+        cb = comp.select(F.col("id").alias("b"), F.col("component").alias("ccb"))
+        live = (
+            canon.join(ca, "a").join(cb, "b").filter(F.col("cca") != F.col("ccb"))
+        )
+        live = _checkpoint(live.select("a", "b", "w", "cca", "ccb"))
+        if live.isEmpty():
+            break
+        cands = live.select(
+            F.col("cca").alias("c"), "w", "a", "b"
+        ).union(live.select(F.col("ccb").alias("c"), "w", "a", "b"))
+        picked = (
+            cands.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("c").orderBy("w", "a", "b")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("a", "b", "w")
+            .distinct()
+        )
+        picked = _checkpoint(picked)
+        forest = picked if forest is None else forest.union(picked)
+        # contract: CC over the picked component-graph, then remap
+        cgraph = (
+            picked.join(live.select("a", "b", "cca", "ccb").distinct(), ["a", "b"])
+            .select(F.col("cca").alias("src"), F.col("ccb").alias("dst"))
+        )
+        remap = connected_components(cgraph).select(
+            F.col("id").alias("component"), F.col("component").alias("newc")
+        )
+        comp = _checkpoint(
+            comp.join(remap, "component", "left").select(
+                "id",
+                F.coalesce(F.col("newc"), F.col("component")).alias("component"),
+            )
+        )
+    if forest is None:
+        return canon.select("a", "b", F.col("w").alias("weight")).limit(0)
+    return forest.select("a", "b", F.col("w").alias("weight"))

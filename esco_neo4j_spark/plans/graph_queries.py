@@ -1515,3 +1515,38 @@ def graph_mis_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
     from esco_neo4j_spark.operators.graph import luby_mis
 
     return luby_mis(_edges(spark), rounds=8).orderBy("id")
+
+
+@query(
+    "graph_msf_boruvka",
+    sql=None,  # nested iteration (hash-min CC inside every Boruvka round)
+    # is not SQL-expressible even unrolled; the exact edge set is pinned
+    # against an independent plain-Python Kruskal in tests/test_graph.py
+    survey_ops="K(ext),C1,E",
+    tables=("events",),
+)
+def graph_msf_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest of the cyclic (tree + sibling) graph via
+    Boruvka rounds — deterministic hash weights make the MSF unique, so
+    the rows-only driver check is stable run to run. See
+    operators/graph.py:msf_boruvka for the per-round shuffle budget."""
+    from esco_neo4j_spark.operators.graph import msf_boruvka
+
+    ev = spark.table("events")
+    tree = ev.filter(F.col("user_id") >= 1).select(
+        F.col("user_id").alias("src"),
+        (F.col("user_id") / 2).cast("bigint").alias("dst"),
+    )
+    sib = ev.filter(F.col("user_id") >= 2).select(
+        F.col("user_id").alias("src"),
+        (F.col("user_id") - 1).alias("dst"),
+    )
+    edges = tree.union(sib).distinct()
+    w = (
+        (F.lit(22853) * (F.col("src") * 1_000_003 + F.col("dst")) + 977)
+        % 2_147_483_647
+    ).cast("double")
+    return (
+        msf_boruvka(edges.withColumn("weight", w))
+        .orderBy("a", "b")
+    )

@@ -383,3 +383,53 @@ def test_luby_mis_independent_and_maximal(spark):
     assert all(
         v in mis or any((v, m) in adj for m in mis) for v in verts
     )
+
+
+def _kruskal(edges):
+    """Independent plain-Python Kruskal for the MSF golden (union-find)."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = []
+    for w, a, b in sorted((w, a, b) for a, b, w in edges):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            out.append((min(a, b), max(a, b), w))
+    return sorted(out)
+
+
+def test_msf_boruvka_matches_kruskal(spark):
+    """Exact MSF edge set vs plain-Python Kruskal on a weighted graph
+    with cycles, parallel-ish weights, and two disconnected components."""
+    from esco_neo4j_spark.operators.graph import msf_boruvka
+
+    raw = [
+        (1, 2, 4.0), (2, 3, 1.0), (3, 1, 3.0),   # triangle
+        (3, 4, 7.0), (4, 5, 2.0), (5, 6, 5.0),   # path + ...
+        (6, 4, 6.0),                             # ... cycle
+        (10, 11, 9.0), (11, 12, 8.0), (12, 10, 10.0),  # separate triangle
+    ]
+    edges = spark.createDataFrame(raw, "src bigint, dst bigint, weight double")
+    got = sorted(
+        (r.a, r.b, r.weight) for r in msf_boruvka(edges).collect()
+    )
+    assert got == _kruskal(raw)
+    # forest invariant: |edges| = |V| - #components  (8 vertices... 9 verts, 2 comps)
+    assert len(got) == 9 - 2
+
+
+def test_msf_boruvka_tree_input_returns_all_edges(spark):
+    """A tree is already its own MSF."""
+    from esco_neo4j_spark.operators.graph import msf_boruvka
+
+    raw = [(i, i + 1, float(10 - i)) for i in range(6)]
+    edges = spark.createDataFrame(raw, "src bigint, dst bigint, weight double")
+    got = sorted((r.a, r.b, r.weight) for r in msf_boruvka(edges).collect())
+    assert got == sorted(raw)
