@@ -1669,3 +1669,74 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum(cents) / 100.0).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
+
+
+@query(
+    "ext_skyline_orders",
+    sql="""
+    WITH o AS (
+      SELECT o_orderpriority AS priority, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+             CAST(epoch(o_orderdate) AS BIGINT) AS d
+      FROM orders
+    ),
+    w AS (
+      SELECT *,
+             max(d) OVER (PARTITION BY priority ORDER BY price_c
+                          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS rmax_lower,
+             max(d) OVER (PARTITION BY priority, price_c) AS max_same
+      FROM o
+    )
+    SELECT priority, o_orderkey,
+           CAST(price_c / 100.0 AS DOUBLE) AS totalprice,
+           strftime(to_timestamp(d), '%Y-%m-%d') AS orderdate
+    FROM w
+    WHERE (rmax_lower IS NULL OR d > rmax_lower) AND d = max_same
+    ORDER BY priority, price_c, o_orderkey
+    """,
+    survey_ops="skyline(ext),E,B6",
+    tables=("orders",),
+)
+def ext_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-front) query per order priority: orders no other
+    same-priority order dominates on (cheaper price, later date) — the
+    classic multi-criteria shortlist operator (Borzsony/Kossmann/Stocker
+    2001). Instead of the O(n^2) NOT-EXISTS formulation (which the DuckDB
+    oracle can afford at sf scale), the Spark plan is two window passes
+    over one (priority, price) sort: a point is on the skyline iff its
+    date beats the running max date over all STRICTLY cheaper rows (RANGE
+    frame excludes price ties) and it holds the max date within its exact
+    price. Partitioning by priority keeps every window group-local — the
+    100 TB shape; prices in integer cents, dates in epoch seconds, so
+    dominance is pure integer comparison."""
+    o = spark.table("orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+        F.unix_timestamp("o_orderdate").cast("bigint").alias("d"),
+    )
+    wl = (
+        Window.partitionBy("priority")
+        .orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    ws = Window.partitionBy("priority", "price_c")
+    w = o.select(
+        "*",
+        F.max("d").over(wl).alias("rmax_lower"),
+        F.max("d").over(ws).alias("max_same"),
+    )
+    return (
+        w.filter(
+            (F.col("rmax_lower").isNull() | (F.col("d") > F.col("rmax_lower")))
+            & (F.col("d") == F.col("max_same"))
+        )
+        .select(
+            "priority",
+            "o_orderkey",
+            (F.col("price_c") / 100.0).alias("totalprice"),
+            F.from_unixtime("d", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy("priority", (F.col("totalprice")), "o_orderkey")
+    )
