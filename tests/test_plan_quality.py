@@ -364,3 +364,41 @@ def test_zipf_rank_window_runs_on_vocabulary(spark):
     assert agg_between >= 1, (
         "rank window must sit above the vocab aggregate, not raw tokens"
     )
+
+
+def test_tpch_q3_q5_broadcast_dims_single_fact_shuffle(spark):
+    """Q3: the filtered customer+orders side broadcasts into lineitem.
+    Q5: all four dimensions broadcast; orders x lineitem is the only
+    SortMergeJoin-eligible pair."""
+    p3 = _plan(spark, "tpch_q3_shipping_priority")
+    assert "BroadcastHashJoin" in p3
+    assert "SortMergeJoin" not in p3, "Q3 must not shuffle-join the facts"
+    assert "PushedFilters" in p3 and "l_shipdate" in p3
+    p5 = _plan(spark, "tpch_q5_local_supplier")
+    assert p5.count("BroadcastHashJoin") >= 3, "Q5 dims must broadcast"
+    assert "CartesianProduct" not in p5
+
+
+def test_skyline_single_priority_exchange(spark):
+    """Both skyline windows share the (priority) partitioning: exactly
+    one hashpartitioning exchange on priority, no single-partition
+    global window."""
+    plan = _plan(spark, "ext_skyline_orders")
+    assert "SinglePartition" not in plan.split("TakeOrdered")[0], (
+        "skyline windows must stay per-priority, not global"
+    )
+
+
+def test_cusum_windows_share_one_sort(spark):
+    """The prefix-sum and running-extreme windows all ride the same
+    (event_type ORDER BY day) sort after the daily rollup."""
+    plan = _plan(spark, "events_cusum_changepoint")
+    assert "SinglePartition" not in plan, "CUSUM state must be per-series"
+
+
+def test_nb_classifier_broadcasts_model(spark):
+    """The vocab x classes likelihood table must broadcast back against
+    per-doc term frequencies (model is vocabulary-sized at any corpus
+    scale)."""
+    plan = _plan(spark, "text_nb_source_classifier")
+    assert "BroadcastHashJoin" in plan
