@@ -23,6 +23,7 @@ from esco_neo4j_spark.plans import event_queries  # noqa: F401
 from esco_neo4j_spark.plans import udf_queries  # noqa: F401
 from esco_neo4j_spark.plans import multimodal_queries  # noqa: F401
 from esco_neo4j_spark.plans import esco_queries  # noqa: F401
+from esco_neo4j_spark.plans import tpch_queries  # noqa: F401
 
 # Exactly 50 names; every SURVEY.md §2 category has a value-oracle carrier:
 # A/B/C/D/F/G/H/K via esco_* (warehouse parity corpus), I via udf_*, J via

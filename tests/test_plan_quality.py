@@ -402,3 +402,60 @@ def test_nb_classifier_broadcasts_model(spark):
     scale)."""
     plan = _plan(spark, "text_nb_source_classifier")
     assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q4_plans_semi_join_with_residual(spark):
+    """The EXISTS decorrelates to one LEFT SEMI join on l_orderkey; the
+    30-day lateness comparison rides as a join residual, so no distinct
+    pass and no second aggregation appear."""
+    plan = _plan(spark, "tpch_q4_priority_lateness")
+    assert "LeftSemi" in plan, "EXISTS must plan as a semi join"
+    assert "o_orderdate" in plan and "PushedFilters" in plan
+
+
+def test_tpch_q19_pushes_disjunct_brackets_to_both_scans(spark):
+    """Catalyst extracts the per-side simplifications of the OR-of-ANDs:
+    the (brand AND size) disjunction prunes the part scan and the
+    quantity OR-bounds prune the lineitem scan — both at the parquet
+    reader, before the broadcast join evaluates the full bracket."""
+    plan = _plan(spark, "tpch_q19_disjunctive_revenue")
+    assert "EqualTo(p_brand,Brand#12)" in plan, (
+        "brand disjunction must reach the part scan"
+    )
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan, (
+        "quantity OR-bounds must reach the lineitem scan"
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_tpch_q10_topk_and_pruned_scans(spark):
+    """Returned-items: returnflag and the quarter both push to their
+    scans; the top-20 plans as TakeOrderedAndProject."""
+    plan = _plan(spark, "tpch_q10_returned_items")
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan, (
+        "pruned orders side must broadcast into lineitem"
+    )
+
+
+def test_tpch_q17_broadcasts_correlated_average(spark):
+    """The decorrelated per-part average is dimension-sized (one row per
+    part) and must broadcast back into lineitem — the only exchange is
+    the partial agg that builds it."""
+    plan = _plan(spark, "tpch_q17_small_quantity_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2, (
+        "both part and avg-qty sides must broadcast"
+    )
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q22_anti_join_and_scalar_cutoff(spark):
+    """Dormant customers: the no-recent-orders test plans as LEFT ANTI
+    against the date-pruned orders scan; the scalar average enters as a
+    broadcast, never a shuffle."""
+    plan = _plan(spark, "tpch_q22_dormant_customers")
+    assert "LeftAnti" in plan, "NOT EXISTS must plan as an anti join"
+    assert "GreaterThanOrEqual(o_orderdate," in plan, (
+        "date filter must prune the orders scan feeding the anti join"
+    )

@@ -38,4 +38,8 @@ def test_every_query_has_oracle_or_documented_rows_only():
         # no SQL zlib exists; exact plain-Python byte-count golden in
         # tests/test_textmodel.py
         "udf_compression_ratio",
+        # minimum-spanning-forest needs union-find across rounds (not
+        # SQL-expressible); pinned against a plain-Python Kruskal in
+        # tests/test_graph.py::test_msf_boruvka_matches_kruskal
+        "graph_msf_boruvka",
     }
