@@ -561,6 +561,52 @@ def hits_fixedpoint(
     )
 
 
+def katz_fixedpoint(
+    edges: DataFrame,
+    alpha: float = 0.2,
+    num_iter: int = 10,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Katz centrality in fixed-point integer units: x = beta + alpha*A^T x
+    iterated ``num_iter`` times from x0 = beta, counting attenuated walks
+    of every length into each vertex (Katz 1953). beta is ``scale`` units
+    (=1.0); the per-vertex update is one float multiply + round — the
+    same single deterministic float op per round as
+    :func:`pagerank_weighted_fixedpoint` — so message sums stay
+    associative bigints and the whole chain is bit-identical at any
+    parallelism, giving a FULL unrolled SQL oracle by construction.
+
+    Unlike PageRank there is no out-degree normalization: a vertex's
+    influence is not diluted across its out-edges, which is exactly the
+    semantic difference Katz exists for. Convergence needs
+    alpha < 1/lambda_max; with a fixed iteration count any alpha is
+    well-defined, but callers should keep alpha * max_in_degree < 1 so
+    units stay within int64 headroom (state <= scale / (1 - alpha*d)).
+    Returns (id, katz_units) with katz = katz_units / scale.
+    """
+    e = edges.select("src", "dst")
+    verts = vertices_of(e)
+    e = _checkpoint(e)
+    state = _checkpoint(verts.withColumn("x", F.lit(int(scale))))
+    for _ in range(num_iter):
+        msgs = (
+            e.join(state.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("x").alias("msg"))
+        )
+        state = verts.join(msgs, "id", "left").select(
+            "id",
+            (
+                F.lit(int(scale))
+                + F.round(
+                    F.lit(alpha) * F.coalesce(F.col("msg"), F.lit(0))
+                ).cast("bigint")
+            ).alias("x"),
+        )
+        state = _checkpoint(state)
+    return state.select("id", F.col("x").alias("katz_units"))
+
+
 def personalized_pagerank(
     edges: DataFrame,
     seeds: list,

@@ -1052,6 +1052,75 @@ def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def _katz_unrolled_sql(
+    n_iter: int = 10, alpha: float = 0.2, scale: int = 10**9
+) -> str:
+    """Unrolled DuckDB twin of operators/graph.katz_fixedpoint on the
+    wedge graph: bigint state, one float multiply+round per vertex per
+    iteration — value-exact by construction (same argument as
+    _pagerank_weighted_unrolled_sql)."""
+    sql = [f"""
+    WITH edges AS (SELECT src, dst FROM ({_WEDGES_SQL})),
+    verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    x0 AS (SELECT id, CAST({scale} AS BIGINT) AS x FROM verts)"""]
+    for i in range(1, n_iter + 1):
+        sql.append(f""",
+    m{i} AS (
+      SELECT e.dst AS id, sum(x.x) AS msg
+      FROM edges e JOIN x{i - 1} x ON e.src = x.id GROUP BY e.dst
+    ),
+    x{i} AS (
+      SELECT v.id,
+             CAST({scale} + round({alpha!r} * coalesce(m.msg, 0)) AS BIGINT)
+               AS x
+      FROM verts v LEFT JOIN m{i} m ON v.id = m.id
+    )""")
+    sql.append(f"""
+    SELECT id, x AS katz_units,
+           CAST(round(x / {float(scale)!r}, 6) AS DOUBLE) AS katz
+    FROM x{n_iter} ORDER BY katz_units DESC, id
+    LIMIT 50""")
+    return "".join(sql)
+
+
+@query(
+    "graph_katz",
+    sql=_katz_unrolled_sql(),
+    survey_ops="K4-adjacent(katz,ext)",
+    tables=("events",),
+)
+def graph_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (attenuated walk count, alpha=0.2) on the
+    parent+predecessor graph, in fixed-point integer units — the
+    non-normalized counterpart to PageRank in the centrality family
+    (degree / closeness / harmonic / betweenness / eccentricity /
+    PageRank / HITS / Katz). In-degree here is <= 3, so alpha*d < 1 and
+    units stay bounded; the unrolled oracle replays all 10 iterations
+    value-exact. Top-50 by centrality with id tiebreak."""
+    from esco_neo4j_spark.operators.graph import katz_fixedpoint
+
+    ev = spark.table("events")
+    parents = ev.filter(F.col("user_id") >= 1).select(
+        F.col("user_id").alias("src"),
+        (F.col("user_id") / 2).cast("bigint").alias("dst"),
+    )
+    preds = ev.filter(F.col("user_id") >= 2).select(
+        F.col("user_id").alias("src"),
+        (F.col("user_id") - 1).cast("bigint").alias("dst"),
+    )
+    e = parents.union(preds).distinct()
+    kz = katz_fixedpoint(e, alpha=0.2, num_iter=10)
+    return (
+        kz.select(
+            "id",
+            "katz_units",
+            F.round(F.col("katz_units") / 1_000_000_000.0, 6).alias("katz"),
+        )
+        .orderBy(F.desc("katz_units"), F.asc("id"))
+        .limit(50)
+    )
+
+
 @query(
     "graph_link_prediction_jaccard",
     sql=f"""

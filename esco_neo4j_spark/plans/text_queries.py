@@ -1074,3 +1074,79 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_crossdoc_ngram_share",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS} AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 3, 1)),
+               i -> array_to_string(t[i:i+4], ' ')))) AS gram
+      FROM toks
+    ),
+    df AS (
+      SELECT gram, count(*) AS n_docs FROM grams GROUP BY gram
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS INT) AS n_grams,
+           CAST(sum(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS INT)
+             AS shared_grams,
+           CAST(round(sum(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END)::DOUBLE
+                      / count(*), 6) AS DOUBLE) AS crossdoc_share
+    FROM grams g JOIN df d ON g.gram = d.gram
+    GROUP BY g.doc_id
+    ORDER BY crossdoc_share DESC, g.doc_id
+    LIMIT 100
+    """,
+    survey_ops="dedup-adjacent(corpus-health,ext),D3,D5",
+    tables=("documents",),
+)
+def text_crossdoc_ngram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplication share per doc: the fraction of a
+    document's distinct word 5-grams that also appear in at least one
+    OTHER document (RefinedWeb-style inter-document repetition signal —
+    unlike the pairwise dedup family this measures diffuse boilerplate
+    that no single near-dup pair explains, and unlike
+    text_repetition_scores it is cross-doc, not within-doc). Shape is
+    the inverted-index one: explode distinct (doc, gram) pairs, count
+    document frequency per gram (one shuffle on gram), join back and
+    re-aggregate per doc (one shuffle on doc_id) — never all-pairs, so
+    it scales like the LSH candidate path. Because the (doc,gram) pairs
+    are distinct, df > 1 exactly means "appears in another document"."""
+    toks = spark.table("documents").select(
+        "doc_id", word_tokens(F.col("text")).alias("t")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.size("t") >= 5,
+                    F.expr(
+                        "transform(sequence(1, size(t) - 4), "
+                        "i -> array_join(slice(t, i, 5), ' '))"
+                    ),
+                ).otherwise(F.expr("array()"))
+            )
+        ).alias("gram"),
+    )
+    dfreq = grams.groupBy("gram").agg(F.count("*").alias("n_docs"))
+    shared = F.when(F.col("n_docs") > 1, 1).otherwise(0)
+    return (
+        grams.join(dfreq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_grams"),
+            F.sum(shared).cast("int").alias("shared_grams"),
+            F.round(
+                F.sum(shared).cast("double") / F.count("*"), 6
+            ).alias("crossdoc_share"),
+        )
+        .orderBy(F.desc("crossdoc_share"), F.asc("doc_id"))
+        .limit(100)
+    )

@@ -747,3 +747,50 @@ def vec_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hits") / 10.0, 6).alias("recall"),
         )
     )
+
+
+@query(
+    "vec_sq_topk",
+    sql=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
+    dims AS (SELECT CAST(j AS INT) AS j FROM range(1, 65) t(j)),
+    flat AS (SELECT vec_id, j, v[j] AS x FROM e CROSS JOIN dims),
+    st AS (SELECT j, min(x) AS mn, max(x) AS mx FROM flat GROUP BY j),
+    q AS (
+      SELECT vec_id, j,
+             CASE WHEN mx = mn THEN 0
+                  ELSE CAST(round((x - mn) * 255.0 / (mx - mn)) AS BIGINT)
+             END AS q
+      FROM flat JOIN st USING (j)),
+    qa AS (SELECT j, q FROM q WHERE vec_id = 0),
+    scores AS (
+      SELECT q.vec_id, CAST(sum(q.q * qa.q) AS BIGINT) AS sq_score
+      FROM q JOIN qa USING (j) GROUP BY q.vec_id),
+    cand AS (
+      SELECT vec_id, sq_score FROM scores
+      ORDER BY sq_score DESC, vec_id LIMIT 50)
+    SELECT c.vec_id, c.sq_score,
+           CAST(round({_COS.format(anchor=_ANCHOR_SQL)}, 6) AS DOUBLE)
+             AS score
+    FROM cand c JOIN embeddings USING (vec_id)
+    ORDER BY score DESC, vec_id
+    LIMIT 10
+    """,
+    survey_ops="A7(scale),H1,F2",
+    tables=("embeddings",),
+)
+def vec_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantization ANN (third compression family next to IVF
+    and PQ): per-dimension [min,max] codes from ONE no-shuffle aggregate
+    pass, integer-dot candidate scan (associative -> value-exact
+    cutoff), exact float cosine re-rank of the top-50. The oracle
+    recomputes the dataset stats independently — min/max involve no
+    float summation, so both engines derive bit-identical codes; the
+    only 6dp-rounded float in the whole pipeline is the final re-rank
+    score. See operators/similarity.sq_quantize/sq_topk."""
+    from esco_neo4j_spark.operators.similarity import sq_topk
+
+    e = spark.table("embeddings").filter(F.col("embedding").isNotNull())
+    anchor = _anchor_vec(spark)
+    return sq_topk(e, anchor, k=10, n_candidates=50)

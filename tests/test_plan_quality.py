@@ -459,3 +459,22 @@ def test_tpch_q22_anti_join_and_scalar_cutoff(spark):
     assert "GreaterThanOrEqual(o_orderdate," in plan, (
         "date filter must prune the orders scan feeding the anti join"
     )
+
+
+def test_sq_topk_stats_broadcast_and_topk(spark):
+    """SQ8: the per-dimension stats row and the quantized anchor enter
+    as broadcasts (BroadcastNestedLoopJoin on the 1-row sides); both the
+    integer candidate cutoff and the re-rank plan as
+    TakeOrderedAndProject — the vectors themselves are never
+    shuffle-exchanged."""
+    plan = _plan(spark, "vec_sq_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan, "no vector shuffle allowed"
+
+
+def test_crossdoc_share_is_inverted_index_not_all_pairs(spark):
+    """Cross-doc n-gram share must stay on the inverted-index path:
+    gram-key aggregation + join back, never a doc x doc product."""
+    plan = _plan(spark, "text_crossdoc_ngram_share")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
