@@ -7,7 +7,12 @@ semi-join (Q4), two-sided dimension fan (Q7/Q8), profit rollup (Q9),
 returned-item top-k (Q10), conditional-ratio aggregate (Q14), distinct-
 count rollup with exclusion (Q16), correlated-average broadcast (Q17),
 HAVING semi-join (Q18), disjunctive pushdown (Q19), anti-join + scalar
-subquery (Q22). Columns the generator does not produce (l_commitdate,
+subquery (Q22), correlated argmax with tie retention (Q2), pure
+pushdown scan-agg (Q6), conditional-count pivot over a join residual
+(Q12), tie-keeping scalar-max view (Q15), nested-aggregate dominance
+semi-join (Q20), and the EXISTS + NOT-EXISTS-on-the-same-fact shape
+(Q21). With Q1/Q3/Q5 in relational_queries.py and Q13's shape as
+aq_order_count_distribution, every TPC-H query shape is represented. Columns the generator does not produce (l_commitdate,
 ps_supplycost, p_container, c_phone) are substituted with documented
 stand-ins; the *shape* — and therefore the physical plan a 1000-executor
 cluster would run — is the TPC-H one.
@@ -617,4 +622,360 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("totacctbal"),
         )
         .orderBy("n_name")
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    sql="""
+    WITH s AS (
+      SELECT s_suppkey, s_name, s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'),
+    ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    j AS (
+      SELECT ps.l_partkey, p.p_name, s.s_suppkey, s.s_name, s.n_name,
+             CAST(round(s.s_acctbal, 2) AS DOUBLE) AS acctbal
+      FROM ps
+      JOIN s ON ps.l_suppkey = s.s_suppkey
+      JOIN part p ON p.p_partkey = ps.l_partkey
+      WHERE p.p_type = 'LARGE' AND p.p_size BETWEEN 10 AND 20),
+    mx AS (SELECT l_partkey, max(acctbal) AS mb FROM j GROUP BY l_partkey)
+    SELECT j.l_partkey AS p_partkey, j.p_name, j.s_suppkey, j.s_name,
+           j.n_name, j.acctbal
+    FROM j JOIN mx ON j.l_partkey = mx.l_partkey AND j.acctbal = mx.mb
+    ORDER BY acctbal DESC, p_partkey, s_suppkey
+    LIMIT 100
+    """,
+    survey_ops="C1,C6,D8,F2",
+    tables=("supplier", "nation", "region", "part", "lineitem"),
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum cost supplier) — for each LARGE mid-size part,
+    the best ASIA supplier observed shipping it. The generator has no
+    partsupp/ps_supplycost, so the catalog is the DISTINCT
+    (part, supplier) pairs from lineitem and "best" is max account
+    balance (argmax instead of argmin: same correlated-subquery shape).
+    The correlated max decorrelates into a per-part aggregate joined
+    back on (partkey, acctbal) — ties keep both suppliers exactly like
+    spec Q2. Dimension legs broadcast; max on an exact 2dp value, so
+    the equality join-back is deterministic."""
+    r = spark.table("region").filter(F.col("r_name") == "ASIA")
+    n = spark.table("nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = spark.table("supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    p = spark.table("part").filter(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
+    )
+    ps = spark.table("lineitem").select("l_partkey", "l_suppkey").distinct()
+    j = (
+        ps.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.round("s_acctbal", 2).alias("acctbal"),
+        )
+    )
+    mx = j.groupBy(F.col("l_partkey").alias("m_pk")).agg(
+        F.max("acctbal").alias("mb")
+    )
+    return (
+        j.join(
+            F.broadcast(mx),
+            (F.col("l_partkey") == F.col("m_pk"))
+            & (F.col("acctbal") == F.col("mb")),
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            "acctbal",
+        )
+        .orderBy(F.desc("acctbal"), F.asc("p_partkey"), F.asc("s_suppkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    sql="""
+    SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100)
+                         AS BIGINT)) / 100.0 AS DOUBLE) AS revenue_delta,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    survey_ops="B6,D1",
+    tables=("lineitem",),
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change) — the purest scan-filter-agg
+    in the suite: revenue that would be lost by eliminating small
+    discounts. Every predicate (ship year, discount band, quantity cap)
+    pushes to the parquet reader; no join, no shuffle beyond the final
+    1-row agg. Discounts are exact 2dp values so the BETWEEN bounds are
+    reliable on both engines; the sum stays in integer cents."""
+    cents = F.round(
+        F.col("l_extendedprice") * F.col("l_discount") * 100
+    ).cast("bigint")
+    return (
+        spark.table("lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(cents) / 100.0).alias("revenue_delta"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_q12_late_lines_by_class",
+    sql="""
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+    survey_ops="C1,D2,B11",
+    tables=("lineitem", "orders"),
+)
+def tpch_q12_late_lines_by_class(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q12 (shipping modes and order priority) — how many
+    high-priority vs other orders had late lines, per line status
+    (standing in for the ungenerated l_shipmode; >60-day ship lag for
+    the ungenerated commit/receipt dates). The priority split is the
+    classic conditional-count pivot computed in ONE pass over the
+    joined rows; the ship-year filter prunes the lineitem scan and the
+    lateness predicate rides the join as a residual."""
+    l = spark.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    o = spark.table("orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(
+            o,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    sql="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) AS rev_c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey),
+    mx AS (SELECT max(rev_c) AS m FROM rev)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(rev.rev_c / 100.0 AS DOUBLE) AS total_revenue
+    FROM rev JOIN mx ON rev.rev_c = mx.m
+    JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+    ORDER BY s.s_suppkey
+    """,
+    survey_ops="D3,D8,B5",
+    tables=("lineitem", "supplier"),
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier) — the supplier(s) with maximum revenue in
+    one quarter; spec keeps ALL ties, which is why the shape is
+    revenue-view + scalar max + equality join rather than ORDER BY
+    LIMIT 1. Revenue is an integer-cent sum, so the max and the
+    tie-equality are exact — no epsilon games. The scalar max enters as
+    a 1-row broadcast; supplier is a broadcast dim."""
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    rev = (
+        spark.table("lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-04-01")))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(cents).alias("rev_c"))
+    )
+    mx = rev.agg(F.max("rev_c").alias("m"))
+    return (
+        rev.join(F.broadcast(mx), F.col("rev_c") == F.col("m"))
+        .join(
+            F.broadcast(spark.table("supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_c") / 100.0).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q20_excess_share_suppliers",
+    sql="""
+    WITH pq AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS sq
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey),
+    ptot AS (SELECT l_partkey, sum(sq) AS tq FROM pq GROUP BY l_partkey)
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM pq
+    JOIN ptot ON pq.l_partkey = ptot.l_partkey
+    JOIN part p ON p.p_partkey = pq.l_partkey
+    JOIN supplier s ON s.s_suppkey = pq.l_suppkey
+    WHERE p.p_name LIKE 'red%' AND 2 * pq.sq > ptot.tq
+    ORDER BY s.s_suppkey
+    """,
+    survey_ops="C8,D3,D8,B8",
+    tables=("lineitem", "part", "supplier"),
+)
+def tpch_q20_excess_share_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q20 (potential part promotion) — suppliers holding a
+    dominant position: shipped MORE THAN HALF of some red part's total
+    1997 volume (the generator has no ps_availqty, so "excess stock"
+    becomes excess market share — the same nested-aggregate + semi-join
+    shape). Quantities are integral, so the 50% test is the exact
+    integer comparison 2*sq > tq, never a float ratio. Two chained
+    aggregations share the l_partkey shuffle; part and supplier
+    broadcast; DISTINCT collapses a supplier dominating several parts."""
+    l = spark.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    pq = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("sq")
+    )
+    ptot = pq.groupBy(F.col("l_partkey").alias("t_pk")).agg(
+        F.sum("sq").alias("tq")
+    )
+    p = spark.table("part").filter(F.col("p_name").like("red%"))
+    return (
+        pq.join(ptot, F.col("l_partkey") == F.col("t_pk"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(2 * F.col("sq") > F.col("tq"))
+        .join(
+            F.broadcast(spark.table("supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q21_waiting_suppliers",
+    sql="""
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON l1.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+    survey_ops="C8,D3,F2",
+    tables=("lineitem", "orders", "supplier"),
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting) — the hardest shape
+    in the suite: an EXISTS and a NOT EXISTS against the SAME fact table
+    on the same key. A late line counts only if another supplier was on
+    the order (semi join) and no OTHER supplier was also late (anti
+    join). Both subqueries correlate through o_orderdate, so the
+    late-line set is computed once and reused as the anti side; the
+    three fact joins all share the l_orderkey shuffle key. Lateness =
+    ship > order date + 60 days (no commit/receipt dates generated)."""
+    o = spark.table("orders").select("o_orderkey", "o_orderdate")
+    li = spark.table("lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = li.join(
+        o,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)),
+    ).select("l_orderkey", "l_suppkey")
+    other = li.select(
+        F.col("l_orderkey").alias("x_ok"), F.col("l_suppkey").alias("x_sk")
+    )
+    late_other = late.select(
+        F.col("l_orderkey").alias("y_ok"), F.col("l_suppkey").alias("y_sk")
+    )
+    return (
+        late.join(
+            other,
+            (F.col("l_orderkey") == F.col("x_ok"))
+            & (F.col("l_suppkey") != F.col("x_sk")),
+            "left_semi",
+        )
+        .join(
+            late_other,
+            (F.col("l_orderkey") == F.col("y_ok"))
+            & (F.col("l_suppkey") != F.col("y_sk")),
+            "left_anti",
+        )
+        .join(
+            F.broadcast(spark.table("supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
     )

@@ -478,3 +478,21 @@ def test_crossdoc_share_is_inverted_index_not_all_pairs(spark):
     plan = _plan(spark, "text_crossdoc_ngram_share")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q21_semi_then_anti_on_shared_key(spark):
+    """Q21: EXISTS and NOT EXISTS against the same fact both plan as
+    LeftSemi/LeftAnti joins keyed on l_orderkey — no aggregation-based
+    rewrite, no cartesian residual."""
+    plan = _plan(spark, "tpch_q21_waiting_suppliers")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q6_is_pure_pushdown_scan(spark):
+    """Q6: all three predicates reach the parquet reader; the plan has
+    no join and no exchange before the single-row aggregate."""
+    plan = _plan(spark, "tpch_q6_forecast_revenue")
+    assert "GreaterThanOrEqual(l_shipdate," in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    assert "Join" not in plan
