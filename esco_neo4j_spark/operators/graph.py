@@ -1388,6 +1388,61 @@ def luby_mis(edges: DataFrame, rounds: int = 8) -> DataFrame:
     return out
 
 
+def priority_coloring(edges: DataFrame, rounds: int = 16) -> DataFrame:
+    """Distributed greedy graph coloring by iterated priority maxima —
+    Luby's symmetry-breaking loop (:func:`luby_mis`) with ONE change:
+    each round's winners retire alone (their neighbors stay active), so
+    round r's winner set is an independent set that becomes color r.
+    Adjacent vertices can never win the same round (one hash beats the
+    other), hence the coloring is proper by construction; properness is
+    property-tested, and the fixed round schedule + arithmetic-hash
+    priorities replay exactly in an unrolled SQL oracle.
+
+    Round-number-as-color trades color count for one-pass simplicity
+    (a tree may use O(log n) colors instead of 2); the refinement —
+    winners take the minimum color absent among already-colored
+    neighbors — drops the count toward Delta+1 at the cost of a
+    neighbor-color set-difference per round. Vertices still active
+    after ``rounds`` are left uncolored (absent from the output) —
+    expected fraction decays geometrically per round. Returns
+    (id, color)."""
+    P = 2_147_483_647
+    und = (
+        undirected(edges)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    active = vertices_of(edges)
+    parts: list[DataFrame] = []
+    for r in range(1, rounds + 1):
+
+        def h(c):
+            return (F.lit(22853) * (c + F.lit(r * 1_000_003)) + 977) % P
+
+        act_e = und.join(
+            active.withColumnRenamed("id", "src"), "src", "leftsemi"
+        ).join(active.withColumnRenamed("id", "dst"), "dst", "leftsemi")
+        a_id, n_id = F.col("src"), F.col("dst")
+        blocked = (
+            act_e.filter(
+                (h(n_id) < h(a_id)) | ((h(n_id) == h(a_id)) & (n_id < a_id))
+            )
+            .select(a_id.alias("id"))
+            .distinct()
+        )
+        winners = _checkpoint(active.join(blocked, "id", "left_anti"))
+        parts.append(winners.withColumn("color", F.lit(r).cast("int")))
+        active = _checkpoint(
+            active.join(winners.select("id"), "id", "left_anti")
+        )
+        if active.count() == 0:
+            break
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
 def msf_boruvka(
     edges: DataFrame, weight_col: str = "weight", max_iter: int = 20
 ) -> DataFrame:

@@ -2461,3 +2461,129 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("nano") / 1_000_000_000.0, 6).alias("psi"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_survival_km",
+    sql="""
+    WITH s AS (
+      SELECT user_id, ts AS sts FROM events WHERE event_type = 'signup'),
+    p AS (
+      SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'),
+    fp AS (
+      SELECT s.user_id, s.sts, min(p.pts) AS fp
+      FROM s LEFT JOIN p ON p.user_id = s.user_id AND p.pts > s.sts
+      GROUP BY s.user_id, s.sts),
+    g AS (SELECT max(ts) AS gm FROM events),
+    lt AS (
+      SELECT CASE WHEN fp IS NOT NULL
+                  THEN (epoch_us(fp) - epoch_us(sts)) // 3600000000
+                  ELSE (epoch_us((SELECT gm FROM g)) - epoch_us(sts))
+                       // 3600000000 END AS t,
+             CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM fp),
+    dt AS (SELECT t, sum(ev) AS d, count(*) AS tot FROM lt GROUP BY t),
+    w AS (
+      SELECT t, d,
+             sum(tot) OVER (ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+      FROM dt),
+    tn AS (
+      SELECT t, d, n,
+             CASE WHEN d > 0 AND n > d
+                  THEN CAST(round(ln((n - d) * 1.0 / n) * 1000000000)
+                            AS BIGINT)
+                  ELSE 0 END AS nano
+      FROM w),
+    c AS (
+      SELECT t, d, n,
+             sum(nano) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM tn)
+    SELECT CAST(t AS INT) AS t_hours,
+           CAST(n AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS d_conv,
+           CAST(cum AS BIGINT) AS cum_log_nano,
+           CAST(round(exp(cum / 1000000000.0), 6) AS DOUBLE) AS survival
+    FROM c WHERE d > 0 AND n > d
+    ORDER BY t_hours
+    """,
+    survey_ops="survival(ext),E,C2,D8",
+    tables=("events",),
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase after each
+    signup (KM 1958; THE standard retention/conversion-lag readout).
+    Subjects = signup events; the "death" is that user's next purchase;
+    signups with no later purchase are right-censored at the window end
+    — they leave the risk set at their censoring hour without
+    contributing a conversion, which is exactly what naive "average time
+    to convert" gets wrong. S(t) = prod_{u<=t} (1 - d_u/n_u) over
+    integer-hour durations.
+
+    Determinism discipline: durations are exact integer microsecond
+    diffs floor-divided to hours; risk sets are reverse-running integer
+    sums; each log-factor ln((n-d)/n) is quantized to nano-nats (PSI /
+    JS-divergence precedent) so the cumulative product is an
+    order-exact integer sum, exposed as cum_log_nano alongside the
+    rounded survival. All windows run over the aggregated per-hour life
+    table (dimension-sized at any event volume — the same argument as
+    the Benford screen), never over raw events; the only event-scale
+    work is one user-keyed join and one groupBy."""
+    ev = spark.table("events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("sts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    fp = (
+        s.join(
+            p,
+            (F.col("user_id") == F.col("pu")) & (F.col("pts") > F.col("sts")),
+            "left",
+        )
+        .groupBy("user_id", "sts")
+        .agg(F.min("pts").alias("fp"))
+    )
+    g = ev.agg(F.max("ts").alias("gm"))
+    lt = fp.crossJoin(F.broadcast(g)).select(
+        F.when(
+            F.col("fp").isNotNull(),
+            F.expr("(unix_micros(fp) - unix_micros(sts)) div 3600000000"),
+        )
+        .otherwise(
+            F.expr("(unix_micros(gm) - unix_micros(sts)) div 3600000000")
+        )
+        .alias("t"),
+        F.when(F.col("fp").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    dt = lt.groupBy("t").agg(
+        F.sum("ev").alias("d"), F.count("*").alias("tot")
+    )
+    w_risk = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    wdf = dt.select("t", "d", F.sum("tot").over(w_risk).alias("n"))
+    nano = F.when(
+        (F.col("d") > 0) & (F.col("n") > F.col("d")),
+        F.round(
+            F.log((F.col("n") - F.col("d")).cast("double") * 1.0 / F.col("n"))
+            * 1_000_000_000
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    c = wdf.select(
+        "t", "d", "n", F.sum(nano).over(w_cum).alias("cum")
+    )
+    return (
+        c.filter((F.col("d") > 0) & (F.col("n") > F.col("d")))
+        .select(
+            F.col("t").cast("int").alias("t_hours"),
+            F.col("n").cast("bigint").alias("n_risk"),
+            F.col("d").cast("bigint").alias("d_conv"),
+            F.col("cum").cast("bigint").alias("cum_log_nano"),
+            F.round(F.exp(F.col("cum") / 1_000_000_000.0), 6).alias(
+                "survival"
+            ),
+        )
+        .orderBy("t_hours")
+    )

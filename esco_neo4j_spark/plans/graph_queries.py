@@ -1586,6 +1586,63 @@ def graph_mis_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
     return luby_mis(_edges(spark), rounds=8).orderBy("id")
 
 
+def _coloring_unrolled_sql(rounds: int = 16) -> str:
+    """DuckDB twin of operators/graph.priority_coloring: the MIS
+    unrolling with winners-only removal (neighbors stay active)."""
+
+    def h(col: str, r: int) -> str:
+        return f"((22853 * ({col} + {r * 1_000_003}) + 977) % 2147483647)"
+
+    sql = [f"""
+    WITH edges AS ({_EDGES_SQL}),
+    und AS MATERIALIZED (
+      SELECT src, dst FROM edges WHERE src <> dst
+      UNION
+      SELECT dst, src FROM edges WHERE src <> dst
+    ),
+    a0 AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges)"""]
+    for r in range(1, rounds + 1):
+        ha, hn = h("a.id", r), h("n.id", r)
+        sql.append(f""",
+    m{r} AS MATERIALIZED (
+      SELECT a.id FROM a{r - 1} a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM und e JOIN a{r - 1} n ON n.id = e.dst
+        WHERE e.src = a.id
+          AND ({hn} < {ha} OR ({hn} = {ha} AND n.id < a.id))
+      )
+    ),
+    a{r} AS MATERIALIZED (
+      SELECT id FROM a{r - 1} WHERE id NOT IN (SELECT id FROM m{r})
+    )""")
+    union = "\n      UNION ALL\n      ".join(
+        f"SELECT id, {r} AS color FROM m{r}" for r in range(1, rounds + 1)
+    )
+    sql.append(f"""
+    SELECT id, CAST(color AS INT) AS color
+    FROM ({union}) ORDER BY id""")
+    return "".join(sql)
+
+
+@query(
+    "graph_coloring",
+    sql=_coloring_unrolled_sql(),
+    survey_ops="K(ext),C8,G2",
+    tables=("events",),
+)
+def graph_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed graph coloring by iterated priority maxima (the Luby
+    MIS loop with winners-only removal, round number = color) — the
+    scheduling/conflict-partition primitive: same-color vertices can be
+    processed concurrently with no neighbor conflicts. Properness is
+    guaranteed by construction (adjacent vertices cannot both be round-r
+    local maxima) and property-tested; the fixed 16-round schedule
+    replays bit-exactly in the unrolled oracle."""
+    from esco_neo4j_spark.operators.graph import priority_coloring
+
+    return priority_coloring(_edges(spark), rounds=16).orderBy("id")
+
+
 @query(
     "graph_msf_boruvka",
     sql=None,  # nested iteration (hash-min CC inside every Boruvka round)

@@ -433,3 +433,22 @@ def test_msf_boruvka_tree_input_returns_all_edges(spark):
     edges = spark.createDataFrame(raw, "src bigint, dst bigint, weight double")
     got = sorted((r.a, r.b, r.weight) for r in msf_boruvka(edges).collect())
     assert got == sorted(raw)
+
+
+def test_priority_coloring_is_proper_and_complete(spark):
+    """Every edge bi-chromatic; on a small dense-ish graph 16 rounds
+    color every vertex; each color class is an independent set."""
+    from esco_neo4j_spark.operators.graph import priority_coloring
+
+    raw = [
+        (1, 2), (2, 3), (3, 4), (4, 1),      # 4-cycle
+        (1, 3),                              # chord -> triangle
+        (4, 5), (5, 6), (6, 7), (7, 5),      # tail + triangle
+        (8, 9),                              # separate edge
+    ]
+    edges = spark.createDataFrame(raw, "src bigint, dst bigint")
+    colors = {r.id: r.color for r in priority_coloring(edges).collect()}
+    verts = {v for e in raw for v in e}
+    assert set(colors) == verts, "all vertices colored within the schedule"
+    for s, d in raw:
+        assert colors[s] != colors[d], f"edge ({s},{d}) monochromatic"
