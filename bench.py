@@ -50,15 +50,19 @@ def main() -> None:
         # outputs (stages show as "skipped"), so run 2 measures only the
         # final stage — measured 4.0s -> 0.03s on the depth histogram,
         # i.e. not a benchmark at all. A fresh lineage per run forces the
-        # full scan -> shuffle -> agg recompute. Plan construction stays
-        # OUTSIDE the timer (Python-side analysis is ~1.3s on the
-        # lambda-heavy chunking plan and is a driver one-time cost), and
-        # whole-stage-codegen is cached by generated source in the JVM,
+        # full scan -> shuffle -> agg recompute. The timer wraps BUILD +
+        # COLLECT: iterative operators (closure doubling, BFS, Luby)
+        # materialize localCheckpoint rounds eagerly at build time, so
+        # timing collect() alone would hide their real work entirely.
+        # The price is that driver-side plan analysis (~1.3s on the
+        # lambda-heavy chunking plan, a one-time cost a deployment
+        # amortizes) is billed too — accepted for honesty.
+        # Whole-stage-codegen is cached by generated source in the JVM,
         # so run 1 pays compilation once and min-of-2 still reports the
         # steady-state execution a long-lived cluster sees.
         for _ in range(2):
-            df = q.fn(spark, sf_dir)
             t0 = time.perf_counter()
+            df = q.fn(spark, sf_dir)
             rows = df.collect()
             dt = time.perf_counter() - t0
             assert rows is not None
