@@ -1441,6 +1441,104 @@ def luby_mis(edges: DataFrame, rounds: int = 8) -> DataFrame:
     return out
 
 
+def densest_subgraph(
+    edges: DataFrame, max_rounds: int = 12
+) -> DataFrame:
+    """Approximate densest subgraph by iterated peeling — the
+    Bahmani/Kumar/Vassilvitskii MapReduce algorithm (VLDB 2012): each
+    round drop every vertex whose degree is at most 2(1+eps) times the
+    current density E/N, record the iterate, and return the densest
+    iterate seen. With eps = 1/2 the removal test is the EXACT integer
+    comparison deg*N <= 3*E (deg <= 2(1+eps)*E/N — never a float
+    ratio), each round removes
+    >= 1/3 of the remaining vertices, so O(log N) rounds suffice and the
+    result is a 2(1+eps) = 3-approximation of the maximum-density
+    subgraph.
+
+    Everything is integer-exact: per-round stats are (N, E) counts, the
+    cross-round argmax compares densities by cross-multiplication
+    (e_a * n_b vs e_b * n_a, earliest-round tiebreak), and the fixed
+    round schedule unrolls into a SQL oracle. Per round: two semi-joins
+    to induce the subgraph's edge set, one degree aggregation, one
+    filter — all keyed shuffles, state only ever shrinks. Returns the
+    member vertices of the best iterate:
+    (id, best_round, n_vertices, n_edges, density)."""
+    canon = (
+        undirected(edges)
+        .filter(F.col("src") < F.col("dst"))
+        .distinct()
+    )
+    canon = _checkpoint(canon)
+    cur_v = _checkpoint(vertices_of(edges))
+    stats_parts: list[DataFrame] = []
+    member_parts: list[DataFrame] = []
+    for r in range(1, max_rounds + 1):
+        cur_e = canon.join(
+            cur_v.withColumnRenamed("id", "src"), "src", "leftsemi"
+        ).join(cur_v.withColumnRenamed("id", "dst"), "dst", "leftsemi")
+        cur_e = _checkpoint(cur_e)
+        stats = (
+            cur_v.agg(F.count("*").alias("n"))
+            .crossJoin(cur_e.agg(F.count("*").alias("e")))
+            .withColumn("round", F.lit(r).cast("int"))
+        )
+        stats_parts.append(stats)
+        member_parts.append(
+            cur_v.withColumn("round", F.lit(r).cast("int"))
+        )
+        deg = (
+            cur_e.select(F.col("src").alias("id"))
+            .unionAll(cur_e.select(F.col("dst").alias("id")))
+            .groupBy("id")
+            .agg(F.count("*").alias("deg"))
+        )
+        cur_v = (
+            cur_v.join(deg, "id", "left")
+            .crossJoin(F.broadcast(stats.select("n", "e")))
+            .filter(
+                F.coalesce(F.col("deg"), F.lit(0)) * F.col("n")
+                > 3 * F.col("e")
+            )
+            .select("id")
+        )
+        cur_v = _checkpoint(cur_v)
+        if cur_v.isEmpty():
+            break
+    stats_all = stats_parts[0]
+    for s in stats_parts[1:]:
+        stats_all = stats_all.unionByName(s)
+    members_all = member_parts[0]
+    for m in member_parts[1:]:
+        members_all = members_all.unionByName(m)
+    ok = stats_all.filter(F.col("n") > 0)
+    challengers = ok.select(
+        F.col("round").alias("b_round"),
+        F.col("n").alias("b_n"),
+        F.col("e").alias("b_e"),
+    )
+    best = ok.join(
+        challengers,
+        (F.col("b_e") * F.col("n") > F.col("e") * F.col("b_n"))
+        | (
+            (F.col("b_e") * F.col("n") == F.col("e") * F.col("b_n"))
+            & (F.col("b_round") < F.col("round"))
+        ),
+        "left_anti",
+    )
+    return (
+        members_all.join(F.broadcast(best), "round")
+        .select(
+            "id",
+            F.col("round").alias("best_round"),
+            F.col("n").cast("bigint").alias("n_vertices"),
+            F.col("e").cast("bigint").alias("n_edges"),
+            F.round(F.col("e").cast("double") / F.col("n"), 6).alias(
+                "density"
+            ),
+        )
+    )
+
+
 def priority_coloring(edges: DataFrame, rounds: int = 16) -> DataFrame:
     """Distributed greedy graph coloring by iterated priority maxima —
     Luby's symmetry-breaking loop (:func:`luby_mis`) with ONE change:

@@ -1586,6 +1586,93 @@ def graph_mis_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
     return luby_mis(_edges(spark), rounds=8).orderBy("id")
 
 
+def _densest_unrolled_sql(rounds: int = 12) -> str:
+    """DuckDB twin of operators/graph.densest_subgraph on the wedge
+    graph: the fixed peeling schedule with exact integer removal test
+    (deg*N <= 3*E) and cross-multiplied density argmax replays
+    round-for-round; rounds after the graph empties have n = 0 and drop
+    out of the argmax on both sides."""
+    sql = [f"""
+    WITH edges AS (SELECT src, dst FROM ({_WEDGES_SQL})),
+    canon AS MATERIALIZED (
+      SELECT least(src, dst) AS src, greatest(src, dst) AS dst
+      FROM edges WHERE src <> dst GROUP BY 1, 2
+    ),
+    v0 AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges)"""]
+    for r in range(1, rounds + 1):
+        sql.append(f""",
+    e{r} AS MATERIALIZED (
+      SELECT c.src, c.dst FROM canon c
+      WHERE c.src IN (SELECT id FROM v{r - 1})
+        AND c.dst IN (SELECT id FROM v{r - 1})
+    ),
+    s{r} AS MATERIALIZED (
+      SELECT (SELECT count(*) FROM v{r - 1}) AS n,
+             (SELECT count(*) FROM e{r}) AS e
+    ),
+    d{r} AS MATERIALIZED (
+      SELECT id, count(*) AS deg FROM (
+        SELECT src AS id FROM e{r} UNION ALL SELECT dst FROM e{r}
+      ) GROUP BY id
+    ),
+    v{r} AS MATERIALIZED (
+      SELECT v.id FROM v{r - 1} v
+      LEFT JOIN d{r} d ON v.id = d.id, s{r} s
+      WHERE coalesce(d.deg, 0) * s.n > 3 * s.e
+    )""")
+    stats_union = "\n      UNION ALL ".join(
+        f"SELECT {r} AS round, n, e FROM s{r}" for r in range(1, rounds + 1)
+    )
+    mem_union = "\n      UNION ALL ".join(
+        f"SELECT {r} AS round, id FROM v{r - 1}" for r in range(1, rounds + 1)
+    )
+    sql.append(f""",
+    stats AS ({stats_union}),
+    ok AS (SELECT * FROM stats WHERE n > 0),
+    best AS (
+      SELECT * FROM ok a WHERE NOT EXISTS (
+        SELECT 1 FROM ok b
+        WHERE b.e * a.n > a.e * b.n
+           OR (b.e * a.n = a.e * b.n AND b.round < a.round))
+    ),
+    mem AS ({mem_union})
+    SELECT m.id, CAST(b.round AS INT) AS best_round,
+           CAST(b.n AS BIGINT) AS n_vertices,
+           CAST(b.e AS BIGINT) AS n_edges,
+           CAST(round(b.e * 1.0 / b.n, 6) AS DOUBLE) AS density
+    FROM mem m JOIN best b ON m.round = b.round
+    ORDER BY id""")
+    return "".join(sql)
+
+
+@query(
+    "graph_densest_subgraph",
+    sql=_densest_unrolled_sql(),
+    survey_ops="K(ext),C8,D8",
+    tables=("events",),
+)
+def graph_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate densest subgraph by Bahmani-style peeling (eps=1/2,
+    3-approximation) on the parent+predecessor graph — the community-core
+    extraction primitive. Every comparison in the algorithm is integer
+    (removal test by cross-multiplied degree vs density, argmax by
+    cross-multiplied densities), so the full 12-round schedule replays in
+    the unrolled oracle; the only float is the final reported density."""
+    from esco_neo4j_spark.operators.graph import densest_subgraph
+
+    ev = spark.table("events")
+    parents = ev.filter(F.col("user_id") >= 1).select(
+        F.col("user_id").alias("src"),
+        (F.col("user_id") / 2).cast("bigint").alias("dst"),
+    )
+    preds = ev.filter(F.col("user_id") >= 2).select(
+        F.col("user_id").alias("src"),
+        (F.col("user_id") - 1).cast("bigint").alias("dst"),
+    )
+    e = parents.union(preds).distinct()
+    return densest_subgraph(e, max_rounds=12).orderBy("id")
+
+
 def _coloring_unrolled_sql(rounds: int = 16) -> str:
     """DuckDB twin of operators/graph.priority_coloring: the MIS
     unrolling with winners-only removal (neighbors stay active)."""

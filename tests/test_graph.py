@@ -452,3 +452,22 @@ def test_priority_coloring_is_proper_and_complete(spark):
     assert set(colors) == verts, "all vertices colored within the schedule"
     for s, d in raw:
         assert colors[s] != colors[d], f"edge ({s},{d}) monochromatic"
+
+
+def test_densest_subgraph_finds_planted_clique(spark):
+    """A K5 planted in a sparse path: the densest iterate must be the
+    clique (density 2.0) and never the whole graph (density ~1.1)."""
+    from esco_neo4j_spark.operators.graph import densest_subgraph
+
+    clique = [
+        (str(a), str(b)) for a in range(5) for b in range(5) if a < b
+    ]
+    path = [(str(i), str(i + 1)) for i in range(10, 30)]
+    bridge = [("4", "10")]
+    edges = spark.createDataFrame(
+        clique + path + bridge, "src string, dst string"
+    )
+    out = densest_subgraph(edges).collect()
+    members = sorted(r.id for r in out)
+    assert members == ["0", "1", "2", "3", "4"]
+    assert out[0].density == 2.0 and out[0].n_edges == 10
