@@ -110,4 +110,11 @@ def _reorder_registry() -> None:
     REGISTRY.update(ordered)
 
 
+# Oracle SQL that composes CTEs across query modules is attached here,
+# after all modules are fully imported (module-level cross-imports would
+# be circular):
+from esco_neo4j_spark.plans.vector_queries import _hybrid_rrf_sql  # noqa: E402
+
+REGISTRY["vec_hybrid_rrf"].sql = _hybrid_rrf_sql()
+
 _reorder_registry()

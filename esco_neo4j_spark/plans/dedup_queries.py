@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from esco_neo4j_spark.functions.vector import cosine_similarity
 from esco_neo4j_spark.operators.dedup import (
     MINHASH_PRIME,
     embedding_neardup_pairs,
@@ -644,4 +645,190 @@ def dedup_simhash_hamming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy(F.col("hamming").cast("int").alias("hamming"))
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("hamming")
+    )
+
+
+# --- substring-level exact dedup: duplicated-span extraction ---------------
+@query(
+    "dedup_substring_spans",
+    sql=f"""
+    WITH docs AS (SELECT doc_id, {_WORDS} AS toks FROM documents),
+    pos AS (
+      SELECT doc_id, toks, unnest(range(len(toks) - 4)) AS pos
+      FROM docs WHERE len(toks) >= 5),
+    wins AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(toks[pos + 1:pos + 5], ' ')) AS wid
+      FROM pos),
+    dup AS (
+      SELECT wid FROM wins GROUP BY wid
+      HAVING count(DISTINCT doc_id) >= 2),
+    dpos AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (wid)),
+    flag AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (
+                    PARTITION BY doc_id ORDER BY pos) > 5
+                  THEN 1 ELSE 0 END AS gap
+      FROM dpos),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(gap) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM flag)
+    SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+           CAST(max(pos) + 4 AS INT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM isl GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+    """,
+    survey_ops="dedup-substring(ext),E,D2",
+    tables=("documents",),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (the span-removal primitive of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" — substring-level, where the doc-level families above only
+    mark whole documents): every 5-token window whose md5 appears in
+    >= 2 distinct documents is a duplicated window; per doc, overlapping
+    duplicated windows merge into maximal [span_start, span_end] token
+    spans via gaps-and-islands. All integer positions — exact oracle.
+
+    Scale shape: windows are built per-row (explode, no shuffle), the
+    duplicate-window set is one groupBy on the md5 key (window TEXT never
+    shuffles — only its 16-byte hash), and the island merge windows are
+    partitioned by doc_id. The suffix-array of the paper is replaced by
+    the fixed-width hashed-window inverted index — the bucketed equi-join
+    shape every dedup operator here uses."""
+    from pyspark.sql import Window
+
+    d = spark.table("documents")
+    toks = d.select(
+        "doc_id", F.expr(
+            "filter(split(lower(text), '[^a-z0-9\\']+'), x -> x != '')"
+        ).alias("toks"),
+    ).filter(F.size("toks") >= 5)
+    wins = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 5), "
+                "i -> md5(array_join(slice(toks, i + 1, 5), ' ')))"
+            )
+        ).alias("pos", "wid"),
+    )
+    dup = (
+        wins.groupBy("wid")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("wid")
+    )
+    dpos = wins.join(dup, "wid").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gap = F.when(
+        F.col("pos") - F.lag("pos").over(w) > 5, 1
+    ).otherwise(0)
+    isl = dpos.withColumn(
+        "island",
+        F.sum(gap).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + 4).cast("int").alias("span_end"),
+            F.count("*").cast("bigint").alias("n_windows"),
+        )
+        .drop("island")
+        .orderBy("doc_id", "span_start")
+    )
+
+
+# --- SemDeDup-style semantic dedup: cluster, then dedup within cluster -----
+@query(
+    "dedup_semantic_bucketed",
+    sql="""
+    WITH c AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id < 8),
+    s AS (
+      SELECT v.vec_id, c.cid,
+             round(list_cosine_similarity(
+               CAST(v.embedding AS DOUBLE[]), c.cvec), 6) AS s
+      FROM embeddings v CROSS JOIN c),
+    a AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY s DESC, cid) AS rk FROM s)
+      WHERE rk = 1),
+    p AS (
+      SELECT ax.cluster, x.vec_id AS id_a, y.vec_id AS id_b
+      FROM embeddings x
+      JOIN a ax ON ax.vec_id = x.vec_id
+      JOIN embeddings y ON x.vec_id < y.vec_id
+      JOIN a ay ON ay.vec_id = y.vec_id
+      WHERE ax.cluster = ay.cluster
+        AND round(list_cosine_similarity(
+              CAST(x.embedding AS DOUBLE[]),
+              CAST(y.embedding AS DOUBLE[])), 6) >= 0.45)
+    SELECT id_b AS vec_id, CAST(cluster AS INT) AS cluster,
+           CAST(min(id_a) AS BIGINT) AS canonical_id
+    FROM p GROUP BY id_b, cluster ORDER BY vec_id
+    """,
+    survey_ops="dedup-semantic(ext),C9,H1",
+    tables=("embeddings",),
+)
+def dedup_semantic_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shape semantic dedup (Abbas et al.): assign every vector
+    to its nearest of k=8 centroids (here: the first 8 vectors,
+    deterministic — production would feed vec_kmeans_clusters' centroids
+    in), then find near-duplicate pairs (cosine >= 0.45) ONLY within a
+    cluster and drop the higher id of each pair, keeping the lowest
+    partner as canonical. The cluster pass turns the O(N^2) similarity
+    join into k independent within-cluster joins — the same
+    bucket-then-verify shape as the LSH family, but with semantic
+    buckets. Ties in the rounded assignment score break to the lowest
+    centroid id on both engines."""
+    emb = spark.table("embeddings").filter(F.col("embedding").isNotNull())
+    from pyspark.sql import Window
+
+    cents = F.broadcast(
+        emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+        )
+    )
+    scored = emb.crossJoin(cents).select(
+        "vec_id",
+        "cid",
+        F.round(
+            cosine_similarity(F.col("embedding"), F.col("cvec")), 6
+        ).alias("s"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cid"))
+    assign = (
+        scored.withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("cid").alias("cluster"))
+    )
+    keyed = emb.join(assign, "vec_id").select(
+        "cluster", "vec_id", "embedding"
+    )
+    x = keyed.alias("x")
+    y = keyed.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.cluster") == F.col("y.cluster"))
+        & (F.col("x.vec_id") < F.col("y.vec_id")),
+    ).filter(
+        F.round(
+            cosine_similarity(F.col("x.embedding"), F.col("y.embedding")), 6
+        )
+        >= 0.45
+    )
+    return (
+        pairs.groupBy(
+            F.col("y.vec_id").alias("vec_id"),
+            F.col("x.cluster").cast("int").alias("cluster"),
+        )
+        .agg(F.min(F.col("x.vec_id")).cast("bigint").alias("canonical_id"))
+        .orderBy("vec_id")
     )

@@ -1150,3 +1150,98 @@ def text_crossdoc_ngram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("crossdoc_share"), F.asc("doc_id"))
         .limit(100)
     )
+
+
+# --- BM25 lexical retrieval ------------------------------------------------
+# The reference's search is vector-only (src/semantic_search.py:61-96); a
+# complete retrieval engine pairs it with lexical ranking. Okapi BM25
+# (Robertson et al.) with the standard k1=1.2, b=0.75. The per-term
+# contribution is quantized to integer nano-units BEFORE the cross-term sum,
+# so the summation is associative and the cross-engine hash is exact (same
+# trick as text_unigram_logprob's micro-nats).
+_BM25_TERMS = ("table", "join", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_nano(spark: SparkSession) -> DataFrame:
+    """(doc_id, score_nano) for the literal query terms — shared by
+    text_bm25_search and vec_hybrid_rrf.
+
+    Shape at 100 TB: doc-length table is one partial-aggregable groupBy;
+    the per-(doc, query-term) tf table is tiny after the IN filter pushes
+    through the explode; df (3 rows) and the two global scalars broadcast
+    as literals. One shuffle on doc_id for the final sum."""
+    d = spark.table("documents")
+    toks = d.select(
+        "doc_id", F.explode(word_tokens(F.col("text"))).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n_docs, sum_dl = d.count(), dl.agg(F.sum("dl")).first()[0]
+    avgdl = float(sum_dl) / float(n_docs)  # exact int-sum / int-count
+    qt = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfq = qt.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        + 1.0
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.lit(avgdl)
+    )
+    contrib = idf * (F.col("tf") * (_BM25_K1 + 1.0)) / denom
+    nano = F.round(contrib * 1e9).cast("bigint")
+    return (
+        qt.join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum(nano).alias("score_nano"))
+    )
+
+
+def _bm25_nano_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    toks AS (SELECT doc_id, unnest({_TOKENS}) AS term FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                  (SELECT sum(dl)::DOUBLE / count(*) FROM dl) AS avgdl),
+    qt AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN ({terms}) GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM qt GROUP BY term),
+    bm25 AS (
+      SELECT qt.doc_id,
+             CAST(sum(CAST(round(
+               ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+               * (qt.tf * {_BM25_K1 + 1.0!r})
+               / (qt.tf + {_BM25_K1!r} * ({1.0 - _BM25_B!r}
+                  + {_BM25_B!r} * dl.dl / st.avgdl))
+               * 1e9) AS BIGINT)) AS BIGINT) AS score_nano
+      FROM qt JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+      GROUP BY qt.doc_id)
+    """
+
+
+@query(
+    "text_bm25_search",
+    sql=f"""
+    WITH {_bm25_nano_sql()}
+    SELECT doc_id, score_nano FROM bm25
+    ORDER BY score_nano DESC, doc_id LIMIT 20
+    """,
+    survey_ops="text-bm25(ext),K7,D3,F2",
+    tables=("documents",),
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for a fixed query ("table join window") — the
+    lexical half of hybrid retrieval, complementing the reference's
+    vector search (src/semantic_search.py:61-96). Integer nano-unit
+    scores make the ranking order-exact across engines."""
+    return (
+        _bm25_nano(spark)
+        .orderBy(F.desc("score_nano"), F.asc("doc_id"))
+        .limit(20)
+    )

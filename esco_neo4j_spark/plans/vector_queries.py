@@ -794,3 +794,96 @@ def vec_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.table("embeddings").filter(F.col("embedding").isNotNull())
     anchor = _anchor_vec(spark)
     return sq_topk(e, anchor, k=10, n_candidates=50)
+
+
+# --- hybrid retrieval: BM25 + vector cosine fused by RRF --------------------
+@query(
+    "vec_hybrid_rrf",
+    sql=None,  # replaced below — needs the BM25 CTE from text_queries
+    survey_ops="K7,H1,text-bm25(ext)",
+    tables=("documents", "embeddings"),
+)
+def vec_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25
+    lexical ranking and the cosine vector ranking for the same corpus
+    (doc_id == vec_id). Each side is cut to top-50 via orderBy+limit
+    (TakeOrderedAndProject — no global window over the corpus; the
+    row_number window runs on <= 50 rows). RRF contributions are
+    quantized to integer nano-units, so the fused ordering is exact.
+    Generalizes the reference's two-phase search (K7,
+    src/semantic_search.py:185-216) to multi-system retrieval."""
+    from pyspark.sql import Window
+
+    from esco_neo4j_spark.plans.text_queries import _bm25_nano
+
+    lex50 = (
+        _bm25_nano(spark)
+        .orderBy(F.desc("score_nano"), F.asc("doc_id"))
+        .limit(50)
+    )
+    wl = Window.orderBy(F.desc("score_nano"), F.asc("doc_id"))
+    lex = lex50.select(
+        F.col("doc_id").alias("id"), F.row_number().over(wl).alias("lex_rank")
+    )
+    emb = spark.table("embeddings").filter(F.col("embedding").isNotNull())
+    anchor = _anchor_vec(spark)
+    scored = emb.select(
+        "vec_id",
+        F.round(cosine_similarity(F.col("embedding"), anchor), 6).alias("s"),
+    )
+    vec50 = scored.orderBy(F.desc("s"), F.asc("vec_id")).limit(50)
+    wv = Window.orderBy(F.desc("s"), F.asc("vec_id"))
+    vec = vec50.select(
+        F.col("vec_id").alias("id"), F.row_number().over(wv).alias("vec_rank")
+    )
+    rrf = F.when(
+        F.col("lex_rank").isNotNull(),
+        F.round(F.lit(1e9) / (60 + F.col("lex_rank"))).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint")) + F.when(
+        F.col("vec_rank").isNotNull(),
+        F.round(F.lit(1e9) / (60 + F.col("vec_rank"))).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return (
+        lex.join(vec, "id", "full_outer")
+        .select(
+            "id",
+            rrf.alias("rrf_nano"),
+            F.col("lex_rank").cast("int").alias("lex_rank"),
+            F.col("vec_rank").cast("int").alias("vec_rank"),
+        )
+        .orderBy(F.desc("rrf_nano"), F.asc("id"))
+        .limit(20)
+    )
+
+
+def _hybrid_rrf_sql() -> str:
+    from esco_neo4j_spark.plans.text_queries import _bm25_nano_sql
+
+    return f"""
+    WITH {_bm25_nano_sql()},
+    lex AS (
+      SELECT doc_id AS id,
+             row_number() OVER (ORDER BY score_nano DESC, doc_id) AS lex_rank
+      FROM bm25 ORDER BY score_nano DESC, doc_id LIMIT 50),
+    vscore AS (
+      SELECT vec_id, round({_COS.format(anchor=_ANCHOR_SQL)}, 6) AS s
+      FROM embeddings WHERE embedding IS NOT NULL),
+    vec AS (
+      SELECT vec_id AS id,
+             row_number() OVER (ORDER BY s DESC, vec_id) AS vec_rank
+      FROM vscore ORDER BY s DESC, vec_id LIMIT 50)
+    SELECT COALESCE(lex.id, vec.id) AS id,
+           CAST(COALESCE(CAST(round(1e9 / (60 + lex_rank)) AS BIGINT), 0)
+              + COALESCE(CAST(round(1e9 / (60 + vec_rank)) AS BIGINT), 0)
+              AS BIGINT) AS rrf_nano,
+           CAST(lex_rank AS INT) AS lex_rank,
+           CAST(vec_rank AS INT) AS vec_rank
+    FROM lex FULL OUTER JOIN vec ON lex.id = vec.id
+    ORDER BY rrf_nano DESC, id LIMIT 20
+    """
+
+
+# NOTE: the oracle SQL shares the BM25 CTE with text_queries, which
+# imports later in plans/__init__ — the assignment
+# REGISTRY["vec_hybrid_rrf"].sql = _hybrid_rrf_sql() runs there, after
+# every module is fully initialized (avoids a circular import).
