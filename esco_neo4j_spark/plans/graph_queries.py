@@ -1763,3 +1763,128 @@ def graph_msf_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
         msf_boruvka(edges.withColumn("weight", w))
         .orderBy("a", "b")
     )
+
+
+# --- landmark distance oracle ----------------------------------------------
+@query(
+    "graph_landmark_distance",
+    # tree oracle: every pivot/exact distance is min(a.d + b.d) over the
+    # common-ancestor chains (same machinery as graph_closeness_sampled);
+    # the estimate replays min over pivots of d(u,p) + d(p,v) exactly
+    sql=f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    verts AS (
+      SELECT DISTINCT id FROM (
+        SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges
+      )
+    ),
+    f20 AS (SELECT id FROM verts ORDER BY id LIMIT 20),
+    pivots AS (SELECT id FROM verts ORDER BY id LIMIT {_N_PIVOTS}),
+    up AS (
+      SELECT id, id AS anc, 0 AS d FROM verts
+      UNION ALL
+      SELECT u.id, e.dst, u.d + 1 FROM up u JOIN edges e ON u.anc = e.src
+    ),
+    ex AS (
+      SELECT a.id AS u, b.id AS v, min(a.d + b.d) AS exact_dist
+      FROM up a JOIN up b ON a.anc = b.anc
+      WHERE a.id IN (SELECT id FROM f20) AND b.id IN (SELECT id FROM f20)
+        AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    dp AS (
+      SELECT b.id AS p, a.id AS x, min(a.d + b.d) AS dist
+      FROM up a JOIN up b ON a.anc = b.anc
+      WHERE b.id IN (SELECT id FROM pivots)
+        AND a.id IN (SELECT id FROM f20)
+      GROUP BY a.id, b.id
+    ),
+    est AS (
+      SELECT x1.x AS u, x2.x AS v, min(x1.dist + x2.dist) AS est_dist
+      FROM dp x1 JOIN dp x2 ON x1.p = x2.p AND x1.x < x2.x
+      GROUP BY x1.x, x2.x
+    )
+    SELECT ex.u, ex.v, CAST(exact_dist AS INT) AS exact_dist,
+           CAST(est_dist AS INT) AS est_dist,
+           CAST(round(est_dist::DOUBLE / exact_dist, 6) AS DOUBLE) AS stretch
+    FROM ex LEFT JOIN est ON ex.u = est.u AND ex.v = est.v
+    ORDER BY ex.u, ex.v
+    """,
+    survey_ops="K2(scale),sampled-centrality(ext)",
+    tables=("events",),
+)
+def graph_landmark_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark (pivot) distance oracle — the standard way to answer
+    point-to-point distance queries on graphs too big for pairwise BFS:
+    precompute d(pivot, *) for k landmarks (k x V state, the
+    multi_origin_depths engine), then estimate
+    dist(u,v) <= min_p d(u,p) + d(p,v). The query materializes the
+    estimate AND the exact distance for every pair in a deterministic
+    probe set (the 20 smallest vertex ids), with the stretch factor —
+    the approximation's quality report is itself value-oracled, like
+    vec_lsh_recall_eval does for ANN. est >= exact by the triangle
+    inequality (pytest-pinned); stretch 1.0 rows are pairs some
+    landmark chain covers optimally."""
+    from esco_neo4j_spark.operators.graph import multi_origin_depths
+
+    e = _edges(spark)
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    f20 = verts.orderBy("id").limit(20)
+    pivots = verts.orderBy("id").limit(_N_PIVOTS)
+    # one k=20-origin BFS serves both sides: exact pair distances (both
+    # endpoints in the probe set) and the pivot table (pivots are a
+    # prefix of the probe set)
+    d20 = multi_origin_depths(e, f20, max_depth=20, directed=False)
+    probe = F.broadcast(f20.withColumnRenamed("id", "pid"))
+    exact = (
+        d20.join(probe, d20["id"] == F.col("pid"))
+        .filter(F.col("origin") < F.col("id"))
+        .select(
+            F.col("origin").alias("u"),
+            F.col("id").alias("v"),
+            F.col("depth").alias("exact_dist"),
+        )
+    )
+    pset = F.broadcast(pivots.withColumnRenamed("id", "p"))
+    dp = (
+        d20.join(pset, d20["origin"] == F.col("p"))
+        .select("origin", "id", "depth")
+        .union(
+            pivots.select(
+                F.col("id").alias("origin"),
+                F.col("id"),
+                F.lit(0).cast("int").alias("depth"),
+            )
+        )
+        .join(probe, F.col("id") == F.col("pid"))
+        .select("origin", "id", "depth")
+    )
+    a = dp.select(
+        F.col("origin"), F.col("id").alias("u"), F.col("depth").alias("d1")
+    )
+    b = dp.select(
+        F.col("origin"), F.col("id").alias("v"), F.col("depth").alias("d2")
+    )
+    est = (
+        a.join(b, "origin")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.min(F.col("d1") + F.col("d2")).alias("est_dist"))
+    )
+    return (
+        exact.join(est, ["u", "v"], "left")
+        .select(
+            "u",
+            "v",
+            F.col("exact_dist").cast("int").alias("exact_dist"),
+            F.col("est_dist").cast("int").alias("est_dist"),
+            F.round(
+                F.col("est_dist").cast("double") / F.col("exact_dist"), 6
+            ).alias("stretch"),
+        )
+        .orderBy("u", "v")
+    )

@@ -1245,3 +1245,60 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_nano"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+# --- dictionary keyword tagging --------------------------------------------
+_TAG_DICT = [
+    ("spark", "engine"),
+    ("query", "engine"),
+    ("join", "operator"),
+    ("window", "operator"),
+    ("agg", "operator"),
+    ("scan", "operator"),
+    ("stream", "mode"),
+    ("batch", "mode"),
+]
+
+
+@query(
+    "text_keyword_tagging",
+    sql=f"""
+    WITH dict(term, tag) AS (VALUES {", ".join(f"('{t}', '{g}')" for t, g in _TAG_DICT)}),
+    toks AS (
+      SELECT DISTINCT doc_id, unnest({_TOKENS}) AS term FROM documents
+    ),
+    hits AS (
+      SELECT DISTINCT doc_id, tag FROM toks JOIN dict USING (term)
+    )
+    SELECT doc_id,
+           string_agg(tag, ',' ORDER BY tag) AS tags,
+           CAST(count(*) AS INT) AS n_tags
+    FROM hits GROUP BY doc_id ORDER BY doc_id
+    """,
+    survey_ops="text-tagging(ext),D6,C1",
+    tables=("documents",),
+)
+def text_keyword_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-based document tagging (taxonomy annotation — the
+    set-oriented form of gazetteer/keyword matching): distinct tokens
+    equi-joined against a BROADCAST term->tag dictionary, distinct tags
+    collected per doc. At 100 TB the dictionary is the only broadcast
+    state and the join replaces any per-doc regex scan over the full
+    dictionary; collected sets are sorted and joined to one string for
+    cross-engine hash stability."""
+    d = spark.table("documents")
+    dict_df = F.broadcast(
+        spark.createDataFrame(_TAG_DICT, ["term", "tag"])
+    )
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(word_tokens(F.col("text")))).alias("term")
+    )
+    hits = toks.join(dict_df, "term").select("doc_id", "tag").distinct()
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("tag"))).alias("tags"),
+            F.count("*").cast("int").alias("n_tags"),
+        )
+        .orderBy("doc_id")
+    )

@@ -887,3 +887,64 @@ def _hybrid_rrf_sql() -> str:
 # imports later in plans/__init__ — the assignment
 # REGISTRY["vec_hybrid_rrf"].sql = _hybrid_rrf_sql() runs there, after
 # every module is fully initialized (avoids a circular import).
+
+
+# --- batched top-k: one corpus pass scores a whole query batch -------------
+@query(
+    "vec_batch_topk",
+    sql="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10),
+    s AS (
+      SELECT q.query_id, v.vec_id,
+             round(list_cosine_similarity(
+               CAST(v.embedding AS DOUBLE[]), q.qv), 6) AS score
+      FROM embeddings v CROSS JOIN q
+      WHERE v.embedding IS NOT NULL AND v.vec_id <> q.query_id)
+    SELECT query_id, vec_id, CAST(score AS DOUBLE) AS score,
+           CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, vec_id) AS rk
+      FROM s)
+    WHERE rk <= 3
+    ORDER BY query_id, rk
+    """,
+    survey_ops="K7,H1,E",
+    tables=("embeddings",),
+)
+def vec_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 neighbors for a BATCH of query vectors (vec_id < 10) in ONE
+    corpus pass: broadcast the query batch, score every (query, corpus)
+    pair, per-query top-k window. This is the set-oriented form of the
+    reference's per-query search loop (src/semantic_search.py:185-216 runs
+    one Cypher query per hit; K7) — at 100 TB you never scan the corpus
+    per query, you join the query batch against one scan. The window is
+    partitioned by query_id (batch-sized parallelism, no global sort)."""
+    from pyspark.sql import Window
+
+    emb = spark.table("embeddings").filter(F.col("embedding").isNotNull())
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+    )
+    scored = (
+        emb.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("qv")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "vec_id", "score", F.col("rk").cast("int").alias("rk"))
+        .orderBy("query_id", "rk")
+    )

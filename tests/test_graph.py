@@ -471,3 +471,18 @@ def test_densest_subgraph_finds_planted_clique(spark):
     members = sorted(r.id for r in out)
     assert members == ["0", "1", "2", "3", "4"]
     assert out[0].density == 2.0 and out[0].n_edges == 10
+
+
+def test_landmark_estimate_upper_bounds_exact(spark):
+    """Triangle inequality: the landmark estimate can never undershoot the
+    true distance, and stretch >= 1 wherever an estimate exists."""
+    from esco_neo4j_spark.plans import REGISTRY
+
+    rows = REGISTRY["graph_landmark_distance"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        if r["est_dist"] is not None:
+            assert r["est_dist"] >= r["exact_dist"]
+            assert r["stretch"] >= 1.0
