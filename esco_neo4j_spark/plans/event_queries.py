@@ -2587,3 +2587,75 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t_hours")
     )
+
+
+# --- incremental aggregate maintenance: merge partials, don't recompute ----
+@query(
+    "events_incremental_agg_merge",
+    # the oracle aggregates the WHOLE table directly — the query computes
+    # the same result by merging two partial-aggregate states, so the
+    # hash match IS the proof that the merge is lossless
+    sql="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents,
+           CAST(round(sum(cents) / (100.0 * count(*)), 6) AS DOUBLE)
+             AS avg_value
+    FROM c GROUP BY event_type ORDER BY event_type
+    """,
+    survey_ops="D8,incremental-agg(ext)",
+    tables=("events",),
+)
+def events_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the stored rollup of the base
+    window (ts < Jan 25) is MERGED with the delta batch's partial state
+    (ts >= Jan 25) instead of re-aggregating history — count/sum/min/max
+    merge associatively (full-outer join on the group key, null-safe
+    combine), avg derives from the merged sums. At 100 TB this is the
+    difference between touching one day and touching the archive; the
+    oracle computes the direct whole-table aggregate, so the driver's
+    hash match proves merged == direct. Integer cents keep every merge
+    step exact."""
+    ev = spark.table("events").select(
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    cutoff = F.lit("2024-01-25").cast("timestamp")
+
+    def partial(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias(f"n_{tag}"),
+            F.sum("cents").alias(f"s_{tag}"),
+            F.min("cents").alias(f"mn_{tag}"),
+            F.max("cents").alias(f"mx_{tag}"),
+        )
+
+    base = partial(ev.filter(F.col("ts") < cutoff), "b")
+    delta = partial(ev.filter(F.col("ts") >= cutoff), "d")
+    z = F.lit(0).cast("bigint")
+    n = F.coalesce("n_b", z) + F.coalesce("n_d", z)
+    s = F.coalesce("s_b", z) + F.coalesce("s_d", z)
+    return (
+        base.join(delta, "event_type", "full_outer")
+        .select(
+            "event_type",
+            n.cast("bigint").alias("n"),
+            s.cast("bigint").alias("sum_cents"),
+            F.least(
+                F.coalesce("mn_b", F.col("mn_d")),
+                F.coalesce("mn_d", F.col("mn_b")),
+            ).cast("bigint").alias("min_cents"),
+            F.greatest(
+                F.coalesce("mx_b", F.col("mx_d")),
+                F.coalesce("mx_d", F.col("mx_b")),
+            ).cast("bigint").alias("max_cents"),
+            F.round(s / (100.0 * n), 6).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )

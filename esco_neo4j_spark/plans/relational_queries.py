@@ -1740,3 +1740,98 @@ def ext_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", (F.col("totalprice")), "o_orderkey")
     )
+
+
+# --- D9 completion: arbitrary GROUPING SETS --------------------------------
+@query(
+    "ext_grouping_sets_mixed",
+    sql="""
+    SELECT coalesce(o_orderstatus, '(all)') AS status,
+           coalesce(o_orderpriority, '(all)') AS priority,
+           CAST(2 * grouping(o_orderstatus)
+                + grouping(o_orderpriority) AS INT) AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS sum_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderpriority), ())
+    ORDER BY gid, status, priority
+    """,
+    survey_ops="D9(ext)",
+    tables=("orders",),
+)
+def ext_grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the general form CUBE/ROLLUP are sugar
+    for: detail (status, priority), a priority-only slice, and the grand
+    total in ONE pass (one exchange, rows replicated per matching set
+    before the partial agg). grouping() flags disambiguate real NULL
+    group keys from the super-aggregate rows; sums in integer cents."""
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, '(all)') AS status,
+               coalesce(o_orderpriority, '(all)') AS priority,
+               CAST(2 * grouping(o_orderstatus)
+                    + grouping(o_orderpriority) AS INT) AS gid,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS sum_cents
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderpriority), ())
+        ORDER BY gid, status, priority
+        """
+    )
+
+
+# --- referential-integrity audit -------------------------------------------
+_FK_RELATIONS = [
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+@query(
+    "ext_fk_integrity_audit",
+    sql="\nUNION ALL\n".join(
+        f"""
+    SELECT '{name}' AS relation, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphans
+    FROM {child} c LEFT JOIN {parent} p ON c.{fk} = p.{pk}"""
+        for name, child, fk, parent, pk in _FK_RELATIONS
+    )
+    + "\nORDER BY relation",
+    survey_ops="C8,D1,quality-audit(ext)",
+    tables=("orders", "customer", "lineitem", "part", "supplier", "nation",
+            "region"),
+)
+def ext_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the whole star schema: one row
+    per FK relation with its orphan count (left join against the parent
+    key, null parent = orphan). The warehouse-wide data-quality gate a
+    real pipeline runs after every load — the same write-time validation
+    stance as the engine's constraint checks (SURVEY §2.A6), here as a
+    queryable report. Dimension joins broadcast; the two fact-fact
+    relations shuffle on their join keys."""
+    out = None
+    for name, child, fk, parent, pk in _FK_RELATIONS:
+        c = spark.table(child).select(F.col(fk).alias("k"))
+        p = spark.table(parent).select(F.col(pk).alias("k"), F.lit(1).alias("_m"))
+        if parent not in ("orders",):  # dims broadcast; orders is a fact
+            p = F.broadcast(p)
+        audit = (
+            c.join(p, "k", "left")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(F.when(F.col("_m").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_orphans"),
+            )
+            .select(F.lit(name).alias("relation"), "n_rows", "n_orphans")
+        )
+        out = audit if out is None else out.unionByName(audit)
+    return out.orderBy("relation")
