@@ -496,3 +496,41 @@ def test_tpch_q6_is_pure_pushdown_scan(spark):
     assert "GreaterThanOrEqual(l_shipdate," in plan
     assert "LessThan(l_quantity,24.0)" in plan
     assert "Join" not in plan
+
+
+def test_keyword_tagging_broadcasts_dictionary(spark):
+    plan = _plan(spark, "text_keyword_tagging")
+    assert "BroadcastHashJoin" in plan, "gazetteer join must broadcast"
+    assert "SortMergeJoin" not in plan
+
+
+def test_batch_topk_broadcasts_query_batch(spark):
+    # one corpus scan + broadcast of the 10-row query batch; the top-k
+    # window partitions by query_id (no global single-partition window)
+    plan = _plan(spark, "vec_batch_topk")
+    assert "BroadcastNestedLoopJoin" in plan
+    # corpus + query-batch scans only (formatted plans print each scan
+    # twice: tree node + detail block)
+    assert plan.count("Location: InMemoryFileIndex") <= 2
+    # rank-limit pushdown trims per-query rows BEFORE the window shuffle
+    assert "WindowGroupLimit" in plan
+
+
+def test_fk_audit_broadcasts_dimension_parents(spark):
+    plan = _plan(spark, "ext_fk_integrity_audit")
+    # 5 dim-parent joins broadcast; only the 2 fact-fact relations
+    # (lineitem->orders) may sort-merge
+    assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_grouping_sets_single_exchange_before_agg(spark):
+    plan = _plan(spark, "ext_grouping_sets_mixed")
+    assert "Expand" in plan, "grouping sets must expand, not re-scan"
+    assert plan.count("Scan parquet") == 1
+
+
+def test_bm25_single_scan_per_agg_branch(spark):
+    # doc-length and tf branches each scan once; df broadcasts (3 rows)
+    plan = _plan(spark, "text_bm25_search")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
