@@ -526,7 +526,7 @@ def test_fk_audit_broadcasts_dimension_parents(spark):
 def test_grouping_sets_single_exchange_before_agg(spark):
     plan = _plan(spark, "ext_grouping_sets_mixed")
     assert "Expand" in plan, "grouping sets must expand, not re-scan"
-    assert plan.count("Scan parquet") == 1
+    assert plan.count("Location: InMemoryFileIndex") == 1
 
 
 def test_bm25_single_scan_per_agg_branch(spark):
