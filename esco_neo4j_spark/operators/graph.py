@@ -1673,3 +1673,77 @@ def msf_boruvka(
     if forest is None:
         return canon.select("a", "b", F.col("w").alias("weight")).limit(0)
     return forest.select("a", "b", F.col("w").alias("weight"))
+
+
+def k_truss(edges: DataFrame, k: int, max_rounds: int = 8) -> DataFrame:
+    """k-truss subgraph: the maximal edge set where every edge closes at
+    least k-2 triangles WITHIN the set — the cohesive-community family
+    one notch stronger than k-core (every k-truss edge is in a
+    (k-1)-core). No triangle/community query in the reference corpus;
+    extension per SURVEY §2.K alongside triangle_count/k_core.
+
+    Iterative edge peeling: per round, count each edge's triangle support
+    via the id-ordered triangle join (same enumeration the triangle-count
+    oracle uses), drop edges under k-2, repeat to fixpoint (early-exit on
+    no change; bounded by max_rounds so the unrolled SQL oracle replays
+    the identical computation). State is the surviving edge list only —
+    peeling discards rows monotonically, and each round is two bounded
+    shuffles (triangle join + support agg). Returns (a, b, support) with
+    support counted in the FINAL subgraph.
+    """
+    canon = (
+        undirected(edges)
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    canon = _checkpoint(canon)
+
+    def support(es: DataFrame) -> DataFrame:
+        e1, e2, e3 = es.alias("e1"), es.alias("e2"), es.alias("e3")
+        tri = (
+            e1.join(
+                e2,
+                (F.col("e2.a") == F.col("e1.a"))
+                & (F.col("e2.b") > F.col("e1.b")),
+            )
+            .join(
+                e3,
+                (F.col("e3.a") == F.col("e1.b"))
+                & (F.col("e3.b") == F.col("e2.b")),
+            )
+            .select(
+                F.col("e1.a").alias("x"),
+                F.col("e1.b").alias("y"),
+                F.col("e2.b").alias("z"),
+            )
+        )
+        sides = (
+            tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+            .union(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+            .union(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+        )
+        return sides.groupBy("a", "b").agg(F.count("*").alias("s"))
+
+    n = canon.count()
+    for _ in range(max_rounds):
+        keep = (
+            canon.join(support(canon), ["a", "b"])
+            .filter(F.col("s") >= k - 2)
+            .select("a", "b")
+        )
+        keep = _checkpoint(keep)
+        m = keep.count()
+        if m == n:
+            break
+        canon, n = keep, m
+    return (
+        canon.join(support(canon), ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            F.coalesce(F.col("s"), F.lit(0)).cast("int").alias("support"),
+        )
+    )

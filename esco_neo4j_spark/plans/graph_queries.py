@@ -1888,3 +1888,89 @@ def graph_landmark_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("u", "v")
     )
+
+
+# --- k-truss decomposition --------------------------------------------------
+def _ktruss_sql(k: int, rounds: int) -> str:
+    """Unrolled MATERIALIZED-CTE replay of the fixed-round peeling (same
+    pattern as the Luby-MIS / coloring oracles): each round recomputes
+    per-edge triangle support on the surviving set and filters. A no-op
+    round leaves the set unchanged, so unrolling >= the fixpoint round
+    count is exact."""
+    parts = [
+        f"""e0 AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM ({_TRI_EDGES_SQL}) WHERE src <> dst
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f"""t{i} AS MATERIALIZED (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e{p} e1 JOIN e{p} e2 ON e2.a = e1.a AND e2.b > e1.b
+      JOIN e{p} e3 ON e3.a = e1.b AND e3.b = e2.b
+    )""")
+        parts.append(f"""s{i} AS MATERIALIZED (
+      SELECT a, b, count(*) AS s FROM (
+        SELECT x AS a, y AS b FROM t{i}
+        UNION ALL SELECT x AS a, z AS b FROM t{i}
+        UNION ALL SELECT y AS a, z AS b FROM t{i}
+      ) GROUP BY a, b
+    )""")
+        parts.append(f"""e{i} AS MATERIALIZED (
+      SELECT e.a, e.b FROM e{p} e JOIN s{i} ON s{i}.a = e.a AND s{i}.b = e.b
+      WHERE s{i}.s >= {k - 2}
+    )""")
+    last = f"e{rounds}"
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined},
+    tf AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM {last} e1 JOIN {last} e2 ON e2.a = e1.a AND e2.b > e1.b
+      JOIN {last} e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    sf AS (
+      SELECT a, b, count(*) AS s FROM (
+        SELECT x AS a, y AS b FROM tf
+        UNION ALL SELECT x AS a, z AS b FROM tf
+        UNION ALL SELECT y AS a, z AS b FROM tf
+      ) GROUP BY a, b
+    )
+    SELECT e.a, e.b, CAST(coalesce(sf.s, 0) AS INT) AS support
+    FROM {last} e LEFT JOIN sf ON sf.a = e.a AND sf.b = e.b
+    ORDER BY e.a, e.b
+    """
+
+
+@query(
+    "graph_ktruss",
+    sql=_ktruss_sql(k=3, rounds=4),
+    survey_ops="K(ext),K5-family",
+    tables=("events",),
+)
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss of the parent+predecessor graph: every surviving edge
+    closes >= 1 triangle within the surviving set (peeled to fixpoint, 4
+    bounded rounds). The cohesive-community step between k-core
+    (vertex peeling) and clique mining; the oracle unrolls the identical
+    peeling rounds as materialized CTEs."""
+    from esco_neo4j_spark.operators.graph import k_truss
+
+    ev = spark.table("events")
+    parent = (
+        ev.filter(F.col("user_id") >= 1)
+        .select(
+            F.col("user_id").alias("src"),
+            (F.col("user_id") / 2).cast("bigint").alias("dst"),
+        )
+    )
+    pred = (
+        ev.filter(F.col("user_id") >= 2)
+        .select(
+            F.col("user_id").alias("src"),
+            (F.col("user_id") - 1).cast("bigint").alias("dst"),
+        )
+    )
+    edges = parent.union(pred).distinct()
+    return k_truss(edges, k=3, max_rounds=4).orderBy("a", "b")

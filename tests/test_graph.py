@@ -486,3 +486,19 @@ def test_landmark_estimate_upper_bounds_exact(spark):
         if r["est_dist"] is not None:
             assert r["est_dist"] >= r["exact_dist"]
             assert r["stretch"] >= 1.0
+
+
+def test_ktruss_planted_clique(spark):
+    """K4 + pendant edges: 4-truss recovers exactly the K4 (each edge in 2
+    triangles); 3-truss additionally keeps a planted triangle."""
+    from esco_neo4j_spark.operators.graph import k_truss
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    tri = [(10, 11), (11, 12), (10, 12)]
+    pendants = [(4, 9), (9, 20), (12, 21)]
+    edges = spark.createDataFrame(k4 + tri + pendants, ["src", "dst"])
+    t4 = {(r["a"], r["b"]): r["support"] for r in k_truss(edges, k=4).collect()}
+    assert set(t4) == set(k4)
+    assert all(s == 2 for s in t4.values())
+    t3 = {(r["a"], r["b"]) for r in k_truss(edges, k=3).collect()}
+    assert t3 == set(k4) | set(tri)
