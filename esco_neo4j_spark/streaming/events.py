@@ -444,3 +444,46 @@ def running_totals_tws(events: DataFrame) -> DataFrame:
         "Update",
         "None",
     )
+
+
+def clean_sessions_pipeline(
+    events: DataFrame,
+    sink_path: str,
+    checkpoint: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+):
+    """Streaming capstone: ONE streaming query composing the ingest-side
+    operators end to end — watermarked exact dedup (event_id) feeding the
+    native session_window rollup, MERGE-upserted into a keyed parquet
+    table. Every stage bounds its state (dedup horizon = watermark,
+    session state closes at watermark + gap, sink state is the
+    checkpoint), and the keyed merge makes whole-pipeline REPLAY
+    idempotent — the at-least-once file source composes into an
+    effectively-once table. Batch twin for the hard gate:
+    events_session_window_native over dedup_exact's survivors
+    (stream == batch pinned in tests/test_streaming.py)."""
+    deduped = events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    sessions = (
+        deduped.groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("session_start"),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss")
+            .alias("session_end"),
+            "n_events",
+            "sum_cents",
+        )
+    )
+    return upsert_sink(
+        sessions, sink_path, keys=["user_id", "session_start"], checkpoint=checkpoint
+    )

@@ -314,3 +314,49 @@ def test_streaming_session_window_equals_batch(spark, event_dir, tmp_path):
 
     twin = _rows(REGISTRY["events_session_window_native"].fn(spark, SF_DIR))
     assert got == twin and len(got) > 0
+
+
+def test_clean_sessions_pipeline_end_to_end(spark, event_dir, tmp_path):
+    """Capstone: dedup -> session_window -> merge sink as ONE streaming
+    query. Input contains every event TWICE (at-least-once source);
+    the sink must equal the batch twin computed on unique events, and a
+    full pipeline REPLAY (fresh checkpoint, same sink) must leave the
+    table unchanged."""
+    import datetime
+    import shutil
+
+    from esco_neo4j_spark.streaming.events import clean_sessions_pipeline
+
+    path = str(tmp_path / "events_dup")
+    shutil.copytree(event_dir, path)
+    base = spark.read.parquet(event_dir)
+    # duplicate every event (same event_id, same ts -> inside the horizon)
+    base.write.mode("append").parquet(path)
+    sent = spark.createDataFrame(
+        [(10**9, datetime.datetime(2030, 1, 1), 999999, "click", 0.0, "{}")],
+        base.schema,
+    )
+    sent.write.mode("append").parquet(path)
+
+    sink = str(tmp_path / "sessions_table")
+
+    def run(tag: str) -> None:
+        q = clean_sessions_pipeline(
+            read_event_stream(spark, path),
+            sink,
+            checkpoint=str(tmp_path / f"ckpt_{tag}"),
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run("a")
+    got = _rows(spark.read.parquet(sink).filter("user_id <> 999999"))
+
+    from esco_neo4j_spark.plans import REGISTRY
+
+    twin = _rows(REGISTRY["events_session_window_native"].fn(spark, SF_DIR))
+    assert got == twin and len(got) > 0
+
+    run("b")  # full replay: new checkpoint, same sink -> idempotent
+    again = _rows(spark.read.parquet(sink).filter("user_id <> 999999"))
+    assert again == got
