@@ -166,3 +166,69 @@ def test_lsh_banding_finds_every_planted_duplicate_at_200k_docs(spark):
         F.col("id_b") - F.col("id_a") == n_texts
     ).count()
     assert planted == n_texts
+
+
+def test_substring_span_merge_at_1m_docs(spark):
+    """Duplicated-window span machinery at 1m docs: plant a shared
+    5-token window in every 100th doc (10k docs share it), unique filler
+    elsewhere. The inverted index must flag EXACTLY the planted docs and
+    the island merge must produce one span per flagged doc — any
+    accidental all-pairs expansion on the 10k-doc bucket would blow the
+    budget (10k^2/2 = 50m pairs)."""
+    n = 1_000_000
+    docs = spark.range(0, n, 1, 64).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 100 == 0,
+            F.concat(
+                F.lit("shared dup window token five "),
+                F.format_string("u%d a%d b%d c%d d%d", "id", "id", "id", "id", "id"),
+            ),
+        )
+        .otherwise(
+            F.format_string(
+                "u%d v%d w%d x%d y%d z%d q%d r%d s%d t%d",
+                *(["id"] * 10),
+            )
+        )
+        .alias("text"),
+    )
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), '[^a-z0-9\\']+'), x -> x != '')").alias("toks"),
+    ).filter(F.size("toks") >= 5)
+    wins = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 5), "
+                "i -> md5(array_join(slice(toks, i + 1, 5), ' ')))"
+            )
+        ).alias("pos", "wid"),
+    )
+    dup = (
+        wins.groupBy("wid")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("wid")
+    )
+    dpos = wins.join(dup, "wid").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gap = F.when(F.col("pos") - F.lag("pos").over(w) > 5, 1).otherwise(0)
+    spans = (
+        dpos.withColumn(
+            "island", F.sum(gap).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("s"), F.max("pos").alias("e"))
+    )
+    got = spans.agg(
+        F.count("*").alias("n_spans"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.max("s").alias("max_start"),
+    ).collect()[0]
+    assert got["n_spans"] == n // 100      # one span per planted doc
+    assert got["n_docs"] == n // 100
+    assert got["max_start"] == 0           # the shared window opens each doc
