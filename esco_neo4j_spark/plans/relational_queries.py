@@ -1835,3 +1835,33 @@ def ext_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = audit if out is None else out.unionByName(audit)
     return out.orderBy("relation")
+
+
+_RECURSIVE_FRONT_DOOR_SQL = """
+WITH RECURSIVE up(id, anc, d) AS (
+  SELECT DISTINCT user_id AS id, user_id AS anc, 0 AS d
+  FROM events WHERE user_id >= 1 AND user_id <= 64
+  UNION ALL
+  SELECT id, CAST(floor(anc / 2) AS BIGINT) AS anc, d + 1 AS d
+  FROM up WHERE anc > 1
+)
+SELECT id, CAST(max(d) AS INT) AS chain_len
+FROM up GROUP BY id ORDER BY id
+"""
+
+
+@query(
+    "ext_recursive_sql_front_door",
+    sql=_RECURSIVE_FRONT_DOOR_SQL,
+    survey_ops="K1,ansi-sql(ext)",
+    tables=("events",),
+)
+def ext_recursive_sql_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI `WITH RECURSIVE` front door: the BYTE-IDENTICAL recursive SQL
+    string runs on Spark 4 (UnionLoopExec) and on the DuckDB oracle —
+    ancestor-chain length in the user_id//2 tree. Companion to
+    ext_ansi_sql_front_door, extending the shared-dialect guarantee to
+    recursion (the engine's internal closure CTE path,
+    operators/graph.py:_closure_via_recursive_cte, rides the same
+    executor)."""
+    return spark.sql(_RECURSIVE_FRONT_DOOR_SQL)

@@ -311,3 +311,63 @@ def udf_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- Python UDTF (SURVEY §2.I9 — the table-function face of the UDF API) ---
+@query(
+    "udf_chunk_udtf",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(i AS INT) AS chunk_id,
+             array_to_string(t[i * 16 + 1:i * 16 + 16], ' ') AS chunk
+      FROM toks, unnest(range((len(t) + 15) // 16)) AS u(i)
+    )
+    SELECT doc_id, chunk_id,
+           CAST(len(list_filter(regexp_split_to_array(chunk, ' '),
+                                x -> x <> '')) AS INT) AS n_toks,
+           md5(chunk) AS chunk_md5
+    FROM chunks ORDER BY doc_id, chunk_id
+    """,
+    survey_ops="I9,text-chunking(ext)",
+    tables=("documents",),
+)
+def udf_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 `@udtf`) emitting fixed 16-token chunks per
+    document — the TABLE-function face of the UDF surface (SURVEY §2.I9;
+    the reference has none, extension). This is the API demo: one input
+    row fans out to N output rows from plain Python, registered and
+    invoked via LATERAL in SQL. Row-at-a-time Python is the SLOW path by
+    design — the production chunker is the pure-column
+    text_chunk_windows; the oracle replays the identical tokenization and
+    chunk boundaries, and md5(chunk) makes the payload comparison cheap."""
+    import hashlib
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id: int, n_toks: int, chunk_md5: string")
+    class ChunkDoc:
+        def eval(self, text: str):
+            toks = [t for t in re.split(r"[^a-z0-9']+", (text or "").lower()) if t]
+            for i in range(0, (len(toks) + 15) // 16):
+                chunk = " ".join(toks[i * 16:i * 16 + 16])
+                yield (
+                    i,
+                    len(chunk.split()),
+                    hashlib.md5(chunk.encode()).hexdigest(),
+                )
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.n_toks, c.chunk_md5
+        FROM documents d, LATERAL chunk_doc(d.text) c
+        ORDER BY d.doc_id, c.chunk_id
+        """
+    )
