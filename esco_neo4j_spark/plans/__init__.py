@@ -117,4 +117,30 @@ from esco_neo4j_spark.plans.vector_queries import _hybrid_rrf_sql  # noqa: E402
 
 REGISTRY["vec_hybrid_rrf"].sql = _hybrid_rrf_sql()
 
+from esco_neo4j_spark.plans.text_queries import _TAG_DICT  # noqa: E402
+
+_TAG_VALUES = ", ".join(f"('{t}', '{g}')" for t, g in _TAG_DICT)
+REGISTRY["pipeline_rag_retrieval"].sql = f"""
+    WITH hybrid AS ({_hybrid_rrf_sql()}),
+    dict(term, tag) AS (VALUES {_TAG_VALUES}),
+    toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+               x -> x <> '')) AS term
+      FROM documents
+    ),
+    tags AS (
+      SELECT doc_id, string_agg(DISTINCT tag, ',' ORDER BY tag) AS tags
+      FROM toks JOIN dict USING (term) GROUP BY doc_id
+    )
+    SELECT h.id AS doc_id, h.rrf_nano, h.lex_rank, h.vec_rank,
+           d.source, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+           coalesce(t.tags, '') AS tags
+    FROM hybrid h
+    JOIN documents d ON d.doc_id = h.id
+    LEFT JOIN tags t ON t.doc_id = h.id
+    ORDER BY h.rrf_nano DESC, doc_id
+"""
+
 _reorder_registry()

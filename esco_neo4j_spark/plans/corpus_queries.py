@@ -538,3 +538,57 @@ def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_chars", F.col("rk").cast("int").alias("rk"))
         .orderBy("source", "rk")
     )
+
+
+# --- capstone #4: RAG retrieval --------------------------------------------
+@query(
+    "pipeline_rag_retrieval",
+    sql=None,  # composed below from the hybrid-RRF CTE (plans/__init__)
+    survey_ops="K7,H1,text-bm25(ext),D6",
+    tables=("documents", "embeddings"),
+)
+def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG retrieval capstone: hybrid BM25+vector RRF ranking (top-20)
+    enriched into servable passages in one plan — the fused candidates
+    join back to the documents table for provenance (source, lang,
+    length) and dictionary tags. This is the reference's two-phase
+    search+profile (K7, src/semantic_search.py:185-216) rebuilt for a
+    retrieval-augmented pipeline: rank lists are k-sized before any
+    enrichment join, so the corpus is touched exactly twice (one lexical
+    pass, one vector pass) regardless of k. Reuses the REGISTERED hybrid
+    query's plan and oracle CTE, so capstone and component stay in
+    lockstep by construction."""
+    from esco_neo4j_spark.plans.registry import REGISTRY
+    from esco_neo4j_spark.plans.text_queries import _TAG_DICT
+    from esco_neo4j_spark.functions.text import word_tokens
+
+    hybrid = REGISTRY["vec_hybrid_rrf"].fn(spark, sf_dir)
+    d = spark.table("documents")
+    dict_df = F.broadcast(spark.createDataFrame(_TAG_DICT, ["term", "tag"]))
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_tokens(F.col("text")))).alias("term"),
+    )
+    tags = (
+        toks.join(dict_df, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("tag"))).alias("tags")
+        )
+    )
+    return (
+        hybrid.withColumnRenamed("id", "doc_id")
+        .join(d.select("doc_id", "source", "lang", "n_chars"), "doc_id")
+        .join(tags, "doc_id", "left")
+        .select(
+            "doc_id",
+            "rrf_nano",
+            "lex_rank",
+            "vec_rank",
+            "source",
+            "lang",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.coalesce("tags", F.lit("")).alias("tags"),
+        )
+        .orderBy(F.desc("rrf_nano"), F.asc("doc_id"))
+    )
