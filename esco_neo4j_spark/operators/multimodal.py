@@ -251,3 +251,37 @@ def resize_dims(media: DataFrame, max_dim: int = 256) -> DataFrame:
             )
 
     return media.mapInPandas(plan, schema=RESIZE_SCHEMA)
+
+
+PIXEL_SCHEMA = "doc_id bigint, width int, height int, mean_px double"
+
+
+def decode_pixels(media: DataFrame, decoder_fn=None) -> DataFrame:
+    """Pixel decode with an INJECTED codec seam (same pattern as
+    operators/textmodel.py's ``model_fn``: the environment-dependent
+    heavy dependency is a plain callable parameter, so the Spark-side
+    plumbing — Arrow batching, schema, per-row byte handoff — is fully
+    testable without the codec, and production swaps in PIL/libvips
+    without touching the operator).
+
+    ``decoder_fn``: picklable ``bytes -> (width, height, uint8-array)``.
+    Default is the honest stub (raises NotImplementedError on the
+    executor — no codec ships in this container). One narrow
+    mapInPandas, no shuffle; mean_px rounded 6dp like every float
+    feature here.
+    """
+    fn = decoder_fn or decode_image_pixels
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = fn(bytes(payload))
+                rows.append(
+                    (doc_id, int(w), int(h), round(float(px.mean()), 6))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "mean_px"]
+            )
+
+    return media.mapInPandas(run, schema=PIXEL_SCHEMA)

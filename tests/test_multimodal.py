@@ -63,3 +63,57 @@ def test_frame_sample_stride(spark):
 def test_pixel_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image_pixels(b"IMG0" + b"0" * 16)
+
+
+@pytest.fixture()
+def media_df(spark):
+    docs = _docs(
+        spark,
+        [(i, f"document body text {i} " * (i % 4 + 1), 20 * (i % 4 + 1))
+         for i in range(12)],
+    )
+    return attach_payload(docs)
+
+
+def _make_fake_decoder():
+    """Deterministic stand-in codec: header dims + body bytes as pixels.
+    Returned as a NESTED function so cloudpickle ships it by VALUE —
+    module-level test functions aren't importable on executors."""
+
+    def fake(payload: bytes):
+        import numpy as np
+
+        w = int(payload[4:12])
+        h = int(payload[12:20])
+        body = np.frombuffer(payload, dtype=np.uint8)[20:]
+        return w, h, body
+
+    return fake
+
+
+def test_decode_pixels_with_injected_codec(spark, media_df):
+    """The codec seam: a fake decoder exercises the full Arrow path; the
+    per-doc mean pixel matches a plain-Python recompute."""
+    from esco_neo4j_spark.operators.multimodal import decode_pixels
+
+    fake = _make_fake_decoder()
+    imgs = media_df.filter("modality = 'image'")
+    got = {r["doc_id"]: r for r in decode_pixels(imgs, fake).collect()}
+    raw = {r["doc_id"]: bytes(r["payload"]) for r in imgs.collect()}
+    assert got.keys() == raw.keys() and len(got) > 0
+    for doc_id, payload in list(raw.items())[:10]:
+        w, h, body = fake(payload)
+        assert got[doc_id]["width"] == w
+        assert got[doc_id]["height"] == h
+        assert got[doc_id]["mean_px"] == round(sum(body) / len(body), 6)
+
+
+def test_decode_pixels_default_stub_raises(spark, media_df):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    from esco_neo4j_spark.operators.multimodal import decode_pixels
+
+    with pytest.raises((PythonException, Py4JJavaError)) as exc:
+        decode_pixels(media_df.filter("modality = 'image'").limit(1)).collect()
+    assert "pixel decode" in str(exc.value)
