@@ -2659,3 +2659,64 @@ def events_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_dau_wau_stickiness",
+    sql="""
+    WITH days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    active AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    dau AS (
+      SELECT day, count(*) AS dau FROM active GROUP BY day),
+    wau AS (
+      SELECT d.day, count(DISTINCT a.user_id) AS wau
+      FROM days d JOIN active a
+        ON a.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY d.day)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           CAST(round(dau.dau * 1.0 / wau.wau, 6) AS DOUBLE) AS stickiness
+    FROM days d JOIN dau ON dau.day = d.day JOIN wau ON wau.day = d.day
+    ORDER BY day
+    """,
+    survey_ops="D5,E,engagement(ext)",
+    tables=("events",),
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — the engagement ratio next to the
+    cohort-retention matrix. Exact trailing-7-day distinct users via a
+    bounded day x window band join over the (day, user) DISTINCT table
+    (30 days x 7-day band — the deduped activity table is the small
+    derived input, never raw events), not a sliding window over raw
+    rows: count(DISTINCT) inside a RANGE frame isn't supported anyway,
+    and the band join partial-aggregates. One division, rounded 6dp."""
+    ev = spark.table("events")
+    active = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    days = active.select("day").distinct()
+    dau = active.groupBy("day").agg(F.count("*").alias("dau"))
+    a = active.select(F.col("day").alias("aday"), "user_id")
+    wau = (
+        days.join(
+            a,
+            (F.col("aday") <= F.col("day"))
+            & (F.col("aday") >= F.date_sub(F.col("day"), 6)),
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return (
+        days.join(dau, "day")
+        .join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            F.round(F.col("dau") * 1.0 / F.col("wau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
