@@ -1865,3 +1865,153 @@ def ext_recursive_sql_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/graph.py:_closure_via_recursive_cte, rides the same
     executor)."""
     return spark.sql(_RECURSIVE_FRONT_DOOR_SQL)
+
+
+@query(
+    "ext_unpivot_melt",
+    sql="""
+    WITH wide AS (
+      SELECT o_orderstatus AS status,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS sum_cents,
+             CAST(round(max(o_totalprice) * 100) AS BIGINT) AS max_cents
+      FROM orders GROUP BY o_orderstatus)
+    SELECT status, metric, CAST(val AS BIGINT) AS val
+    FROM wide UNPIVOT (val FOR metric IN (n_orders, sum_cents, max_cents))
+    ORDER BY status, metric
+    """,
+    survey_ops="pivot(ext),D2",
+    tables=("orders",),
+)
+def ext_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native long-form melt (Spark `DataFrame.unpivot` == ANSI UNPIVOT in
+    the oracle): the wide per-status rollup flips to (status, metric,
+    val) rows — the inverse of ext_pivot_priority_by_status, closing the
+    reshape pair. Unpivot is a zero-shuffle row-local expansion (Expand
+    node) over the already-aggregated input."""
+    o = spark.table("orders")
+    wide = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("sum_cents"),
+        F.round(F.max("o_totalprice") * 100).cast("bigint").alias("max_cents"),
+    )
+    return (
+        wide.unpivot(
+            "status", ["n_orders", "sum_cents", "max_cents"], "metric", "val"
+        )
+        .orderBy("status", "metric")
+    )
+
+
+@query(
+    "ext_null_safe_join",
+    sql="""
+    WITH c AS (
+      SELECT c_custkey,
+             CASE WHEN c_acctbal < 0 THEN NULL ELSE c_nationkey END AS nk
+      FROM customer),
+    n AS (
+      SELECT CASE WHEN n_regionkey = 0 THEN NULL ELSE n_nationkey END AS nk,
+             n_name
+      FROM nation)
+    SELECT coalesce(n.n_name, '(null-key)') AS nation,
+           CAST(count(*) AS BIGINT) AS n_matches
+    FROM c JOIN n ON c.nk IS NOT DISTINCT FROM n.nk
+    GROUP BY coalesce(n.n_name, '(null-key)')
+    ORDER BY nation
+    """,
+    survey_ops="C1,B4,null-semantics(ext)",
+    tables=("customer", "nation"),
+)
+def ext_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi-join semantics: Spark's `<=>` == ANSI IS NOT
+    DISTINCT FROM — null keys MATCH each other instead of vanishing (the
+    three-valued-logic trap in CDC/reconciliation joins where 'unknown'
+    must pair with 'unknown'). Both sides derive a nullable key; the
+    null-bucket pairing shows up as the '(null-key)' group. Null-safe
+    equality still hash-partitions (null is one key), so the join stays
+    an ordinary shuffled/broadcast hash join — no plan penalty."""
+    c = spark.table("customer").select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, F.lit(None))
+        .otherwise(F.col("c_nationkey"))
+        .alias("nk"),
+    )
+    n = F.broadcast(
+        spark.table("nation").select(
+            F.when(F.col("n_regionkey") == 0, F.lit(None))
+            .otherwise(F.col("n_nationkey"))
+            .alias("nk"),
+            "n_name",
+        )
+    )
+    return (
+        c.join(n, c["nk"].eqNullSafe(n["nk"]))
+        .groupBy(F.coalesce("n_name", F.lit("(null-key)")).alias("nation"))
+        .agg(F.count("*").cast("bigint").alias("n_matches"))
+        .orderBy("nation")
+    )
+
+
+@query(
+    "ext_incremental_join_maintenance",
+    # the oracle computes the DIRECT join rollup over the full tables —
+    # the query assembles it from the four delta-algebra terms, so the
+    # hash match proves d(A join B) = dA*B + A*dB + dA*dB is lossless
+    sql="""
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(o.o_totalprice) * 100) AS BIGINT) AS sum_cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name ORDER BY nation
+    """,
+    survey_ops="C1,D3,incremental-view(ext)",
+    tables=("orders", "customer", "nation"),
+)
+def ext_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN maintenance — the delta algebra behind
+    materialized-view upkeep: with A = A_base + dA (orders split by
+    order date) and B = B_base + dB (customers split by key range),
+    A x B = Ab x Bb  +  Ab x dB  +  dA x Bb  +  dA x dB.
+    A real deployment stores Ab x Bb and computes only the three delta
+    terms per refresh (each bounded by a delta's size). The query builds
+    the rollup from the FOUR terms (union, then aggregate); the oracle
+    aggregates the direct join, so the driver's hash match proves the
+    decomposition lossless. Companion to events_incremental_agg_merge
+    (aggregates) — together they cover the two halves of incremental
+    view maintenance."""
+    o = spark.table("orders")
+    c = spark.table("customer")
+    n = F.broadcast(spark.table("nation"))
+    cutoff = F.lit("1995-01-01").cast("date")
+    ob, od = (
+        o.filter(F.col("o_orderdate") < cutoff),
+        o.filter(F.col("o_orderdate") >= cutoff),
+    )
+    ckey = F.col("c_custkey") % 4 == 0
+    cb, cd = c.filter(~ckey), c.filter(ckey)
+
+    def term(orders: DataFrame, custs: DataFrame) -> DataFrame:
+        return orders.join(
+            custs, orders["o_custkey"] == custs["c_custkey"]
+        ).select("o_totalprice", "c_nationkey")
+
+    full = (
+        term(ob, cb)
+        .unionByName(term(ob, cd))
+        .unionByName(term(od, cb))
+        .unionByName(term(od, cd))
+    )
+    return (
+        full.join(n, full["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+        .orderBy("nation")
+    )
