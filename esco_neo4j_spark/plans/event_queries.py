@@ -2720,3 +2720,172 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "events_ohlc_hourly",
+    sql="""
+    WITH c AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, hour
+                                ORDER BY ts, event_id) AS rk_open,
+             row_number() OVER (PARTITION BY event_type, hour
+                                ORDER BY ts DESC, event_id DESC) AS rk_close
+      FROM c)
+    SELECT event_type, strftime(hour, '%Y-%m-%d %H:00:00') AS hour,
+           CAST(max(CASE WHEN rk_open = 1 THEN cents END) AS BIGINT) AS open,
+           CAST(max(cents) AS BIGINT) AS high,
+           CAST(min(cents) AS BIGINT) AS low,
+           CAST(max(CASE WHEN rk_close = 1 THEN cents END) AS BIGINT) AS close,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ranked GROUP BY event_type, hour
+    ORDER BY event_type, hour
+    """,
+    survey_ops="E,D2,timeseries(ext)",
+    tables=("events",),
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars per (event_type, hour) — the downsampling shape every
+    telemetry/market pipeline runs. Open/close via min/max over a
+    (ts, event_id, cents) struct — total order from the id tiebreak, ONE
+    aggregation pass, no window (the oracle uses rank windows as the
+    independent formulation). Integer cents throughout."""
+    ev = spark.table("events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    o_struct = F.struct("ts", "event_id", "cents")
+    return (
+        ev.groupBy("event_type", "hour")
+        .agg(
+            F.min(o_struct).getField("cents").cast("bigint").alias("open"),
+            F.max("cents").cast("bigint").alias("high"),
+            F.min("cents").cast("bigint").alias("low"),
+            F.max(o_struct).getField("cents").cast("bigint").alias("close"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .select(
+            "event_type",
+            F.date_format("hour", "yyyy-MM-dd HH:00:00").alias("hour"),
+            "open", "high", "low", "close", "n",
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+@query(
+    "events_time_weighted_avg",
+    sql="""
+    WITH seq AS (
+      SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_ts
+      FROM events),
+    seg AS (
+      SELECT user_id, cents,
+             CAST(epoch_us(next_ts) - epoch_us(ts) AS BIGINT) AS dur_us
+      FROM seq WHERE next_ts IS NOT NULL)
+    SELECT user_id,
+           CAST(sum(dur_us) AS BIGINT) AS total_us,
+           CAST(sum(cents * dur_us) AS BIGINT) AS weighted_sum,
+           CAST(round(sum(cents * dur_us) / (100.0 * sum(dur_us)), 6)
+             AS DOUBLE) AS twap
+    FROM seg GROUP BY user_id HAVING sum(dur_us) > 0
+    ORDER BY user_id
+    """,
+    survey_ops="E,timeseries(ext)",
+    tables=("events",),
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each reading is
+    weighted by how long it was current (until the next event), the
+    correct average for irregular telemetry where arithmetic mean
+    over-weights bursts. One lead window per user partition; exact
+    integer microseconds x cents make the weighted sum associative, one
+    final division rounded 6dp."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = spark.table("events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    ).withColumn("next_ts", F.lead("ts").over(w))
+    dur = (
+        F.unix_micros(F.col("next_ts")) - F.unix_micros(F.col("ts"))
+    ).cast("bigint")
+    seg = seq.filter(F.col("next_ts").isNotNull()).select(
+        "user_id", "cents", dur.alias("dur_us")
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.sum("dur_us").cast("bigint").alias("total_us"),
+            F.sum(F.col("cents") * F.col("dur_us"))
+            .cast("bigint")
+            .alias("weighted_sum"),
+        )
+        .filter(F.col("total_us") > 0)
+        .select(
+            "user_id",
+            "total_us",
+            "weighted_sum",
+            F.round(
+                F.col("weighted_sum") / (100.0 * F.col("total_us")), 6
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "events_top_trigrams",
+    sql="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS e2,
+             lead(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e3
+      FROM events)
+    SELECT event_type || '>' || e2 || '>' || e3 AS trigram,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY trigram ORDER BY n DESC, trigram LIMIT 20
+    """,
+    survey_ops="E,D2,path-mining(ext)",
+    tables=("events",),
+)
+def events_top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top behavioral paths: the 20 most frequent event-type TRIGRAMS
+    across user sequences — path mining one step past the first-order
+    transition matrix (events_transition_matrix is the bigram form).
+    Two lead windows over the same (user, ts) sort — ONE exchange
+    serves both — then a partial-aggregable count and top-k."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = spark.table("events").select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("trigram")
+        )
+        .groupBy("trigram")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "trigram")
+        .limit(20)
+    )

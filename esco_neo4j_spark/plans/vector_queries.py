@@ -948,3 +948,41 @@ def vec_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "score", F.col("rk").cast("int").alias("rk"))
         .orderBy("query_id", "rk")
     )
+
+
+@query(
+    "vec_filtered_topk",
+    sql=f"""
+    SELECT vec_id, label,
+           CAST(round({_COS.format(anchor=_ANCHOR_SQL)}, 6) AS DOUBLE) AS score
+    FROM embeddings
+    WHERE embedding IS NOT NULL AND label = 2
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+    survey_ops="K7,H1,B5,filtered-ann(ext)",
+    tables=("embeddings",),
+)
+def vec_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (the vector-DB feature ANN indexes struggle
+    with): top-k cosine AMONG rows matching a metadata predicate
+    (label = 2). Done as PRE-filter — the predicate pushes to the
+    parquet scan, cosine is computed only on survivors, and the top-k is
+    exact over the filtered set; post-filtering an unfiltered ANN top-k
+    would under-fill k whenever the filter is selective. At 100 TB the
+    label becomes a partition/z-order column so the filter prunes files
+    before the scan."""
+    emb = spark.table("embeddings").filter(
+        F.col("embedding").isNotNull() & (F.col("label") == 2)
+    )
+    anchor = _anchor_vec(spark)
+    return (
+        emb.select(
+            "vec_id",
+            "label",
+            F.round(
+                cosine_similarity(F.col("embedding"), anchor), 6
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )
