@@ -986,3 +986,135 @@ def vec_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+# --- MMR diversified re-ranking --------------------------------------------
+_MMR_K = 5          # greedy selection steps (unrolled in BOTH engines)
+_MMR_POOL = 20      # candidate pool size
+_MMR_LAMBDA = 0.7   # relevance weight
+
+
+def _mmr_sql() -> str:
+    """Unrolled greedy MMR: sel1 = argmax relevance; sel_{i+1} = argmax
+    over the remaining pool of lambda*rel - (1-lambda)*max_sim_to_
+    selected. Pool scores and pairwise sims are rounded 6dp first, so
+    each step's argmax (with vec_id tiebreak) is deterministic in both
+    engines."""
+    cos = _COS.format(anchor=_ANCHOR_SQL)
+    steps = ["""sel1 AS (
+      SELECT vec_id, score, 1 AS rk FROM cand
+      ORDER BY score DESC, vec_id LIMIT 1)"""]
+    for i in range(2, _MMR_K + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id, score, rk FROM sel{j}" for j in range(1, i)
+        )
+        steps.append(f"""picked{i} AS ({prev}),
+    sel{i} AS (
+      SELECT c.vec_id, c.score, {i} AS rk
+      FROM cand c
+      JOIN sims s ON s.id_a = c.vec_id
+      JOIN picked{i} p ON p.vec_id = s.id_b
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM picked{i})
+      GROUP BY c.vec_id, c.score
+      ORDER BY round({_MMR_LAMBDA} * c.score
+                     - {round(1 - _MMR_LAMBDA, 6)} * max(s.sim), 6) DESC,
+               c.vec_id
+      LIMIT 1)"""
+        )
+    all_sel = " UNION ALL ".join(
+        f"SELECT vec_id, score, rk FROM sel{j}" for j in range(1, _MMR_K + 1)
+    )
+    joined = ",\n    ".join(steps)
+    return f"""
+    WITH cand AS (
+      SELECT vec_id, round({cos}, 6) AS score, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+      ORDER BY score DESC, vec_id LIMIT {_MMR_POOL}),
+    sims AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(a.v, b.v), 6) AS sim
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+    {joined}
+    SELECT vec_id, CAST(score AS DOUBLE) AS score, CAST(rk AS INT) AS rk
+    FROM ({all_sel}) ORDER BY rk
+    """
+
+
+@query(
+    "vec_mmr_rerank",
+    sql=_mmr_sql(),
+    survey_ops="K7,H1,diversified-rerank(ext)",
+    tables=("embeddings",),
+)
+def vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein):
+    greedily pick 5 of the top-20 candidates maximizing
+    lambda*relevance - (1-lambda)*max-similarity-to-already-picked —
+    the standard diversification pass after retrieval (completes the
+    retrieval stack: BM25, hybrid RRF, batched, filtered, MMR).
+
+    The greedy recurrence is inherently sequential, but k is tiny and
+    the POOL is k-sized by construction (TakeOrderedAndProject cuts the
+    corpus to 20 before any pairwise work), so the unrolled plan does 5
+    bounded joins over a 20-row checkpointed pool — the corpus is
+    touched exactly once. Both engines unroll the identical steps."""
+    emb = spark.table("embeddings").filter(F.col("embedding").isNotNull())
+    anchor = _anchor_vec(spark)
+    cand = (
+        emb.select(
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("embedding"), anchor), 6
+            ).alias("score"),
+            "embedding",
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(_MMR_POOL)
+        .localCheckpoint(eager=True)  # 20 rows; reused by 5 greedy steps
+    )
+    a = cand.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = cand.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    sims = (
+        a.join(b, F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                cosine_similarity(F.col("va"), F.col("vb")), 6
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pool = cand.select("vec_id", "score")
+    sel = pool.orderBy(F.desc("score"), F.asc("vec_id")).limit(1).select(
+        "vec_id", "score", F.lit(1).alias("rk")
+    )
+    picked = sel
+    for i in range(2, _MMR_K + 1):
+        mmr = F.round(
+            F.lit(_MMR_LAMBDA) * F.col("score")
+            - F.lit(round(1 - _MMR_LAMBDA, 6)) * F.col("max_sim"),
+            6,
+        )
+        # fresh row-sets per step avoid self-join attribute ambiguity
+        # (picked derives from pool); 5-row collect is the greedy
+        # recurrence's inherent sequential state, not data movement
+        picked_ids = [r["vec_id"] for r in picked.select("vec_id").collect()]
+        nxt = (
+            pool.filter(~F.col("vec_id").isin(picked_ids))
+            .join(sims, pool["vec_id"] == sims["id_a"])
+            .filter(F.col("id_b").isin(picked_ids))
+            .groupBy("vec_id", "score")
+            .agg(F.max("sim").alias("max_sim"))
+            .orderBy(mmr.desc(), F.asc("vec_id"))
+            .limit(1)
+            .select("vec_id", "score", F.lit(i).alias("rk"))
+        )
+        picked = picked.unionByName(nxt)
+    return picked.select(
+        "vec_id", "score", F.col("rk").cast("int").alias("rk")
+    ).orderBy("rk")
