@@ -1686,7 +1686,11 @@ def k_truss(edges: DataFrame, k: int, max_rounds: int = 8) -> DataFrame:
     via the id-ordered triangle join (same enumeration the triangle-count
     oracle uses), drop edges under k-2, repeat to fixpoint (early-exit on
     no change; bounded by max_rounds so the unrolled SQL oracle replays
-    the identical computation). State is the surviving edge list only —
+    the identical computation). NB the id-ordered wedge join is chosen
+    for oracle parity; on power-law graphs a hot low-id vertex makes it
+    emit deg^2 wedges, so the 100x deployment swaps the enumeration for
+    the degree-ordered orientation triangle_count uses (O(m^1.5) bound)
+    — peeling logic unchanged. State is the surviving edge list only —
     peeling discards rows monotonically, and each round is two bounded
     shuffles (triangle join + support agg). Returns (a, b, support) with
     support counted in the FINAL subgraph.
