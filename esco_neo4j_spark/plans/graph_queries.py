@@ -1974,3 +1974,78 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = parent.union(pred).distinct()
     return k_truss(edges, k=3, max_rounds=4).orderBy("a", "b")
+
+
+# --- motif matching (the Cypher-pattern surface as an API) ------------------
+@query(
+    "graph_motif_feedforward",
+    sql=f"""
+    WITH edges AS ({_TRI_EDGES_SQL})
+    SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+    FROM edges e1
+    JOIN edges e2 ON e2.src = e1.dst
+    JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ORDER BY a, b, c
+    """,
+    survey_ops="C6,C4,motif(ext)",
+    tables=("events",),
+)
+def graph_motif_feedforward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-forward-loop motif (a->b, b->c, a->c — the most studied
+    directed triad) via the motif API: the Cypher pattern surface the
+    esco_* queries hand-compile, as ONE reusable operator
+    (operators/motif.py match_motif). Each pattern term is one equi-join
+    Catalyst is free to reorder/broadcast; the oracle is the direct
+    3-way join."""
+    from esco_neo4j_spark.operators.motif import match_motif
+
+    ev = spark.table("events")
+    parent = ev.filter(F.col("user_id") >= 1).select(
+        F.col("user_id").alias("src"),
+        (F.col("user_id") / 2).cast("bigint").alias("dst"),
+    )
+    pred = ev.filter(F.col("user_id") >= 2).select(
+        F.col("user_id").alias("src"),
+        (F.col("user_id") - 1).cast("bigint").alias("dst"),
+    )
+    edges = parent.union(pred).distinct()
+    return match_motif(edges, "a->b; b->c; a->c").orderBy("a", "b", "c")
+
+
+@query(
+    "graph_motif_open_triad",
+    sql=f"""
+    WITH edges AS ({_TRI_EDGES_SQL})
+    SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+    FROM edges e1
+    JOIN edges e2 ON e2.src = e1.dst
+    LEFT JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    WHERE e3.src IS NULL AND e1.src <> e2.dst
+    ORDER BY a, b, c LIMIT 100
+    """,
+    survey_ops="C8,motif(ext)",
+    tables=("events",),
+)
+def graph_motif_open_triad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open directed triads (a->b->c with NO closing a->c, a != c) via
+    the motif API's negation term — Cypher's WHERE NOT (a)-->(c)
+    compiled to a left_anti join. The candidate set link-prediction
+    ranks; first 100 in binding order."""
+    from esco_neo4j_spark.operators.motif import match_motif
+
+    ev = spark.table("events")
+    parent = ev.filter(F.col("user_id") >= 1).select(
+        F.col("user_id").alias("src"),
+        (F.col("user_id") / 2).cast("bigint").alias("dst"),
+    )
+    pred = ev.filter(F.col("user_id") >= 2).select(
+        F.col("user_id").alias("src"),
+        (F.col("user_id") - 1).cast("bigint").alias("dst"),
+    )
+    edges = parent.union(pred).distinct()
+    return (
+        match_motif(edges, "a->b; b->c; !a->c")
+        .filter(F.col("a") != F.col("c"))
+        .orderBy("a", "b", "c")
+        .limit(100)
+    )

@@ -502,3 +502,30 @@ def test_ktruss_planted_clique(spark):
     assert all(s == 2 for s in t4.values())
     t3 = {(r["a"], r["b"]) for r in k_truss(edges, k=3).collect()}
     assert t3 == set(k4) | set(tri)
+
+
+def test_motif_api_parsing_and_binding(spark):
+    """match_motif on a literal graph: positive terms, rel-type filters,
+    negation, and the error paths."""
+    import pytest as _pytest
+
+    from esco_neo4j_spark.operators.motif import match_motif
+
+    edges = spark.createDataFrame(
+        [(1, 2, "knows"), (2, 3, "knows"), (1, 3, "knows"), (3, 4, "likes")],
+        ["src", "dst", "rel_type"],
+    )
+    ffl = match_motif(edges, "a->b; b->c; a->c").collect()
+    assert [tuple(r) for r in ffl] == [(1, 2, 3)]
+    open_triads = {
+        tuple(r) for r in match_motif(edges, "a->b; b->c; !a->c").collect()
+    }
+    assert (2, 3, 4) in open_triads and (1, 2, 3) not in open_triads
+    typed = match_motif(edges, "a-[likes]->b").collect()
+    assert [tuple(r) for r in typed] == [(3, 4)]
+    with _pytest.raises(ValueError, match="bad motif term"):
+        match_motif(edges, "a=>b")
+    with _pytest.raises(ValueError, match="disconnected"):
+        match_motif(edges, "a->b; c->d")
+    with _pytest.raises(ValueError, match="unbound"):
+        match_motif(edges, "a->b; !a->z")
