@@ -2889,3 +2889,62 @@ def events_top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "trigram")
         .limit(20)
     )
+
+
+@query(
+    "events_seasonal_naive_error",
+    sql="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    j AS (
+      SELECT a.event_type, a.day, a.cents AS actual, f.cents AS forecast
+      FROM daily a JOIN daily f
+        ON f.event_type = a.event_type AND f.day = a.day - 7)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(abs(actual - forecast)) AS BIGINT) AS sum_abs_err_cents,
+           CAST(round(sum(abs(actual - forecast)) * 1.0 / sum(actual), 6)
+             AS DOUBLE) AS wape
+    FROM j GROUP BY event_type ORDER BY event_type
+    """,
+    survey_ops="D2,forecast-eval(ext)",
+    tables=("events",),
+)
+def events_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast baseline (ŷ_d = y_{d-7}) with its WAPE per
+    event type — the sanity floor every real forecasting pipeline is
+    judged against before any model ships. The lag-7 join is on the
+    DAILY rollup (dimension-sized), absolute errors sum in exact integer
+    cents, WAPE is one division."""
+    ev = spark.table("events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents")
+    )
+    f = daily.select(
+        F.col("event_type").alias("ft"),
+        F.date_add("day", 7).alias("fday"),
+        F.col("cents").alias("forecast"),
+    )
+    j = daily.join(
+        f,
+        (daily["event_type"] == f["ft"]) & (daily["day"] == f["fday"]),
+    )
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.sum(F.abs(F.col("cents") - F.col("forecast")))
+            .cast("bigint")
+            .alias("sum_abs_err_cents"),
+            F.round(
+                F.sum(F.abs(F.col("cents") - F.col("forecast"))) * 1.0
+                / F.sum("cents"),
+                6,
+            ).alias("wape"),
+        )
+        .orderBy("event_type")
+    )

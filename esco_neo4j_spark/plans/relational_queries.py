@@ -2015,3 +2015,36 @@ def ext_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("nation")
     )
+
+
+@query(
+    "ext_decimal_exact_sums",
+    sql="""
+    SELECT o_orderstatus AS status,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12, 2))) AS DECIMAL(18, 2))
+             AS total,
+           CAST(avg(CAST(o_totalprice AS DECIMAL(12, 2))) AS DECIMAL(18, 6))
+             AS avg_price
+    FROM orders GROUP BY o_orderstatus ORDER BY status
+    """,
+    survey_ops="types-decimal(ext),D2",
+    tables=("orders",),
+)
+def ext_decimal_exact_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL arithmetic (the type family the reference never uses
+    — SURVEY §1.2 — but any money-handling deployment does): prices cast
+    to DECIMAL(12,2), summed and averaged in decimal space with explicit
+    result scales, so both engines produce digit-identical values with
+    no float rounding anywhere. Complements the integer-cents discipline
+    by exercising Spark's native decimal aggregation (Sum widens
+    precision, Average carries scale+4) under the same hash gate."""
+    o = spark.table("orders")
+    dec = F.col("o_totalprice").cast("decimal(12,2)")
+    return (
+        o.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.sum(dec).cast("decimal(18,2)").alias("total"),
+            F.avg(dec).cast("decimal(18,6)").alias("avg_price"),
+        )
+        .orderBy("status")
+    )
