@@ -1118,3 +1118,64 @@ def vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picked.select(
         "vec_id", "score", F.col("rk").cast("int").alias("rk")
     ).orderBy("rk")
+
+
+def _knn_graph_sql() -> str:
+    """Symmetrize the LSH candidate pairs (no threshold) and rank top-3
+    neighbors per vector — reuses the banding replay of _lsh_join_sql."""
+    pairs = _lsh_join_sql(threshold=-1.0, n_planes=4, n_tables=8)
+    return f"""
+    WITH pairs AS ({pairs}),
+    sym AS (
+      SELECT id_a AS src, id_b AS nbr, score FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS nbr, score FROM pairs)
+    SELECT src, nbr, CAST(score AS DOUBLE) AS score, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY src ORDER BY score DESC, nbr) AS rk
+      FROM sym)
+    WHERE rk <= 3
+    ORDER BY src, rk
+    """
+
+
+@query(
+    "vec_knn_graph_lsh",
+    sql=None,  # assigned below (builds on _lsh_join_sql)
+    survey_ops="A7(scale),C9,knn-graph(ext)",
+    tables=("embeddings",),
+)
+def vec_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN GRAPH over the whole corpus — each vector's top-3
+    neighbors among its multi-table LSH candidates, in one banded
+    equi-join pass (no threshold; the bucket structure bounds the
+    candidate set). The kNN graph is the substrate for graph-based ANN
+    indexes, NN-descent refinement, and graph-clustering alternatives to
+    SemDeDup; per-vector ranking is a window partitioned by the vector
+    (corpus-parallel). Candidate recall inherits the pytest-pinned LSH
+    floors; the oracle replays banding, symmetrization, and ranking."""
+    from pyspark.sql import Window
+
+    pairs = lsh_self_join(
+        spark.table("embeddings"), threshold=-1.0, n_planes=4, n_tables=8
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("nbr"), "score"
+    ).union(
+        pairs.select(
+            F.col("id_b").alias("src"), F.col("id_a").alias("nbr"), "score"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("nbr"))
+    return (
+        sym.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("src", "nbr", "score", F.col("rk").cast("int").alias("rk"))
+        .orderBy("src", "rk")
+    )
+
+
+from esco_neo4j_spark.plans.registry import REGISTRY as _REGISTRY  # noqa: E402
+
+_REGISTRY["vec_knn_graph_lsh"].sql = _knn_graph_sql()
