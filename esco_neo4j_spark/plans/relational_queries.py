@@ -2048,3 +2048,67 @@ def ext_decimal_exact_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@query(
+    "ext_table_checksum",
+    sql="""
+    SELECT 'orders' AS tbl,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(('0x' || substr(md5(
+             o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' ||
+             o_orderstatus || '|' ||
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) || '|' ||
+             strftime(o_orderdate, '%Y-%m-%d')), 1, 7))::BIGINT)
+             AS BIGINT) AS checksum
+    FROM orders
+    UNION ALL
+    SELECT 'nation' AS tbl,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(('0x' || substr(md5(
+             n_nationkey::VARCHAR || '|' || n_name || '|' ||
+             n_regionkey::VARCHAR), 1, 7))::BIGINT) AS BIGINT) AS checksum
+    FROM nation
+    ORDER BY tbl
+    """,
+    survey_ops="A6,integrity(ext)",
+    tables=("orders", "nation"),
+)
+def ext_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum: SUM of a per-row md5-derived
+    28-bit digest over canonicalized column renderings (decimals pinned
+    to 2dp strings, dates ISO) — the replication/migration verification
+    primitive: two copies of a table agree iff (n_rows, checksum) agree,
+    computable with one partial-aggregable pass on each side and no
+    sort. Extends the engine's write-time constraint checks (A6) to
+    cross-system content equality. The 28-bit digest keeps the sum
+    inside bigint for ~10^12 rows."""
+    def digest(*cols):
+        s = F.concat_ws("|", *cols)
+        return F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("bigint")
+
+    o = spark.table("orders")
+    ochk = o.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(
+            digest(
+                F.col("o_orderkey").cast("string"),
+                F.col("o_custkey").cast("string"),
+                F.col("o_orderstatus"),
+                F.col("o_totalprice").cast("decimal(12,2)").cast("string"),
+                F.date_format("o_orderdate", "yyyy-MM-dd"),
+            )
+        ).cast("bigint").alias("checksum"),
+    ).select(F.lit("orders").alias("tbl"), "n_rows", "checksum")
+    n = spark.table("nation")
+    nchk = n.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(
+            digest(
+                F.col("n_nationkey").cast("string"),
+                F.col("n_name"),
+                F.col("n_regionkey").cast("string"),
+            )
+        ).cast("bigint").alias("checksum"),
+    ).select(F.lit("nation").alias("tbl"), "n_rows", "checksum")
+    return ochk.unionByName(nchk).orderBy("tbl")

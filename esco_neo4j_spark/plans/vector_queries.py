@@ -1179,3 +1179,76 @@ def vec_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 from esco_neo4j_spark.plans.registry import REGISTRY as _REGISTRY  # noqa: E402
 
 _REGISTRY["vec_knn_graph_lsh"].sql = _knn_graph_sql()
+
+
+@query(
+    "vec_label_centroid_sim",
+    sql="""
+    WITH cent AS (
+      SELECT label, pos, round(avg(val), 6) AS m
+      FROM (
+        SELECT label, p.pos AS pos,
+               CAST(embedding AS DOUBLE[])[p.pos] AS val
+        FROM embeddings,
+             LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos) p
+      ) GROUP BY label, pos),
+    p AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             sum(CAST(round(a.m * b.m * 1e12) AS BIGINT)) AS sab,
+             sum(CAST(round(a.m * a.m * 1e12) AS BIGINT)) AS saa,
+             sum(CAST(round(b.m * b.m * 1e12) AS BIGINT)) AS sbb
+      FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+      GROUP BY a.label, b.label)
+    SELECT label_a, label_b,
+           CAST(round(sab / sqrt(CAST(saa AS DOUBLE) * sbb), 6) AS DOUBLE)
+             AS cos_sim
+    FROM p ORDER BY label_a, label_b
+    """,
+    survey_ops="H1,D3,drift-monitoring(ext)",
+    tables=("embeddings",),
+)
+def vec_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label centroids — the embedding-drift
+    monitor: a falling inter-centroid similarity flags distribution
+    shift between cohorts (the vector-space face of text_source_
+    divergence/events_psi_drift). Centroid components round 6dp first,
+    per-position products quantize to integer 1e-12 units, so the sums
+    are associative and the one sqrt/division is IEEE-identical. State
+    is labels x dim — trivially broadcastable at any corpus size."""
+    e = spark.table("embeddings")
+    cent = (
+        e.select(
+            "label",
+            F.posexplode(
+                F.transform("embedding", lambda x: x.cast("double"))
+            ).alias("pos0", "val"),
+        )
+        .groupBy("label", F.col("pos0").alias("pos"))
+        .agg(F.round(F.avg("val"), 6).alias("m"))
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "pos", F.col("m").alias("ma")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "pos", F.col("m").alias("mb")
+    )
+    q12 = lambda c: F.round(c * 1e12).cast("bigint")  # noqa: E731
+    p = (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(q12(F.col("ma") * F.col("mb"))).alias("sab"),
+            F.sum(q12(F.col("ma") * F.col("ma"))).alias("saa"),
+            F.sum(q12(F.col("mb") * F.col("mb"))).alias("sbb"),
+        )
+    )
+    return p.select(
+        "label_a",
+        "label_b",
+        F.round(
+            F.col("sab")
+            / F.sqrt(F.col("saa").cast("double") * F.col("sbb")),
+            6,
+        ).alias("cos_sim"),
+    ).orderBy("label_a", "label_b")
