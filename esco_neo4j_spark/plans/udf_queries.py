@@ -371,3 +371,63 @@ def udf_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, c.chunk_id
         """
     )
+
+
+# --- pandas GROUPED_AGG UDAF (the third face of I9, next to the UDTF and
+# the grouped-map applyInPandas) ---------------------------------------------
+@query(
+    "udf_weighted_mean_udaf",
+    sql="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             (CAST(user_id AS BIGINT) % 5) + 1 AS w
+      FROM events)
+    SELECT event_type,
+           CAST(round(sum(cents * w) / (100.0 * sum(w)), 6) AS DOUBLE)
+             AS wmean,
+           CAST(sum(w) AS BIGINT) AS total_w
+    FROM c GROUP BY event_type ORDER BY event_type
+    """,
+    survey_ops="I9,D3",
+    tables=("events",),
+)
+def udf_weighted_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mean as a pandas GROUPED_AGG UDAF — the user-defined
+    AGGREGATE face of the UDF surface (I9; udf_chunk_udtf is the table
+    function, udf_zscore_per_user the grouped map). Arrow ships each
+    group's columns as pandas Series; the UDAF sums INTEGER cents x
+    weights in numpy int64, so the result is independent of row order
+    within the group (a float accumulation here would be
+    partitioning-dependent and fail the hash gate). The weight is a
+    deterministic user bucket."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: the module's `from __future__ import
+    # annotations` stringifies type hints, which defeats signature-based
+    # eval-type inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wmean(cents, w):
+        num = int((cents.astype("int64") * w.astype("int64")).sum())
+        den = int(w.astype("int64").sum())
+        return round(num / (100.0 * den), 6)
+
+    # Spark disallows mixing a GROUPED_AGG pandas UDF with JVM aggregates
+    # in one agg() — total_w rides a second pandas UDAF
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def wsum(w):
+        return int(w.astype("int64").sum())
+
+    ev = spark.table("events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        ((F.col("user_id").cast("bigint") % 5) + 1).alias("w"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            wmean(F.col("cents"), F.col("w")).alias("wmean"),
+            wsum(F.col("w")).alias("total_w"),
+        )
+        .orderBy("event_type")
+    )
