@@ -2948,3 +2948,65 @@ def events_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_weighted_median",
+    sql="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             (CAST(user_id AS BIGINT) % 5) + 1 AS w
+      FROM events),
+    cum AS (
+      SELECT event_type, cents, w,
+             sum(w) OVER (PARTITION BY event_type
+                          ORDER BY cents, w
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(w) OVER (PARTITION BY event_type) AS tw
+      FROM c)
+    SELECT event_type,
+           CAST(min(cents) AS BIGINT) AS weighted_median_cents,
+           CAST(min(tw) AS BIGINT) AS total_w
+    FROM cum WHERE cw * 2 >= tw
+    GROUP BY event_type ORDER BY event_type
+    """,
+    survey_ops="E,D8,robust-stats(ext)",
+    tables=("events",),
+)
+def events_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median per group (the unweighted exact path is
+    ext_group_percentiles): smallest value whose cumulative weight
+    reaches half the group's total. One per-group sort window with an
+    integer cumulative sum — ties in (cents, w) are broken inside the
+    frame but the >= half test only depends on the cumulative total at
+    equal cents, so the argmin is deterministic. Weights are the same
+    deterministic user bucket as the UDAF query."""
+    from pyspark.sql import Window
+
+    c = spark.table("events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        ((F.col("user_id").cast("bigint") % 5) + 1).alias("w"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents", "w")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("event_type")
+    cum = c.select(
+        "event_type",
+        "cents",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wtot).alias("tw"),
+    )
+    return (
+        cum.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("event_type")
+        .agg(
+            F.min("cents").cast("bigint").alias("weighted_median_cents"),
+            F.min("tw").cast("bigint").alias("total_w"),
+        )
+        .orderBy("event_type")
+    )
