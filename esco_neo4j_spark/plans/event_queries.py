@@ -3010,3 +3010,69 @@ def events_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_scd2_point_in_time_join",
+    sql="""
+    WITH ev AS (SELECT * REPLACE (make_timestamp(epoch_ns(ts)//1000) AS ts)
+                FROM events),
+    chg AS (
+      SELECT user_id, event_type AS state, ts, event_id FROM ev
+      WHERE event_type IN ('signup', 'purchase', 'error') AND user_id < 20),
+    dim AS (
+      SELECT user_id, state, ts AS valid_from,
+             coalesce(lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id),
+                      TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+      FROM chg),
+    fact AS (
+      SELECT user_id, ts FROM ev
+      WHERE event_type IN ('click', 'view') AND user_id < 20)
+    SELECT d.user_id, d.state, CAST(count(*) AS BIGINT) AS n_events
+    FROM fact f JOIN dim d ON d.user_id = f.user_id
+      AND f.ts >= d.valid_from AND f.ts < d.valid_to
+    GROUP BY d.user_id, d.state ORDER BY d.user_id, state
+    """,
+    survey_ops="scd2(ext),C6,range-join(ext)",
+    tables=("events",),
+)
+def events_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join — the composition the SCD2 build exists for:
+    lifecycle events (signup/purchase/error) become validity intervals
+    (events_scd2_intervals' lead construction), and every click/view
+    fact joins to the state VALID AT ITS TIMESTAMP via the half-open
+    interval predicate, rolled up per (user, state). The equi-join on
+    user_id carries the shuffle; the interval test is per-user-local
+    (each user's dimension slice is small), which is why this stays a
+    plain range predicate here — the all-pairs-banded path
+    (ext_range_join) is the shape when the dimension side is itself
+    huge."""
+    ev = spark.table("events")
+    chg = ev.filter(
+        F.col("event_type").isin("signup", "purchase", "error")
+        & (F.col("user_id") < 20)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = chg.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.coalesce(
+            F.lead("ts").over(w),
+            F.lit("9999-12-31 00:00:00").cast("timestamp"),
+        ).alias("valid_to"),
+    )
+    fact = ev.filter(
+        F.col("event_type").isin("click", "view") & (F.col("user_id") < 20)
+    ).select("user_id", "ts")
+    return (
+        fact.join(dim, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("valid_from"))
+            & (F.col("ts") < F.col("valid_to"))
+        )
+        .groupBy("user_id", "state")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .orderBy("user_id", "state")
+    )
