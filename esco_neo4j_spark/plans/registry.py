@@ -70,6 +70,7 @@ def query(
             return fn(spark, sf_dir)
 
         target.__name__ = name
+        target.__doc__ = fn.__doc__  # keep the operator doc introspectable
         REGISTRY[name] = Query(
             name=name, fn=target, sql=sql, survey_ops=survey_ops,
             bench=bench, tables=tables, esco=esco,
