@@ -130,6 +130,15 @@ DECODE_SCHEMA = (
 )
 
 
+def _round6(x: float) -> float:
+    """floor(x*1e6 + 0.5)/1e6 — the same half-up 6dp rounding the DuckDB
+    oracles use; Python's round() is half-even and can disagree on exact
+    .5e-6 boundaries."""
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
 def decode_media(media: DataFrame) -> DataFrame:
     """Parse the binary header back into typed metadata via mapInPandas.
 
@@ -177,12 +186,16 @@ def extract_features(media: DataFrame) -> DataFrame:
                 body = np.frombuffer(bytes(payload), dtype=np.uint8)[HEADER_LEN:]
                 if body.size == 0:
                     continue  # empty media: no features (oracle filters too)
+                # exact integer sums, ONE correctly-rounded division, then
+                # explicit half-up 6dp rounding — numpy's float .mean()
+                # sums pairwise while the SQL oracle sums sequentially,
+                # which flipped a 6dp boundary at sf0.1
                 rows.append(
                     (
                         doc_id,
                         int(body.size),
-                        round(float(body.mean()), 6),
-                        round(float((body == 32).sum() / body.size), 6),
+                        _round6(int(body.sum()) / body.size),
+                        _round6(int((body == 32).sum()) / body.size),
                     )
                 )
             yield pd.DataFrame(
@@ -278,7 +291,8 @@ def decode_pixels(media: DataFrame, decoder_fn=None) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 w, h, px = fn(bytes(payload))
                 rows.append(
-                    (doc_id, int(w), int(h), round(float(px.mean()), 6))
+                    (doc_id, int(w), int(h),
+                     _round6(int(px.sum()) / max(px.size, 1)))
                 )
             yield pd.DataFrame(
                 rows, columns=["doc_id", "width", "height", "mean_px"]

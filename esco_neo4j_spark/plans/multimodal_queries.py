@@ -81,7 +81,8 @@ def mm_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM body
     )
     SELECT doc_id, CAST(body_bytes AS BIGINT) AS body_bytes,
-           CAST(floor(list_avg(cs) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS mean_byte,
+           CAST(floor(list_sum(cs) * 1.0 / body_bytes * 1e6 + 0.5) / 1e6
+             AS DOUBLE) AS mean_byte,
            CAST(floor(len(list_filter(cs, c -> c = 32)) * 1.0 / body_bytes
                       * 1e6 + 0.5) / 1e6 AS DOUBLE) AS ws_frac
     FROM codes

@@ -105,7 +105,10 @@ def test_decode_pixels_with_injected_codec(spark, media_df):
         w, h, body = fake(payload)
         assert got[doc_id]["width"] == w
         assert got[doc_id]["height"] == h
-        assert got[doc_id]["mean_px"] == round(sum(body) / len(body), 6)
+        import math
+
+        expect = math.floor(int(body.sum()) / len(body) * 1e6 + 0.5) / 1e6
+        assert got[doc_id]["mean_px"] == expect
 
 
 def test_decode_pixels_default_stub_raises(spark, media_df):
