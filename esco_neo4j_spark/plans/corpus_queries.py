@@ -230,27 +230,38 @@ def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     only wide exchange is the per-doc count, keyed on doc_id. Documents
     with zero collisions are clean and intentionally absent."""
     d = spark.table("documents")
-    toks = word_tokens(F.col("text"))
-    sh = d.select(
+    # Two pitfalls shaped this plan (measured at sf0.1, 101s -> 4s):
+    # 1. STAGE the token array before the n-gram transform — passing the
+    #    raw word_tokens(text) expression re-runs the regexp split per
+    #    array element inside the lambda (no CSE in higher-order
+    #    functions; the trap operators/dedup.shingled documents).
+    # 2. Per-doc set semantics via explode + DISTINCT, not
+    #    array_distinct: under a Generate the ~1000-element string-array
+    #    distinct runs interpreted O(n^2) per document (58s alone); the
+    #    post-explode distinct is one distributed keyed exchange.
+    t = d.select("doc_id", "source", word_tokens(F.col("text")).alias("toks"))
+    grams = t.select(
         "doc_id",
         "source",
-        F.array_distinct(_word_ngrams(toks, _CONTAM_N)).alias("sh"),
-    )
+        F.explode(_word_ngrams(F.col("toks"), _CONTAM_N)).alias("g"),
+    ).distinct()
     eval_sh = (
-        sh.filter(F.col("source") == _EVAL_SOURCE)
-        .select(F.explode("sh").alias("g"))
-        .distinct()
+        grams.filter(F.col("source") == _EVAL_SOURCE).select("g").distinct()
     )
-    train = sh.filter(F.col("source") != _EVAL_SOURCE).select(
-        "doc_id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("g")
+    train = grams.filter(F.col("source") != _EVAL_SOURCE)
+    ns = train.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_shingles")
+    )
+    hits = (
+        train.join(F.broadcast(eval_sh), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("n_contaminated"))
     )
     return (
-        train.join(F.broadcast(eval_sh), "g")
-        .groupBy("doc_id", "n_shingles")
-        .agg(F.count("*").cast("int").alias("n_contaminated"))
+        hits.join(ns, "doc_id")
         .select(
             "doc_id",
-            F.col("n_shingles").cast("int").alias("n_shingles"),
+            "n_shingles",
             "n_contaminated",
             F.round(
                 F.col("n_contaminated").cast("double")
