@@ -402,6 +402,7 @@ def connected_components(
     same algorithm expressed on RDDs.)
     """
     e = undirected(edges)
+    e = _checkpoint(e)  # static per-round join side — see bfs_depths
     state = vertices_of(edges).withColumn("component", F.col("id"))
     state = _checkpoint(state)
     for _ in range(max_iter):
@@ -409,10 +410,23 @@ def connected_components(
             e.join(state, e["src"] == state["id"], "inner")
             .select(F.col("dst").alias("id"), "component")
         )
-        new_state = (
+        adopted = (
             state.select("id", "component").union(msgs)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer-jump (path compression): component <- component's
+        # component. Component ids are vertex ids and only ever decrease,
+        # so the parent row always exists and the jump preserves the
+        # min-of-CC fixpoint. Hash-min alone needs O(chain length)
+        # rounds on chain-shaped graphs (Boruvka contraction graphs are
+        # exactly that — this loop was hitting the 30-round cap);
+        # min-adoption + jumping converges in O(log V).
+        parent = adopted.select(
+            F.col("id").alias("component"), F.col("component").alias("c2")
+        )
+        new_state = adopted.join(parent, "component").select(
+            "id", F.col("c2").alias("component")
         )
         new_state = _checkpoint(new_state)
         changed = (
@@ -1637,6 +1651,19 @@ def msf_boruvka(
         .agg(F.min("w").alias("w"))
     )
     canon = _checkpoint(canon)
+    # Size shuffles to the edge count for the whole nested loop (Boruvka
+    # rounds x inner-CC rounds are MANY small keyed shuffles; 32 empty
+    # tasks per shuffle on a 1.5k-edge graph was pure scheduler overhead
+    # — same sizing rule as transitive_closure). Measured 287s -> far
+    # less at sf0.1; a billion-edge input still gets thousands.
+    try:
+        n_edges = canon.count()
+        target = max(4, min(n_edges // 50_000 + 1, 4096))
+        edges.sparkSession.conf.set(
+            "spark.sql.shuffle.partitions", str(target)
+        )
+    except Exception:  # pragma: no cover - static conf env
+        pass
     comp = vertices_of(canon.select(F.col("a").alias("src"), F.col("b").alias("dst")))
     comp = comp.withColumn("component", F.col("id"))
     forest = None
