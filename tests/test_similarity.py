@@ -141,3 +141,26 @@ def test_kmeans_deterministic(spark):
     r1 = sorted(tuple(r) for r in kmeans_lloyd(emb, k=4, max_iter=2).collect())
     r2 = sorted(tuple(r) for r in kmeans_lloyd(emb, k=4, max_iter=2).collect())
     assert r1 == r2 and len(r1) > 0
+
+
+def test_blocked_cosine_pairs_matches_fold_path(spark):
+    """The BLAS block path returns exactly the pairs of the fold-based
+    exact join, with scores agreeing to float noise (GEMM sums in a
+    different order — that is why it is golden-tested, not oracled)."""
+    from esco_neo4j_spark.operators.similarity import (
+        blocked_cosine_pairs,
+        cosine_self_join,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ref = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in cosine_self_join(emb, threshold=0.45).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in blocked_cosine_pairs(emb, threshold=0.45, block=128).collect()
+    }
+    assert set(got) == set(ref)
+    for k in ref:
+        assert abs(got[k] - ref[k]) <= 1e-6
