@@ -232,3 +232,31 @@ def test_substring_span_merge_at_1m_docs(spark):
     assert got["n_spans"] == n // 100      # one span per planted doc
     assert got["n_docs"] == n // 100
     assert got["max_start"] == 0           # the shared window opens each doc
+
+
+def test_blocked_gemm_exact_join_at_50k_vectors(spark):
+    """Exact all-pairs cosine at 50k x 16d (1.25 BILLION pairs scored)
+    through the blocked GEMM path in bounded per-task memory. Planted:
+    vector i and i+25000 are identical for i < 100, everything else is
+    hash-noise — the join at a high threshold must recover exactly the
+    planted pairs (any quadratic-materialization accident would OOM or
+    blow the budget long before)."""
+    from esco_neo4j_spark.operators.similarity import blocked_cosine_pairs
+
+    n, half, planted = 50_000, 25_000, 100
+    base = spark.range(0, n, 1, 32).selectExpr(
+        "id as vec_id",
+        # 16-dim deterministic noise; planted twins share (id % 25000)
+        # only for id%25000 < 100, else the full id decides the vector
+        f"""transform(sequence(0, 15), j ->
+             cast(hash(if(id % {half} < {planted}, id % {half}, id), j)
+                  % 1000 as float) / 1000.0) as embedding""",
+    )
+    pairs = blocked_cosine_pairs(
+        base, threshold=0.999999, block=4096, id_col="vec_id"
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    want = {(i, i + half) for i in range(planted)}
+    assert want <= got
+    # near-exact extras can only come from hash-noise collisions; bound them
+    assert len(got) <= len(want) + 5
