@@ -3076,3 +3076,84 @@ def events_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count("*").cast("bigint").alias("n_events"))
         .orderBy("user_id", "state")
     )
+
+
+@query(
+    "events_funnel_timebound",
+    sql="""
+    WITH ev AS (SELECT * REPLACE (make_timestamp(epoch_ns(ts)//1000) AS ts)
+                FROM events),
+    s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM ev
+      WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM ev e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM ev e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND e.ts <= s2.t2 + INTERVAL 24 HOUR
+      GROUP BY e.user_id)
+    SELECT
+      CAST((SELECT count(*) FROM s1) AS BIGINT) AS step1_view,
+      CAST((SELECT count(*) FROM s2) AS BIGINT) AS step2_click_24h,
+      CAST((SELECT count(*) FROM s3) AS BIGINT) AS step3_purchase_24h,
+      CAST(round((SELECT count(*) FROM s3) * 1.0
+                 / greatest((SELECT count(*) FROM s1), 1), 6) AS DOUBLE)
+        AS conversion
+    """,
+    survey_ops="E,D5,funnel(ext)",
+    tables=("events",),
+)
+def events_funnel_timebound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-BOUND funnel: view -> click within 24h -> purchase within 24h
+    of the click (events_funnel is the unconstrained ordering form; real
+    conversion windows expire). Same min-timestamp chaining — each step
+    is one groupBy over the events filtered by the previous step's
+    anchor, joined on user — no per-user event lists, no window
+    functions; the time bound rides the join predicate."""
+    ev = spark.table("events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    c1 = s1.agg(F.count("*").cast("bigint").alias("step1_view"))
+    c2 = s2.agg(F.count("*").cast("bigint").alias("step2_click_24h"))
+    c3 = s3.agg(F.count("*").cast("bigint").alias("step3_purchase_24h"))
+    return (
+        c1.crossJoin(c2)
+        .crossJoin(c3)
+        .withColumn(
+            "conversion",
+            F.round(
+                F.col("step3_purchase_24h") * 1.0
+                / F.greatest(F.col("step1_view"), F.lit(1)),
+                6,
+            ),
+        )
+    )

@@ -83,3 +83,29 @@ def test_compact_parquet(spark, tmp_path):
     assert spark.read.parquet(path).count() == 10_000
     assert not os.path.exists(path + "__compacting")
     assert not os.path.exists(path + "__old")
+
+
+def test_write_with_observed_metrics(spark, tmp_path):
+    """df.observe rides the write's single pass: metrics equal a separate
+    aggregation, and the written table matches the input."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from esco_neo4j_spark.sources.observed import write_parquet_with_metrics
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet")).withColumn(
+        "lang", F.when(F.col("doc_id") % 7 == 0, None).otherwise(F.col("lang"))
+    )
+    out = str(tmp_path / "docs_observed")
+    m = write_parquet_with_metrics(docs, out, ["lang", "n_chars"])
+    back = spark.read.parquet(out)
+    assert m["n_rows"] == back.count() == docs.count()
+    ref = docs.agg(
+        F.sum(F.when(F.col("lang").isNull(), 1).otherwise(0)).alias("ln"),
+        F.min("n_chars").alias("mn"),
+        F.max("n_chars").alias("mx"),
+    ).collect()[0]
+    assert m["lang_nulls"] == ref["ln"] > 0
+    assert (m["n_chars_min"], m["n_chars_max"]) == (ref["mn"], ref["mx"])
