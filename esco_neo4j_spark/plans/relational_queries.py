@@ -2112,3 +2112,32 @@ def ext_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("checksum"),
     ).select(F.lit("nation").alias("tbl"), "n_rows", "checksum")
     return ochk.unionByName(nchk).orderBy("tbl")
+
+
+_LATERAL_TOP1_SQL = """
+SELECT n.n_name AS nation, t.c_name AS top_customer,
+       CAST(round(t.c_acctbal * 100) AS BIGINT) AS bal_cents
+FROM nation n,
+LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 1
+) t
+ORDER BY nation
+"""
+
+
+@query(
+    "ext_lateral_top1_per_nation",
+    sql=_LATERAL_TOP1_SQL,
+    survey_ops="C7,E,ansi-sql(ext)",
+    tables=("nation", "customer"),
+)
+def ext_lateral_top1_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery front door — the BYTE-IDENTICAL SQL
+    runs on both engines (third front-door after the plain and recursive
+    ones): each nation's top customer by balance via a per-row dependent
+    subquery. Catalyst decorrelates this into the rank-window/top-k-join
+    plan rather than executing per row — the declarative form and the
+    efficient plan are the same statement."""
+    return spark.sql(_LATERAL_TOP1_SQL)
