@@ -3157,3 +3157,60 @@ def events_funnel_timebound(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "events_user_value_gini",
+    sql="""
+    WITH u AS (
+      SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY user_id),
+    r AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, user_id) AS rk
+      FROM u),
+    s AS (
+      SELECT count(*) AS n, sum(cents) AS tot,
+             sum(rk * cents) AS rank_weighted
+      FROM r)
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(tot AS BIGINT) AS total_cents,
+           CAST(round(2.0 * rank_weighted / (n * tot)
+                      - (n + 1.0) / n, 6) AS DOUBLE) AS gini
+    FROM s
+    """,
+    survey_ops="E,D8,inequality(ext)",
+    tables=("events",),
+)
+def events_user_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user value — the single-number inequality
+    metric beside the Pareto whale curve: G = 2*sum(i*x_(i))/(n*sum x)
+    - (n+1)/n over rank-ordered totals. Integer cents keep the
+    rank-weighted sum exact; the rank window runs over the USER rollup
+    (dimension-sized, one partition is a documented report-only
+    concession — the raw events never see a global window)."""
+    from pyspark.sql import Window
+
+    u = spark.table("events").groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents")
+    )
+    r = u.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy("cents", "user_id"))
+        .alias("rk"),
+    )
+    s = r.agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("tot"),
+        F.sum(F.col("rk") * F.col("cents")).alias("rw"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("tot").cast("bigint").alias("total_cents"),
+        F.round(
+            2.0 * F.col("rw") / (F.col("n") * F.col("tot"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )

@@ -2049,3 +2049,51 @@ def graph_motif_open_triad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("a", "b", "c")
         .limit(100)
     )
+
+
+@query(
+    "graph_reciprocity",
+    sql=f"""
+    WITH edges AS ({_TRI_EDGES_SQL}),
+    d AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+    mutual AS (
+      SELECT count(*) AS m FROM d a JOIN d b
+        ON a.src = b.dst AND a.dst = b.src)
+    SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_directed,
+           CAST((SELECT m FROM mutual) AS BIGINT) AS n_reciprocal,
+           CAST(round((SELECT m FROM mutual) * 1.0
+                      / (SELECT count(*) FROM d), 6) AS DOUBLE)
+             AS reciprocity
+    """,
+    survey_ops="C4,D1,network-metrics(ext)",
+    tables=("events",),
+)
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge reciprocity (fraction of directed edges whose reverse also
+    exists) — the standard directed-network cohesion metric beside
+    assortativity and clustering. One self-equi-join on the reversed key
+    pair; both counts partial-aggregable."""
+    ev = spark.table("events")
+    parent = ev.filter(F.col("user_id") >= 1).select(
+        F.col("user_id").alias("src"),
+        (F.col("user_id") / 2).cast("bigint").alias("dst"),
+    )
+    pred = ev.filter(F.col("user_id") >= 2).select(
+        F.col("user_id").alias("src"),
+        (F.col("user_id") - 1).cast("bigint").alias("dst"),
+    )
+    d = (
+        parent.union(pred)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = d.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    n = d.agg(F.count("*").cast("bigint").alias("n_directed"))
+    m = (
+        d.join(rev, ["src", "dst"])
+        .agg(F.count("*").cast("bigint").alias("n_reciprocal"))
+    )
+    return n.crossJoin(m).withColumn(
+        "reciprocity",
+        F.round(F.col("n_reciprocal") * 1.0 / F.col("n_directed"), 6),
+    )
