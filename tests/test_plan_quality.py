@@ -534,3 +534,19 @@ def test_bm25_single_scan_per_agg_branch(spark):
     plan = _plan(spark, "text_bm25_search")
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_contamination_broadcasts_benchmark_set(spark):
+    # the eval-shingle set broadcasts; the corpus side never shuffles on
+    # the shingle string
+    plan = _plan(spark, "text_contamination_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lateral_top1_decorrelates_to_window(spark):
+    # Catalyst must rewrite the correlated LATERAL into a window/rank
+    # plan, not a per-row nested loop
+    plan = _plan(spark, "ext_lateral_top1_per_nation")
+    assert "WindowGroupLimit" in plan or "Window" in plan
+    assert "CartesianProduct" not in plan
