@@ -852,3 +852,87 @@ def esco_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), "id")
         .limit(20)
     )
+
+
+@query(
+    "esco_related_occupations",
+    sql=f"""
+    WITH ess AS (
+      SELECT src_uri AS s_uri, dst_uri AS o_uri FROM {_EDGES}
+      WHERE rel_type = 'ESSENTIAL_FOR'
+    ),
+    anchor AS (
+      SELECT o_uri FROM (
+        SELECT ess.o_uri, count(*) AS n, min(o.preferredLabel) AS lbl
+        FROM ess JOIN {_OCC} o ON ess.o_uri = o.conceptUri
+        GROUP BY ess.o_uri
+      ) ORDER BY n DESC, lbl, o_uri LIMIT 1
+    ),
+    rel AS (
+      SELECT e2.o_uri AS other, s.preferredLabel AS s_label, e1.s_uri
+      FROM ess e1
+      JOIN anchor a ON e1.o_uri = a.o_uri
+      JOIN ess e2 ON e1.s_uri = e2.s_uri AND e2.o_uri <> a.o_uri
+      JOIN {_SK} s ON e1.s_uri = s.conceptUri
+    )
+    SELECT o.preferredLabel AS occupation,
+           CAST(count(DISTINCT rel.s_uri) AS BIGINT) AS n_shared,
+           array_to_string(list_sort(list(DISTINCT rel.s_label))[1:5], '|')
+             AS connecting_skills
+    FROM rel JOIN {_OCC} o ON rel.other = o.conceptUri
+    GROUP BY rel.other, o.preferredLabel
+    ORDER BY n_shared DESC, occupation, rel.other
+    LIMIT 15
+    """,
+    survey_ops="C1,C4,C6,D5,D6,F2",
+    esco=True,
+)
+def esco_related_occupations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQ:152-170 "Occupations Related Through Skills" (the direct 1-hop
+    form): occupations sharing essential skills with the anchor
+    occupation, with the connecting skills collected (sorted, top-5 like
+    the CLI's truncation). The anchor is the max-essential-skill
+    occupation chosen DECLARATIVELY (1-row subquery — no driver lookup),
+    so the whole query is one plan: skill-keyed self-join of the
+    essential edge set, then group per related occupation."""
+    e = _edges(spark)
+    ess = e.filter(F.col("rel_type") == "ESSENTIAL_FOR").select(
+        F.col("src_uri").alias("s_uri"), F.col("dst_uri").alias("o_uri")
+    )
+    occ = spark.table("esco_occupation").select(
+        F.col("conceptUri").alias("uri"),
+        F.col("preferredLabel").alias("occupation"),
+    )
+    anchor = (
+        ess.join(occ, ess.o_uri == occ.uri)
+        .groupBy("o_uri")
+        .agg(F.count("*").alias("n"), F.min("occupation").alias("lbl"))
+        .orderBy(F.desc("n"), "lbl", "o_uri")
+        .limit(1)
+        .select(F.col("o_uri").alias("a_uri"))
+    )
+    sk = spark.table("esco_skill").select(
+        F.col("conceptUri").alias("sk_uri"),
+        F.col("preferredLabel").alias("s_label"),
+    )
+    e1 = ess.join(F.broadcast(anchor), ess.o_uri == F.col("a_uri")).select(
+        "s_uri"
+    )
+    rel = (
+        e1.join(ess.withColumnRenamed("o_uri", "other"), "s_uri")
+        .join(F.broadcast(anchor), F.col("other") == F.col("a_uri"), "left_anti")
+        .join(sk, F.col("s_uri") == F.col("sk_uri"))
+    )
+    return (
+        rel.join(occ, rel.other == occ.uri)
+        .groupBy("other", "occupation")
+        .agg(
+            F.count_distinct("s_uri").cast("bigint").alias("n_shared"),
+            F.concat_ws(
+                "|", F.slice(F.array_sort(F.collect_set("s_label")), 1, 5)
+            ).alias("connecting_skills"),
+        )
+        .orderBy(F.desc("n_shared"), "occupation", "other")
+        .limit(15)
+        .select("occupation", "n_shared", "connecting_skills")
+    )
