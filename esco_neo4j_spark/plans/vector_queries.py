@@ -1252,3 +1252,73 @@ def vec_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cos_sim"),
     ).orderBy("label_a", "label_b")
+
+
+# --- PCA: dominant component by power iteration ------------------------------
+def _power_iter_sql(n_iter: int = 3, dim: int = 64) -> str:
+    """Chained-CTE replay of the quantized power iteration: per-row dot in
+    integer pico-units (order-free), per-dim sums in nano-units,
+    normalization from exact integer aggregates."""
+    import math
+
+    v0 = 1.0 / math.sqrt(dim)
+    parts = [
+        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x "
+        "FROM embeddings WHERE embedding IS NOT NULL)",
+        f"p AS (SELECT unnest(range(1, {dim + 1})) AS pos)",
+        f"v0 AS (SELECT pos, {v0!r} AS val FROM p)",
+    ]
+    for k in range(1, n_iter + 1):
+        prev = f"v{k - 1}"
+        parts += [
+            f"""vl{k} AS (SELECT list(val ORDER BY pos) AS vl FROM {prev})""",
+            f"""dp{k} AS (
+      SELECT vec_id, list_sum(list_transform(range(1, {dim + 1}),
+               i -> CAST(round(x[i] * vl[i] * 1e12) AS BIGINT))) AS dp
+      FROM emb CROSS JOIN vl{k})""",
+            f"""c{k} AS (
+      SELECT p.pos,
+             sum(CAST(round((dp.dp / 1e12) * e.x[p.pos] * 1e9) AS BIGINT)) AS s
+      FROM dp{k} dp JOIN emb e USING (vec_id) CROSS JOIN p
+      GROUP BY p.pos)""",
+            f"""w{k} AS (SELECT pos, s / 1e9 AS w FROM c{k})""",
+            f"""n{k} AS (
+      SELECT sqrt(sum(CAST(round(w * w * 1e12) AS BIGINT)) / 1e12) AS nrm
+      FROM w{k})""",
+            f"""v{k} AS (SELECT pos, w / nrm AS val FROM w{k} CROSS JOIN n{k})""",
+        ]
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined}
+    SELECT CAST(pos AS INT) AS dim,
+           CAST(round(val, 6) AS DOUBLE) AS component
+    FROM v{n_iter} ORDER BY dim
+    """
+
+
+@query(
+    "vec_power_iteration_pc1",
+    sql=_power_iter_sql(),
+    survey_ops="spectral(ext),I9(ext),H1",
+    tables=("embeddings",),
+)
+def vec_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction (uncentered PC1) of the embedding
+    matrix by 3-step matrix-free power iteration — distributed spectral
+    analysis with D-sized driver state (operators/similarity.py
+    power_iteration_top_component). Every arithmetic step is quantized
+    to integers before summation, so the oracle replays the identical
+    iterations as chained CTEs — an ITERATIVE LINEAR-ALGEBRA loop inside
+    the hard value gate. On gapless random data the 3-step iterate is
+    exact-but-slow-to-converge (documented); the planted-spike golden in
+    tests/test_similarity.py shows cos > 0.999 convergence when a
+    spectral gap exists."""
+    from esco_neo4j_spark.operators.similarity import (
+        power_iteration_top_component,
+    )
+
+    v = power_iteration_top_component(spark.table("embeddings"), n_iter=3)
+    return spark.createDataFrame(
+        [(i + 1, round(x, 6)) for i, x in enumerate(v)],
+        "dim int, component double",
+    ).orderBy("dim")

@@ -164,3 +164,30 @@ def test_blocked_cosine_pairs_matches_fold_path(spark):
     assert set(got) == set(ref)
     for k in ref:
         assert abs(got[k] - ref[k]) <= 1e-6
+
+
+def test_power_iteration_recovers_planted_direction(spark):
+    """With a spectral gap (planted +-3*spike + 0.3-noise), the 3-step
+    power iterate aligns with the planted direction at cos > 0.99."""
+    import math
+    import random
+
+    from esco_neo4j_spark.operators.similarity import (
+        power_iteration_top_component,
+    )
+
+    rng = random.Random(7)
+    dim, n = 16, 400
+    spike = [rng.gauss(0, 1) for _ in range(dim)]
+    nrm = math.sqrt(sum(x * x for x in spike))
+    spike = [x / nrm for x in spike]
+    rows = []
+    for i in range(n):
+        sign = 3.0 if i % 2 else -3.0
+        rows.append(
+            (i, [sign * s + rng.gauss(0, 0.3) for s in spike])
+        )
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    v = power_iteration_top_component(emb, n_iter=3)
+    cos = abs(sum(a * b for a, b in zip(v, spike)))
+    assert cos > 0.99, cos
