@@ -2141,3 +2141,39 @@ def ext_lateral_top1_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan rather than executing per row — the declarative form and the
     efficient plan are the same statement."""
     return spark.sql(_LATERAL_TOP1_SQL)
+
+
+@query(
+    "ext_except_all_bag_semantics",
+    sql="""
+    SELECT c_nationkey AS nationkey,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT c_nationkey FROM customer
+      EXCEPT ALL
+      SELECT c_nationkey FROM customer WHERE c_acctbal >= 0
+    )
+    GROUP BY c_nationkey ORDER BY nationkey
+    """,
+    survey_ops="G3",
+    tables=("customer",),
+)
+def ext_except_all_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag semantics (each occurrence subtracts once), the
+    multiplicity-preserving half of G3 next to the set-semantics
+    intersect/except queries: customers minus the non-negative-balance
+    ones leaves exactly the negative-balance multiset, counted per
+    nation. Spark plans exceptAll as a counted anti-form (sum of tagged
+    multiplicities), one exchange."""
+    c = spark.table("customer").select("c_nationkey")
+    pos = (
+        spark.table("customer")
+        .filter(F.col("c_acctbal") >= 0)
+        .select("c_nationkey")
+    )
+    return (
+        c.exceptAll(pos)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("nationkey")
+    )
