@@ -2177,3 +2177,37 @@ def ext_except_all_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n"))
         .orderBy("nationkey")
     )
+
+
+@query(
+    "ext_relational_division",
+    sql="""
+    WITH pr AS (SELECT count(DISTINCT o_orderpriority) AS n FROM orders)
+    SELECT o.o_custkey AS custkey,
+           CAST(count(DISTINCT o.o_orderpriority) AS BIGINT) AS n_priorities,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    GROUP BY o.o_custkey
+    HAVING count(DISTINCT o.o_orderpriority) = (SELECT n FROM pr)
+    ORDER BY custkey
+    """,
+    survey_ops="D5,C8,division(ext)",
+    tables=("orders",),
+)
+def ext_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DIVISION (the FOR-ALL quantifier): customers whose
+    orders span EVERY order priority that exists — textbook x/y via
+    count(DISTINCT)==|divisor| instead of the double-NOT-EXISTS form
+    (which would be two anti-join passes; the count form is one grouped
+    aggregation against a 1-row broadcast divisor size)."""
+    o = spark.table("orders")
+    n_pri = o.agg(F.count_distinct("o_orderpriority").alias("n"))
+    g = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count_distinct("o_orderpriority").cast("bigint").alias("n_priorities"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+    return (
+        g.join(F.broadcast(n_pri), g["n_priorities"] == n_pri["n"])
+        .select("custkey", "n_priorities", "n_orders")
+        .orderBy("custkey")
+    )
