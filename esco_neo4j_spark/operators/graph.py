@@ -28,6 +28,8 @@ Vertex DataFrame convention: column ``id``.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -78,6 +80,43 @@ def aggregate_messages(
 def _checkpoint(df: DataFrame) -> DataFrame:
     """Cut lineage between supersteps; eager so each round materializes once."""
     return df.localCheckpoint(eager=True)
+
+
+@contextmanager
+def _scoped_shuffle_partitions(spark, target: int):
+    """Set spark.sql.shuffle.partitions for the duration of an iterative
+    loop, then RESTORE the caller's value. The iterative operators size
+    shuffles to the data (a 1.5k-edge graph wants 4 partitions, not the
+    session's 32), but the session is shared: without the restore, one
+    small-graph call permanently downsizes shuffle parallelism for every
+    later unrelated query on the same SparkSession (observed hazard:
+    bench.py runs the headline set back-to-back in one session).
+
+    Only sound when the loop MATERIALIZES its work inside the scope
+    (eager localCheckpoint per round, as all callers here do) — the conf
+    is read at execution time, so lazily-returned shuffles would run
+    under the restored value.
+    """
+    key = "spark.sql.shuffle.partitions"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:  # pragma: no cover - static conf env
+        prev = None
+    try:
+        spark.conf.set(key, str(target))
+    except Exception:  # pragma: no cover - static conf env
+        yield
+        return
+    try:
+        yield
+    finally:
+        try:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+        except Exception:  # pragma: no cover - static conf env
+            pass
 
 
 def bfs_depths(
@@ -157,30 +196,30 @@ def transitive_closure(
         # Size the static shuffle-partition count to the data: iterative
         # plans re-use it every round (AQE cannot re-plan inside a
         # UnionLoop, and the doubling rounds collect through
-        # localCheckpoint before AQE sees the whole chain). The conf is
-        # read at EXECUTION time, so setting it here — after the
-        # caller's tune(), before the collect — scopes it to this query
-        # in the build-then-collect flow both bench.py and the driver
-        # use: a 21k-edge taxonomy gets 8 partitions (measured
-        # 3.1s -> 2.2s on the depth histogram), a billion-edge graph
-        # gets thousands.
+        # localCheckpoint before AQE sees the whole chain). A 21k-edge
+        # taxonomy gets 8 partitions (measured 3.1s -> 2.2s on the depth
+        # histogram), a billion-edge graph gets thousands. Scoped: the
+        # work MATERIALIZES inside the `with` (doubling checkpoints per
+        # round; the CTE result is checkpointed before returning), so
+        # the caller's session conf is restored before this returns.
         n_edges = e.count()
         target = max(8, min(n_edges // 50_000 + 1, 4096))
-        try:
-            e.sparkSession.conf.set("spark.sql.shuffle.partitions", str(target))
-        except Exception:  # pragma: no cover - static conf env
-            pass
-        if strategy == "doubling":
-            return _closure_via_doubling(e, max_depth)
-        if directed and max_depth <= 12:
-            if broadcast_edges is None:
-                # When the static edge side is small enough to broadcast,
-                # every CTE iteration becomes a narrow map over the
-                # recursion side (no per-round shuffle) — measured ~1.4x.
-                broadcast_edges = n_edges <= 1_000_000
-            cte = _closure_via_recursive_cte(e, max_depth, broadcast_edges)
-            if cte is not None:
-                return cte
+        with _scoped_shuffle_partitions(e.sparkSession, target):
+            if strategy == "doubling":
+                return _closure_via_doubling(e, max_depth)
+            if directed and max_depth <= 12:
+                if broadcast_edges is None:
+                    # When the static edge side is small enough to
+                    # broadcast, every CTE iteration becomes a narrow map
+                    # over the recursion side (no per-round shuffle) —
+                    # measured ~1.4x.
+                    broadcast_edges = n_edges <= 1_000_000
+                cte = _closure_via_recursive_cte(e, max_depth, broadcast_edges)
+                if cte is not None:
+                    # materialize while the tuned conf is live; the
+                    # recursion would otherwise execute lazily after the
+                    # restore
+                    return _checkpoint(cte)
     # Fallback (Spark < 4.0): frontier-expansion BFS, one materializing
     # job per round — the anti-join against the visited set is the cycle
     # guard, and `reached` stays a union of already-checkpointed
@@ -1655,57 +1694,55 @@ def msf_boruvka(
     # rounds x inner-CC rounds are MANY small keyed shuffles; 32 empty
     # tasks per shuffle on a 1.5k-edge graph was pure scheduler overhead
     # — same sizing rule as transitive_closure). Measured 287s -> far
-    # less at sf0.1; a billion-edge input still gets thousands.
-    try:
-        n_edges = canon.count()
-        target = max(4, min(n_edges // 50_000 + 1, 4096))
-        edges.sparkSession.conf.set(
-            "spark.sql.shuffle.partitions", str(target)
-        )
-    except Exception:  # pragma: no cover - static conf env
-        pass
+    # less at sf0.1; a billion-edge input still gets thousands. Scoped
+    # (save/restore): every round checkpoints eagerly, so all the tuned
+    # shuffles run inside the `with` and later unrelated queries on the
+    # shared session see the caller's original parallelism.
+    n_edges = canon.count()
+    target = max(4, min(n_edges // 50_000 + 1, 4096))
     comp = vertices_of(canon.select(F.col("a").alias("src"), F.col("b").alias("dst")))
     comp = comp.withColumn("component", F.col("id"))
     forest = None
-    for _ in range(max_iter):
-        ca = comp.select(F.col("id").alias("a"), F.col("component").alias("cca"))
-        cb = comp.select(F.col("id").alias("b"), F.col("component").alias("ccb"))
-        live = (
-            canon.join(ca, "a").join(cb, "b").filter(F.col("cca") != F.col("ccb"))
-        )
-        live = _checkpoint(live.select("a", "b", "w", "cca", "ccb"))
-        if live.isEmpty():
-            break
-        cands = live.select(
-            F.col("cca").alias("c"), "w", "a", "b"
-        ).union(live.select(F.col("ccb").alias("c"), "w", "a", "b"))
-        picked = (
-            cands.withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("c").orderBy("w", "a", "b")
-                ),
+    with _scoped_shuffle_partitions(edges.sparkSession, target):
+        for _ in range(max_iter):
+            ca = comp.select(F.col("id").alias("a"), F.col("component").alias("cca"))
+            cb = comp.select(F.col("id").alias("b"), F.col("component").alias("ccb"))
+            live = (
+                canon.join(ca, "a").join(cb, "b").filter(F.col("cca") != F.col("ccb"))
             )
-            .filter(F.col("rn") == 1)
-            .select("a", "b", "w")
-            .distinct()
-        )
-        picked = _checkpoint(picked)
-        forest = picked if forest is None else forest.union(picked)
-        # contract: CC over the picked component-graph, then remap
-        cgraph = (
-            picked.join(live.select("a", "b", "cca", "ccb").distinct(), ["a", "b"])
-            .select(F.col("cca").alias("src"), F.col("ccb").alias("dst"))
-        )
-        remap = connected_components(cgraph).select(
-            F.col("id").alias("component"), F.col("component").alias("newc")
-        )
-        comp = _checkpoint(
-            comp.join(remap, "component", "left").select(
-                "id",
-                F.coalesce(F.col("newc"), F.col("component")).alias("component"),
+            live = _checkpoint(live.select("a", "b", "w", "cca", "ccb"))
+            if live.isEmpty():
+                break
+            cands = live.select(
+                F.col("cca").alias("c"), "w", "a", "b"
+            ).union(live.select(F.col("ccb").alias("c"), "w", "a", "b"))
+            picked = (
+                cands.withColumn(
+                    "rn",
+                    F.row_number().over(
+                        Window.partitionBy("c").orderBy("w", "a", "b")
+                    ),
+                )
+                .filter(F.col("rn") == 1)
+                .select("a", "b", "w")
+                .distinct()
             )
-        )
+            picked = _checkpoint(picked)
+            forest = picked if forest is None else forest.union(picked)
+            # contract: CC over the picked component-graph, then remap
+            cgraph = (
+                picked.join(live.select("a", "b", "cca", "ccb").distinct(), ["a", "b"])
+                .select(F.col("cca").alias("src"), F.col("ccb").alias("dst"))
+            )
+            remap = connected_components(cgraph).select(
+                F.col("id").alias("component"), F.col("component").alias("newc")
+            )
+            comp = _checkpoint(
+                comp.join(remap, "component", "left").select(
+                    "id",
+                    F.coalesce(F.col("newc"), F.col("component")).alias("component"),
+                )
+            )
     if forest is None:
         return canon.select("a", "b", F.col("w").alias("weight")).limit(0)
     return forest.select("a", "b", F.col("w").alias("weight"))
@@ -1769,9 +1806,12 @@ def k_truss(edges: DataFrame, k: int, max_rounds: int = 8) -> DataFrame:
 
     n = canon.count()
     for _ in range(max_rounds):
+        # LEFT join + coalesce: an edge closing zero triangles has no
+        # support row; under an inner join it would vanish even when
+        # k <= 2 (where every edge trivially satisfies s >= k-2).
         keep = (
-            canon.join(support(canon), ["a", "b"])
-            .filter(F.col("s") >= k - 2)
+            canon.join(support(canon), ["a", "b"], "left")
+            .filter(F.coalesce(F.col("s"), F.lit(0)) >= k - 2)
             .select("a", "b")
         )
         keep = _checkpoint(keep)

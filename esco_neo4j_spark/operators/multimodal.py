@@ -130,13 +130,7 @@ DECODE_SCHEMA = (
 )
 
 
-def _round6(x: float) -> float:
-    """floor(x*1e6 + 0.5)/1e6 — the same half-up 6dp rounding the DuckDB
-    oracles use; Python's round() is half-even and can disagree on exact
-    .5e-6 boundaries."""
-    import math
-
-    return math.floor(x * 1e6 + 0.5) / 1e6
+from esco_neo4j_spark.functions.numeric import round6 as _round6  # noqa: E402
 
 
 def decode_media(media: DataFrame) -> DataFrame:

@@ -408,9 +408,12 @@ def udf_weighted_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eval-type inference
     @pandas_udf("double", PandasUDFType.GROUPED_AGG)
     def wmean(cents, w):
+        from esco_neo4j_spark.functions.numeric import round6
+
         num = int((cents.astype("int64") * w.astype("int64")).sum())
         den = int(w.astype("int64").sum())
-        return round(num / (100.0 * den), 6)
+        # half-up round6 to match the oracle's SQL round(...,6)
+        return round6(num / (100.0 * den))
 
     # Spark disallows mixing a GROUPED_AGG pandas UDF with JVM aggregates
     # in one agg() — total_w rides a second pandas UDAF

@@ -1317,8 +1317,12 @@ def vec_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
         power_iteration_top_component,
     )
 
+    from esco_neo4j_spark.functions.numeric import round6
+
     v = power_iteration_top_component(spark.table("embeddings"), n_iter=3)
+    # round6, not builtin round: the oracle's round(val, 6) is
+    # half-away-from-zero while Python's is half-even (6dp boundary flip)
     return spark.createDataFrame(
-        [(i + 1, round(x, 6)) for i, x in enumerate(v)],
+        [(i + 1, round6(x)) for i, x in enumerate(v)],
         "dim int, component double",
     ).orderBy("dim")

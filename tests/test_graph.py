@@ -529,3 +529,58 @@ def test_motif_api_parsing_and_binding(spark):
         match_motif(edges, "a->b; c->d")
     with _pytest.raises(ValueError, match="unbound"):
         match_motif(edges, "a->b; !a->z")
+
+
+def test_ktruss_k2_keeps_triangle_free_edges(spark):
+    """ADVICE r2 regression: for k <= 2 every edge satisfies
+    support >= k-2 = 0, so a triangle-free path graph must survive intact
+    (the old INNER peeling join dropped edges with no support row)."""
+    from esco_neo4j_spark.operators.graph import k_truss
+
+    path_edges = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(path_edges, ["src", "dst"])
+    t2 = {(r["a"], r["b"]): r["support"] for r in k_truss(edges, k=2).collect()}
+    assert set(t2) == set(path_edges)
+    assert all(s == 0 for s in t2.values())
+
+
+def test_iterative_ops_restore_shuffle_partitions(spark):
+    """ADVICE r2 regression: transitive_closure and msf_boruvka size
+    spark.sql.shuffle.partitions to the input but must RESTORE the
+    session value afterwards — and two closures on one session must both
+    be correct under the scoping."""
+    from esco_neo4j_spark.operators.graph import msf_boruvka, transitive_closure
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "17")
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(6)], ["src", "dst"]
+        )
+        c1 = transitive_closure(chain, max_depth=8, strategy="doubling")
+        assert spark.conf.get(key) == "17"
+        c2 = transitive_closure(chain, max_depth=8, strategy="cte")
+        assert spark.conf.get(key) == "17"
+        r1 = sorted((r["src"], r["dst"], r["depth"]) for r in c1.collect())
+        r2 = sorted((r["src"], r["dst"], r["depth"]) for r in c2.collect())
+        assert r1 == r2 and len(r1) == 6 * 7 // 2
+        wedges = spark.createDataFrame(
+            [(1, 2, 1.0), (2, 3, 2.0), (1, 3, 5.0)], ["src", "dst", "weight"]
+        )
+        msf = msf_boruvka(wedges).collect()
+        assert spark.conf.get(key) == "17"
+        assert sorted((r["a"], r["b"]) for r in msf) == [(1, 2), (2, 3)]
+    finally:
+        spark.conf.set(key, prev)
+
+
+def test_round6_half_away_from_zero():
+    """Driver-side round6 matches SQL round(): half AWAY from zero on
+    both signs, where Python's builtin round is half-even."""
+    from esco_neo4j_spark.functions.numeric import round6
+
+    assert round6(0.0000005) == 0.000001
+    assert round6(-0.0000005) == -0.000001
+    assert round6(1.2345675) == 1.234568
+    assert round6(2.5e-7) == 0.0

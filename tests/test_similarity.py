@@ -191,3 +191,48 @@ def test_power_iteration_recovers_planted_direction(spark):
     v = power_iteration_top_component(emb, n_iter=3)
     cos = abs(sum(a * b for a, b in zip(v, spike)))
     assert cos > 0.99, cos
+
+
+def test_blocked_cosine_pairs_sparse_offset_ids_and_nulls(spark):
+    """ADVICE r2 regression: block ids must come from the id RANGE, not
+    count(). With offset+sparse ids (1e6 + 7*i), the old floor(id/block)
+    scheme produced blocks far beyond n_blocks-1, F.sequence descended
+    (empty), and near-dup pairs silently vanished. Null embeddings must
+    be filtered, not crash np.stack."""
+    from esco_neo4j_spark.operators.similarity import (
+        blocked_cosine_pairs,
+        cosine_self_join,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    shifted = base.selectExpr(
+        "CAST(1000000 + 7 * vec_id AS BIGINT) AS vec_id", "embedding"
+    )
+    # add a null-embedding row: must be ignored by both paths
+    null_row = spark.createDataFrame(
+        [(999_999_999, None)], "vec_id bigint, embedding array<double>"
+    )
+    shifted = shifted.unionByName(null_row)
+    ref = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in cosine_self_join(
+            base.filter("embedding IS NOT NULL"), threshold=0.45
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in blocked_cosine_pairs(shifted, threshold=0.45, block=128).collect()
+    }
+    remapped = {
+        (1_000_000 + 7 * a, 1_000_000 + 7 * b): s for (a, b), s in ref.items()
+    }
+    assert set(got) == set(remapped)
+    for k in remapped:
+        assert abs(got[k] - remapped[k]) <= 1e-6
+
+
+def test_blocked_cosine_pairs_empty_input(spark):
+    from esco_neo4j_spark.operators.similarity import blocked_cosine_pairs
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    assert blocked_cosine_pairs(empty).count() == 0
