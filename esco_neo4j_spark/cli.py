@@ -134,6 +134,26 @@ def cmd_translate(args) -> int:
     from esco_neo4j_spark.operators.textmodel import translate_column
     from esco_neo4j_spark.sources import ensure_warehouse
 
+    if getattr(args, "model_dir", None):
+        # Pre-flight asset check before any model load, as the reference
+        # does post-download (src/download_model.py:15-62): a
+        # half-populated cache fails fast here, not deep in an executor.
+        from esco_neo4j_spark.model_cache import verify_model_cache
+
+        report = verify_model_cache(args.model_dir)
+        if not report.ok:
+            print(
+                json.dumps(
+                    {
+                        "error": "model cache verification failed",
+                        "missing": report.missing,
+                        "detail": report.error,
+                    }
+                ),
+                file=sys.stderr,
+            )
+            return 2
+
     spark = _spark(args)
     wh = ensure_warehouse(spark)
     table = {"skill": "nodes_skill", "occupation": "nodes_occupation",
@@ -254,6 +274,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--dry-run", action="store_true")
     t.add_argument("--limit", type=int, default=20)
     t.add_argument("--json", action="store_true")
+    t.add_argument(
+        "--model-dir",
+        help="local model cache to verify before translating "
+        "(HuggingFace hub layout; see esco_neo4j_spark/model_cache.py)",
+    )
     t.set_defaults(fn=cmd_translate)
 
     q = sub.add_parser("query", help="run a named analysis query")

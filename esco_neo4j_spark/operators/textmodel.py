@@ -37,7 +37,10 @@ HASH_EMBED_DIM = 32
 
 
 def _have_sentence_transformers() -> bool:
-    try:  # pragma: no cover - torch not in this container
+    # No pragma: tests exercise BOTH outcomes — the miss in the normal
+    # suite (no torch in this container) and the hit via the torch-free
+    # fake package in tests/fakes shipped to executors with addPyFile.
+    try:
         import sentence_transformers  # noqa: F401
 
         return True
@@ -73,7 +76,11 @@ def make_embed_udf(dim: int = HASH_EMBED_DIM, model_name: str = "all-MiniLM-L6-v
     """
     use_model = _have_sentence_transformers()
 
-    if use_model:  # pragma: no cover - torch absent in this container
+    if use_model:
+        # Real branch (reference: src/embedding_utils.py:7-33). Covered
+        # under pytest by a torch-free fake sentence_transformers module
+        # (tests/fakes) so the path a production user runs first cannot
+        # bit-rot silently.
 
         @F.pandas_udf(T.ArrayType(T.FloatType()))
         def embed(texts: pd.Series) -> pd.Series:
@@ -133,6 +140,64 @@ def mock_translate_series(texts: pd.Series, lang: str = "he") -> pd.Series:
         return f"{lang}:" + " ".join(reversed(t.split(" ")))
 
     return texts.map(tr)
+
+
+def resilient_translate_fn(
+    translate_batch,
+    max_retries: int = 3,
+    retry_wait: float = 1.0,
+    sleep=None,
+):
+    """Wrap a raw batch-translate callable with the reference's
+    resilience contract (src/esco_translate.py:250-338) so a REAL model
+    can be plugged into ``make_translate_udf(model_fn=...)`` with the
+    same failure semantics the reference implements per call:
+
+    - preprocess: strip, drop non-ASCII chars, normalize whitespace
+      (the reference's "aggressive text cleaning") before the model sees
+      the text; empty-after-strip rows stay empty and skip the model;
+    - bounded retries with a wait between attempts (:301-318, per BATCH
+      here — the batch is the unit of model work under Arrow);
+    - return-original-on-failure (:327-337): if the model still raises
+      after ``max_retries``, or returns an empty/None translation for a
+      row, that row falls back to its (stripped) original text.
+
+    ``translate_batch`` maps a pandas Series of cleaned texts to a
+    Series/list of translations. ``sleep`` is injectable for tests.
+    """
+    import time
+
+    do_sleep = sleep if sleep is not None else time.sleep
+
+    def fn(texts: pd.Series) -> pd.Series:
+        originals = texts.fillna("").map(lambda t: str(t).strip())
+        cleaned = originals.map(
+            lambda t: " ".join("".join(c for c in t if ord(c) < 128).split())
+        )
+        result = None
+        for attempt in range(max_retries):
+            try:
+                result = list(translate_batch(cleaned))
+                break
+            except Exception:
+                if attempt == max_retries - 1:
+                    break
+                do_sleep(retry_wait)
+        orig = originals.tolist()
+        if result is None or len(result) != len(orig):
+            # total failure (or a shape-breaking model): original text back
+            return pd.Series(orig, index=texts.index)
+        out = []
+        for o, r in zip(orig, result):
+            if o == "":
+                out.append("")  # empty input stays empty (ref :255-256)
+            elif r is None or str(r).strip() == "":
+                out.append(o)  # empty translation -> original (ref :327-331)
+            else:
+                out.append(str(r))
+        return pd.Series(out, index=texts.index)
+
+    return fn
 
 
 def make_translate_udf(lang: str = "he", model_fn=None):

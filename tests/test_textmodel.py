@@ -79,3 +79,207 @@ def test_compression_ratio_golden(spark):
         raw = len(text)
         comp = len(zlib.compress(text.encode("utf-8"), 6))
         assert got[doc_id] == (raw, comp)
+
+
+def test_embed_real_branch_via_fake_module(spark):
+    """The REAL sentence-transformers branch of make_embed_udf (lazy
+    per-executor model init + batch encode, ref src/embedding_utils.py:
+    7-33) executes on the Arrow path, driven by the torch-free fake
+    package in tests/fakes shipped to executors via addPyFile."""
+    import os
+    import sys
+
+    fakes = os.path.join(os.path.dirname(__file__), "fakes")
+    sys.path.insert(0, fakes)
+    sys.modules.pop("sentence_transformers", None)
+    try:
+        from sentence_transformers import FAKE_DIM, fake_vector
+
+        from esco_neo4j_spark.operators import textmodel
+
+        assert textmodel._have_sentence_transformers()
+        spark.sparkContext.addPyFile(
+            os.path.join(fakes, "sentence_transformers.py")
+        )
+        udf = textmodel.make_embed_udf(model_name="fake-minilm")
+        df = spark.createDataFrame(
+            [(1, "machine learning"), (2, ""), (3, None)], "id int, text string"
+        )
+        rows = {
+            r["id"]: r["emb"]
+            for r in df.select("id", udf("text").alias("emb")).collect()
+        }
+        # batch shape: every row embeds (None -> "" first, like the ref's
+        # fillna-before-encode), dim pinned, dtype float32
+        assert all(len(v) == FAKE_DIM for v in rows.values())
+        import numpy as np
+
+        for rid, text in [(1, "machine learning"), (2, ""), (3, "")]:
+            expect = [float(np.float32(x)) for x in fake_vector(text)]
+            assert rows[rid] == expect, rid
+    finally:
+        sys.path.remove(fakes)
+        sys.modules.pop("sentence_transformers", None)
+
+
+def test_embed_real_branch_lazy_singleton_and_arrow_batches(spark):
+    """Contract test for the real branch: the model must be constructed
+    lazily (never on the driver at UDF-definition time) and encode must
+    see list[str] batches."""
+    import os
+    import sys
+
+    fakes = os.path.join(os.path.dirname(__file__), "fakes")
+    sys.path.insert(0, fakes)
+    sys.modules.pop("sentence_transformers", None)
+    try:
+        import sentence_transformers as fake_st
+
+        from esco_neo4j_spark.operators import textmodel
+
+        before = fake_st.SentenceTransformer.instances_created
+        udf = textmodel.make_embed_udf()  # definition must NOT build a model
+        assert fake_st.SentenceTransformer.instances_created == before
+        n = (
+            spark.range(10)
+            .selectExpr("CAST(id AS STRING) AS text")
+            .select(udf("text").alias("emb"))
+            .count()
+        )
+        assert n == 10
+        # driver-side count unchanged — init happened in executor workers
+        assert fake_st.SentenceTransformer.instances_created == before
+    finally:
+        sys.path.remove(fakes)
+        sys.modules.pop("sentence_transformers", None)
+
+
+def test_resilient_translate_retries_then_succeeds():
+    """resilient_translate_fn mirrors ref src/esco_translate.py:301-318:
+    bounded retries with a wait between attempts; the successful attempt's
+    output wins."""
+    import pandas as pd
+
+    from esco_neo4j_spark.operators.textmodel import resilient_translate_fn
+
+    calls = {"n": 0}
+    waits = []
+
+    def flaky(batch):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient model error")
+        return ["T:" + t for t in batch]
+
+    fn = resilient_translate_fn(flaky, max_retries=3, sleep=waits.append)
+    out = fn(pd.Series(["hello world", "spark"]))
+    assert out.tolist() == ["T:hello world", "T:spark"]
+    assert calls["n"] == 3 and len(waits) == 2
+
+
+def test_resilient_translate_total_failure_returns_original():
+    import pandas as pd
+
+    from esco_neo4j_spark.operators.textmodel import resilient_translate_fn
+
+    def broken(batch):
+        raise RuntimeError("model dead")
+
+    fn = resilient_translate_fn(broken, max_retries=2, sleep=lambda _s: None)
+    out = fn(pd.Series(["  keep me  ", None, ""]))
+    # stripped originals come back; None/empty stay empty
+    assert out.tolist() == ["keep me", "", ""]
+
+
+def test_resilient_translate_row_level_fallback_and_cleaning():
+    """Per-row semantics from ref :250-338: empty translation falls back
+    to the original text; non-ASCII is stripped and whitespace normalized
+    BEFORE the model sees the text; empty input never reaches the model."""
+    import pandas as pd
+
+    from esco_neo4j_spark.operators.textmodel import resilient_translate_fn
+
+    seen = []
+
+    def partial(batch):
+        seen.extend(batch.tolist())
+        return ["" if t.startswith("fail") else "ok:" + t for t in batch]
+
+    fn = resilient_translate_fn(partial, max_retries=1)
+    out = fn(pd.Series(["fail this", "café  au   lait", ""]))
+    assert out.tolist() == ["fail this", "ok:caf au lait", ""]
+    # the model saw CLEANED text (ascii-stripped, ws-normalized)
+    assert "caf au lait" in seen
+
+
+def test_resilient_translate_drives_spark_pipeline(spark):
+    """udf_real_model_contract: a real-shaped resilient model_fn through
+    translate_column's distinct-before-compute + join-back on the Arrow
+    path — the full production wiring minus torch."""
+    from esco_neo4j_spark.operators.textmodel import (
+        resilient_translate_fn,
+        translate_column,
+    )
+
+    def upper_model(batch):
+        return [t.upper() if t else "" for t in batch]
+
+    fn = resilient_translate_fn(upper_model, max_retries=2)
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta"), (3, None)], "id int, name string"
+    )
+    rows = {
+        r["id"]: r["name_he"]
+        for r in translate_column(df, "name", lang="he", model_fn=fn).collect()
+    }
+    assert rows[1] == rows[2] == "ALPHA BETA"
+    assert rows[3] is None
+
+
+def test_verify_model_cache(tmp_path):
+    """Asset gate mirrors ref src/download_model.py:15-62: all six
+    categories present -> ok; a missing category is named; layout errors
+    are reported, not raised."""
+    from esco_neo4j_spark.model_cache import verify_model_cache
+
+    missing_dir = verify_model_cache(str(tmp_path / "nope"))
+    assert not missing_dir.ok and "not found" in missing_dir.error
+
+    cache = tmp_path / "model_cache"
+    snap = (
+        cache / "hub" / "models--Helsinki-NLP--opus-mt-en-he"
+        / "snapshots" / "abc123"
+    )
+    snap.mkdir(parents=True)
+    for name in (
+        "model.safetensors", "config.json", "tokenizer_config.json",
+        "vocab.json", "source.spm",
+    ):
+        (snap / name).write_text("x")
+    partial = verify_model_cache(str(cache))
+    assert not partial.ok and partial.missing == ["target_spm"]
+
+    (snap / "target.spm").write_text("x")
+    full = verify_model_cache(str(cache))
+    assert full.ok and full.missing == []
+    assert full.found["model"] == "model.safetensors"
+    assert full.snapshot_dir.endswith("abc123")
+
+
+def test_cli_translate_model_dir_gate(tmp_path, capsys):
+    """cmd_translate --model-dir refuses to run against an incomplete
+    cache (exit 2 with a structured error), before any Spark work."""
+    import json
+
+    from esco_neo4j_spark.cli import main
+
+    rc = main(
+        [
+            "translate", "--dry-run", "--model-dir", str(tmp_path / "absent"),
+        ]
+    )
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert json.loads(err.strip().splitlines()[-1])["error"].startswith(
+        "model cache verification failed"
+    )
