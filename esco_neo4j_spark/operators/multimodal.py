@@ -6,9 +6,12 @@ text-only — SURVEY.md §2 coverage note): treat image/audio/video as opaque
 feature-extract / resize / frame-sample as Arrow-batched pandas functions
 over ``mapInPandas``.
 
-The container has no image/audio codecs, so REAL pixel/sample decode is
-stubbed (``decode_image_pixels`` raises NotImplementedError, clearly
-marked). Everything around the stub is real and oracle-checked:
+The container has no image codec LIBRARY, so pixel decode is implemented
+for the one format that needs none: binary PPM (P6), parsed pure-Python
+byte-by-byte (``decode_ppm``). Compressed formats (JPEG/PNG/...) still
+need a codec and raise a clear ValueError at the same seam — swap in
+PIL/libvips via ``decode_pixels(decoder_fn=...)``. Everything else is
+real and oracle-checked:
 
 - the binary payload is genuinely constructed (20-byte ASCII header +
   ASCII-sanitized body bytes) and genuinely parsed back byte-by-byte in
@@ -113,14 +116,56 @@ def attach_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image_pixels(payload: bytes):  # pragma: no cover - stub
-    """STUB: real image decode needs a codec library not present in this
-    container. The Spark-side plumbing (schema, batching, partitioning)
-    around this stub is real and tested; swap in PIL/libvips here."""
-    raise NotImplementedError(
-        "image pixel decode requires an image codec (PIL/libvips); "
-        "not available in this environment — metadata decode is real, "
-        "pixel decode is intentionally stubbed"
+def decode_ppm(payload: bytes):
+    """Pure-Python binary PPM (P6) decoder — uncompressed, so no codec
+    library is needed: ASCII header ``P6 <w> <h> <maxval>`` (tokens
+    separated by whitespace, ``#`` comments allowed) followed by exactly
+    one whitespace byte and w*h*3 raw RGB sample bytes.
+
+    Returns ``(width, height, uint8 numpy array of the w*h*3 samples)``.
+    Raises ValueError on malformed input (wrong magic, >8-bit maxval,
+    truncated pixel data) — decode errors must be loud, not silent rows.
+    """
+    import numpy as np
+
+    data = bytes(payload)
+    if data[:2] != b"P6":
+        raise ValueError(f"not a binary PPM (P6) payload: magic={data[:2]!r}")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1] in b" \t\r\n":
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and data[pos : pos + 1] not in b" \t\r\n":
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        fields.append(int(data[start:pos]))
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported (maxval=255), got {maxval}")
+    pos += 1  # exactly ONE whitespace byte separates header from raster
+    px = np.frombuffer(data, dtype=np.uint8, offset=pos)
+    if px.size != width * height * 3:
+        raise ValueError(
+            f"PPM raster is {px.size} bytes, expected {width * height * 3}"
+        )
+    return width, height, px
+
+
+def decode_image_pixels(payload: bytes):
+    """Pixel decode dispatch: binary PPM decodes pure-Python here; any
+    compressed format needs a codec library (PIL/libvips) injected via
+    ``decode_pixels(decoder_fn=...)`` — same seam, loud error."""
+    if bytes(payload[:2]) == b"P6":
+        return decode_ppm(payload)
+    raise ValueError(
+        "no codec for this image format in this environment; inject a "
+        "decoder (bytes -> (w, h, uint8 samples)) via decoder_fn"
     )
 
 
@@ -260,6 +305,44 @@ def resize_dims(media: DataFrame, max_dim: int = 256) -> DataFrame:
     return media.mapInPandas(plan, schema=RESIZE_SCHEMA)
 
 
+def attach_ppm_payload(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, w, h, payload) where payload is a VALID
+    binary PPM (P6) image built entirely JVM-side: the ASCII header via
+    format_string, the raster via a hex-string projection + ``unhex``
+    (transform over a sequence stays in codegen; unhex turns the 2-digit
+    hex pairs into the raw 0..255 sample bytes that UTF-8 encode cannot
+    produce).
+
+    Deterministic pixel scheme (mirrored by the DuckDB oracle):
+      w = 8 + doc_id % 9, h = 6 + doc_id % 7,
+      sample i (0-based, of w*h*3) = (doc_id * 31 + i * 7) % 256.
+    Small images by design — the point is genuine bytes through a genuine
+    decoder, not volume; a real corpus reads payloads from parquet binary
+    columns instead.
+    """
+    d = docs.select(
+        "doc_id",
+        (8 + F.col("doc_id") % 9).cast("int").alias("w"),
+        (6 + F.col("doc_id") % 7).cast("int").alias("h"),
+    ).withColumn("n", (F.col("w") * F.col("h") * 3).cast("int"))
+    hex_px = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.col("n") - 1),
+            lambda i: F.lpad(
+                F.hex((F.col("doc_id") * 31 + i * 7) % 256), 2, "0"
+            ),
+        ),
+        "",
+    )
+    header = F.format_string("P6\n%d %d\n255\n", F.col("w"), F.col("h"))
+    return d.select(
+        "doc_id",
+        "w",
+        "h",
+        F.concat(F.encode(header, "UTF-8"), F.unhex(hex_px)).alias("payload"),
+    )
+
+
 PIXEL_SCHEMA = "doc_id bigint, width int, height int, mean_px double"
 
 
@@ -272,10 +355,10 @@ def decode_pixels(media: DataFrame, decoder_fn=None) -> DataFrame:
     without touching the operator).
 
     ``decoder_fn``: picklable ``bytes -> (width, height, uint8-array)``.
-    Default is the honest stub (raises NotImplementedError on the
-    executor — no codec ships in this container). One narrow
-    mapInPandas, no shuffle; mean_px rounded 6dp like every float
-    feature here.
+    Default is ``decode_image_pixels``: genuine pure-Python PPM decode,
+    loud ValueError for compressed formats (which need an injected
+    codec). One narrow mapInPandas, no shuffle; mean_px rounded 6dp like
+    every float feature here.
     """
     fn = decoder_fn or decode_image_pixels
 
@@ -293,3 +376,43 @@ def decode_pixels(media: DataFrame, decoder_fn=None) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=PIXEL_SCHEMA)
+
+
+PIXEL_STATS_SCHEMA = (
+    "doc_id bigint, width int, height int, mean_px double, "
+    "min_px int, max_px int"
+)
+
+
+def pixel_stats(media: DataFrame, decoder_fn=None) -> DataFrame:
+    """Per-image channel-value statistics (mean/min/max over all RGB
+    samples) from REAL pixel decode — the first operator downstream of a
+    decoder in any image-curation pipeline (brightness filters, dead-
+    image detection). Integer sums + one division + half-up 6dp rounding
+    keep the result exactly reproducible by the SQL oracle. One narrow
+    mapInPandas over the payload column, no shuffle."""
+    fn = decoder_fn or decode_image_pixels
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = fn(bytes(payload))
+                rows.append(
+                    (
+                        doc_id,
+                        int(w),
+                        int(h),
+                        _round6(int(px.sum()) / max(px.size, 1)),
+                        int(px.min()),
+                        int(px.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "mean_px", "min_px", "max_px",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=PIXEL_STATS_SCHEMA)

@@ -19,8 +19,10 @@ from pyspark.sql import functions as F
 
 from esco_neo4j_spark.operators.multimodal import (
     attach_payload,
+    attach_ppm_payload,
     decode_media,
     extract_features,
+    pixel_stats,
     resize_dims,
     sample_frames,
 )
@@ -226,6 +228,43 @@ def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("body_md5")
     )
+
+
+@query(
+    "mm_pixel_stats",
+    sql="""
+    WITH imgs AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, (doc_id * 31 + i * 7) % 256 AS p
+      FROM imgs, LATERAL (
+        SELECT unnest(generate_series(0, w * h * 3 - 1)) AS i
+      )
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(floor(sum(p) * 1.0 / count(*) * 1e6 + 0.5) / 1e6 AS DOUBLE)
+             AS mean_px,
+           CAST(min(p) AS INT) AS min_px, CAST(max(p) AS INT) AS max_px
+    FROM px GROUP BY doc_id, w, h
+    ORDER BY doc_id
+    """,
+    survey_ops="multimodal-pixeldecode,I9(ext)",
+    tables=("documents",),
+)
+def mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode end to end: build valid binary PPM (P6) images
+    JVM-side (header + raw raster bytes via unhex), ship them through
+    Arrow, parse them byte-by-byte with the pure-Python PPM decoder in
+    executors, and aggregate per-image channel stats. The oracle
+    recomputes mean/min/max from the deterministic pixel formula WITHOUT
+    any binary support — a hash match proves the byte-level build ->
+    Arrow -> decode round-trip is exact. This retires the former pixel-
+    decode stub; compressed codecs still enter via the decoder_fn seam.
+    Narrow map + no shuffle: at 100 TB this is the embarrassingly
+    parallel decode pass of an image ETL."""
+    media = attach_ppm_payload(spark.table("documents"))
+    return pixel_stats(media).orderBy("doc_id")
 
 
 # --- aHash: 8x8 average-hash fingerprint over the payload body ------------

@@ -60,9 +60,74 @@ def test_frame_sample_stride(spark):
     assert rows[1]["t_offset_ms"] == 10 * 1000 // 24
 
 
-def test_pixel_decode_is_stubbed():
-    with pytest.raises(NotImplementedError):
+def test_pixel_decode_rejects_unknown_format():
+    """Non-PPM payloads (no codec in this container) raise a loud
+    ValueError at the decoder seam — never silent empty rows."""
+    with pytest.raises(ValueError, match="no codec"):
         decode_image_pixels(b"IMG0" + b"0" * 16)
+
+
+def test_decode_ppm_roundtrip_and_errors():
+    """The pure-Python P6 decoder: exact round-trip on a hand-built
+    image, comment + whitespace tolerance in the header, and loud errors
+    on wrong magic / deep maxval / truncated raster."""
+    import numpy as np
+
+    from esco_neo4j_spark.operators.multimodal import decode_ppm
+
+    raster = bytes(range(2 * 3 * 3))  # 2x3 RGB, samples 0..17
+    w, h, px = decode_ppm(b"P6\n2 3\n255\n" + raster)
+    assert (w, h) == (2, 3) and px.tolist() == list(range(18))
+    # comments and arbitrary whitespace between header tokens
+    w2, h2, px2 = decode_ppm(b"P6 # ppm\n# comment line\n 2\t3 # dims\n255\n" + raster)
+    assert (w2, h2) == (2, 3) and np.array_equal(px, px2)
+    with pytest.raises(ValueError, match="magic"):
+        decode_ppm(b"P5\n2 3\n255\n" + raster)
+    with pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n2 3\n65535\n" + raster)
+    with pytest.raises(ValueError, match="raster"):
+        decode_ppm(b"P6\n2 3\n255\n" + raster[:-1])
+
+
+def test_attach_ppm_payload_is_valid_ppm(spark):
+    """JVM-built payloads (format_string header + unhex raster) decode
+    to exactly the deterministic pixel formula."""
+    from esco_neo4j_spark.operators.multimodal import (
+        attach_ppm_payload,
+        decode_ppm,
+    )
+
+    docs = _docs(spark, [(i, f"txt {i}", 5) for i in range(10)])
+    rows = attach_ppm_payload(docs).collect()
+    assert len(rows) == 10
+    for r in rows:
+        w, h, px = decode_ppm(bytes(r["payload"]))
+        assert (w, h) == (r["w"], r["h"])
+        assert w == 8 + r["doc_id"] % 9 and h == 6 + r["doc_id"] % 7
+        expect = [(r["doc_id"] * 31 + i * 7) % 256 for i in range(w * h * 3)]
+        assert px.tolist() == expect
+
+
+def test_pixel_stats_spark_path(spark):
+    """pixel_stats over the Arrow path agrees with a plain-Python
+    recompute of the same decoder on the same payloads."""
+    from esco_neo4j_spark.operators.multimodal import (
+        attach_ppm_payload,
+        decode_ppm,
+        pixel_stats,
+    )
+
+    docs = _docs(spark, [(i, f"txt {i}", 5) for i in range(8)])
+    media = attach_ppm_payload(docs)
+    got = {r["doc_id"]: r for r in pixel_stats(media).collect()}
+    import math
+
+    for r in media.collect():
+        w, h, px = decode_ppm(bytes(r["payload"]))
+        g = got[r["doc_id"]]
+        assert (g["width"], g["height"]) == (w, h)
+        assert g["mean_px"] == math.floor(int(px.sum()) / px.size * 1e6 + 0.5) / 1e6
+        assert g["min_px"] == int(px.min()) and g["max_px"] == int(px.max())
 
 
 @pytest.fixture()
@@ -111,7 +176,9 @@ def test_decode_pixels_with_injected_codec(spark, media_df):
         assert got[doc_id]["mean_px"] == expect
 
 
-def test_decode_pixels_default_stub_raises(spark, media_df):
+def test_decode_pixels_default_rejects_non_ppm(spark, media_df):
+    """The default decoder is real PPM decode; the IMG0 synthetic
+    payloads are NOT PPM, so they must fail loudly on the executor."""
     from py4j.protocol import Py4JJavaError
     from pyspark.errors import PythonException
 
@@ -119,4 +186,4 @@ def test_decode_pixels_default_stub_raises(spark, media_df):
 
     with pytest.raises((PythonException, Py4JJavaError)) as exc:
         decode_pixels(media_df.filter("modality = 'image'").limit(1)).collect()
-    assert "pixel decode" in str(exc.value)
+    assert "no codec" in str(exc.value)
