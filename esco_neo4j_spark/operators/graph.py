@@ -882,10 +882,23 @@ def modularity_refine(
     louvain_communities for the gain formula and synchronization scheme.
     Public so any initial partition (LPA, a previous run, a hash bucket)
     can be refined; golden tests start it from a deliberately bad split.
+
+    Fully deterministic INTEGER arithmetic: candidates are compared on
+    the gain scaled by the positive constant 2*m^2,
+
+        gain2(v->c) = 2*m*k_{v,c} - deg_v * (tot_c - [c==cur]*deg_v),
+
+    which is an exact bigint — same argmax as the float dQ, but immune
+    to summation-order ulp noise, so a DuckDB oracle replays the rounds
+    exactly (plans/graph_queries._louvain_unrolled_sql). The
+    checkerboard parity is md5-based (portable to SQL, unlike Spark's
+    murmur hash). FIXED refine_iter rounds, no early exit: with the
+    alternating parity, "no change in round r" is NOT a fixpoint
+    certificate — round r+1 frees the other vertex class.
     """
     state = communities.select("id", "community")
     und = _checkpoint(undirected(edges).distinct())
-    m = und.count() / 2.0
+    m = int(und.count() // 2)
     if m == 0:
         return state
     deg = und.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
@@ -926,43 +939,36 @@ def modularity_refine(
             cand.join(deg, "id")
             .join(tot.withColumnRenamed("community", "c"), "c")
             .withColumn(
-                "gain",
-                F.col("k_vc") / F.lit(m)
+                "gain2",
+                F.lit(2 * m).cast("bigint") * F.col("k_vc")
                 - F.col("deg")
                 * (
                     F.col("tot")
                     - F.when(F.col("c") == F.col("cur_c"), F.col("deg"))
                     .otherwise(F.lit(0))
-                )
-                / F.lit(2.0 * m * m),
+                ),
             )
         )
         w = Window.partitionBy("id").orderBy(
-            F.desc("gain"), F.asc("c")
+            F.desc("gain2"), F.asc("c")
         )
         best = (
             gains.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("id", F.col("c").alias("best_c"), "cur_c")
         )
-        # checkerboard: only even-(hash+round) vertices move this round
-        move_ok = (F.pmod(F.hash("id") + F.lit(rnd), F.lit(2)) == 0)
+        # checkerboard: only one md5-parity class moves per round
+        parity = F.conv(
+            F.substring(F.md5(F.col("id").cast("string")), 1, 7), 16, 10
+        ).cast("bigint")
+        move_ok = F.pmod(parity + F.lit(rnd), F.lit(2)) == 0
         new_state = best.select(
             "id",
             F.when(move_ok, F.col("best_c"))
             .otherwise(F.col("cur_c"))
             .alias("community"),
         )
-        new_state = _checkpoint(new_state)
-        changed = (
-            new_state.alias("n")
-            .join(state.alias("o"), "id")
-            .filter(F.col("n.community") != F.col("o.community"))
-            .isEmpty()
-        )
-        state = new_state
-        if changed:
-            break
+        state = _checkpoint(new_state)
     return state
 
 

@@ -79,8 +79,11 @@ _DRIVER_WINDOW = [
     "text_fingerprint",
     "text_chunk_windows",
     # vector similarity family — 3
+    # (r3: the C9 carrier is the banded LSH join — the plan that survives
+    # 100x; the exact all-pairs twin vec_similarity_join stays registered
+    # outside the window as the bounded calibration baseline)
     "vec_cosine_topk",
-    "vec_similarity_join",
+    "vec_lsh_similarity_join",
     "vec_ivf_topk",
     # graph (K2 path reconstruction, iterative CC, sampled betweenness) — 3
     "graph_shortest_path_nodes",

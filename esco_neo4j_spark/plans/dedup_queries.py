@@ -174,7 +174,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def _simhash_sql(max_hamming: int) -> str:
+def _simhash_sql(max_hamming: int, id_cap: int | None = None) -> str:
     bit_sums = ",\n           ".join(
         f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
         for b in range(SIMHASH_BITS)
@@ -183,9 +183,10 @@ def _simhash_sql(max_hamming: int) -> str:
         f"CASE WHEN b{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END"
         for b in range(SIMHASH_BITS)
     )
+    cap = f" WHERE doc_id < {id_cap}" if id_cap is not None else ""
     return f"""
     WITH toks AS (
-      SELECT doc_id, unnest({_TOKENS}) AS t FROM documents
+      SELECT doc_id, unnest({_TOKENS}) AS t FROM documents{cap}
     ),
     h AS (SELECT doc_id, {_H60} AS hv FROM toks),
     bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id),
@@ -200,14 +201,19 @@ def _simhash_sql(max_hamming: int) -> str:
 
 @query(
     "dedup_simhash",
-    sql=_simhash_sql(10),
+    sql=_simhash_sql(10, id_cap=4096),
     survey_ops="dedup-simhash",
     tables=("documents",),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force SimHash pairs with hamming <= 10 (60-bit md5-derived
-    fingerprint over distinct word tokens)."""
-    df = simhash_pairs(spark.table("documents"), "text", "doc_id", max_hamming=10)
+    fingerprint over distinct word tokens) on a FIXED calibration window
+    (doc_id < 4096): the ground truth that prices the banded variant's
+    band count (hamming<=3 lossless banding) on a bounded sample. The id
+    cap makes the all-pairs hamming join CONSTANT cost in corpus size —
+    the production plan at any scale is dedup_simhash_banded."""
+    docs = spark.table("documents").filter(F.col("doc_id") < 4096)
+    df = simhash_pairs(docs, "text", "doc_id", max_hamming=10)
     return df.select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     ).orderBy("id_a", "id_b")

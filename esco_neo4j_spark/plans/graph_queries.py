@@ -246,12 +246,14 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _lpa_unrolled_sql(n_iter: int = 10) -> str:
+def _lpa_unrolled_sql(n_iter: int = 10, tail: str | None = None) -> str:
     """DuckDB twin of operators/graph.label_propagation by UNROLLING the
     synchronous iterations as chained CTE stages (the update is idempotent
     at the fixpoint, so running all n_iter stages is equivalent to Spark's
     early exit). All-integer arithmetic — label votes and min-tiebreaks —
-    so cross-engine equality is exact."""
+    so cross-engine equality is exact. ``tail`` replaces the final SELECT
+    (it can chain further CTEs by starting with a comma, and reference
+    s{n_iter}) — the Louvain oracle builds on this."""
     sql = [f"""
     WITH edges AS ({_EDGES_SQL}),
     und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
@@ -271,9 +273,74 @@ def _lpa_unrolled_sql(n_iter: int = 10) -> str:
       SELECT v.id, coalesce(w.community, v.id) AS community
       FROM s{i - 1} v LEFT JOIN w{i} w ON v.id = w.id
     )""")
-    sql.append(f"""
+    sql.append(tail if tail is not None else f"""
     SELECT id, community FROM s{n_iter} ORDER BY id""")
     return "".join(sql)
+
+
+def _louvain_unrolled_sql(n_lpa: int = 10, n_refine: int = 4) -> str:
+    """DuckDB twin of operators/graph.louvain_communities: the LPA rounds
+    (above) chained into ``n_refine`` UNROLLED Louvain local-move rounds.
+    Exact cross-engine parity holds because the operator compares
+    candidates on the INTEGER gain 2*m*k_vc - deg*(tot - [c==cur]*deg)
+    (the float dQ scaled by the positive constant 2*m^2) with an integer
+    (gain DESC, community ASC) tiebreak, and the checkerboard parity is
+    md5-based — every quantity in the round is a bigint both engines
+    compute identically. Fixed rounds, no early exit, matching the
+    operator (see modularity_refine's docstring for why early exit is
+    unsound under the alternating parity)."""
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs at every
+    # reference, and each refine round references t{r} four times — an
+    # un-materialized chain re-expands the whole LPA prefix 4^r times
+    # (observed: fd exhaustion from thousands of inlined parquet scans).
+    parts = [f""",
+    undd AS MATERIALIZED (SELECT DISTINCT src, dst FROM und),
+    deg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM undd GROUP BY src),
+    mm AS MATERIALIZED (SELECT count(*) // 2 AS m FROM undd),
+    t0 AS MATERIALIZED (SELECT id, community FROM s{n_lpa})"""]
+    for r in range(n_refine):
+        parts.append(f""",
+    tot{r} AS MATERIALIZED (
+      SELECT s.community AS c, sum(d.deg) AS tot
+      FROM t{r} s JOIN deg d ON s.id = d.id GROUP BY s.community
+    ),
+    nbr{r} AS MATERIALIZED (
+      SELECT u.src AS id, s.community AS c, count(*) AS k_vc
+      FROM undd u JOIN t{r} s ON u.dst = s.id GROUP BY u.src, s.community
+    ),
+    cand{r} AS MATERIALIZED (
+      SELECT id, c, cur_c, max(k_vc) AS k_vc FROM (
+        SELECT n.id, n.c, cur.community AS cur_c, n.k_vc
+        FROM nbr{r} n JOIN t{r} cur ON n.id = cur.id
+        UNION ALL
+        SELECT id, community AS c, community AS cur_c, 0 AS k_vc FROM t{r}
+      ) GROUP BY id, c, cur_c
+    ),
+    best{r} AS (
+      SELECT g.id, g.c AS best_c, g.cur_c,
+             row_number() OVER (
+               PARTITION BY g.id
+               ORDER BY (2 * m.m * g.k_vc
+                         - d.deg * (t.tot - CASE WHEN g.c = g.cur_c
+                                                 THEN d.deg ELSE 0 END)) DESC,
+                        g.c ASC
+             ) AS rn
+      FROM cand{r} g
+      JOIN deg d ON g.id = d.id
+      JOIN tot{r} t ON g.c = t.c
+      CROSS JOIN mm m
+      QUALIFY rn = 1
+    ),
+    t{r + 1} AS MATERIALIZED (
+      SELECT id,
+             CASE WHEN (('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 7))::BIGINT
+                        + {r}) % 2 = 0
+                  THEN best_c ELSE cur_c END AS community
+      FROM best{r}
+    )""")
+    parts.append(f"""
+    SELECT id, community FROM t{n_refine} ORDER BY id""")
+    return _lpa_unrolled_sql(n_iter=n_lpa, tail="".join(parts))
 
 
 def _pagerank_unrolled_sql(
@@ -414,9 +481,13 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "graph_louvain",
-    sql=None,  # iterative modularity optimization; golden-checked in
+    # FULL value oracle (r3, formerly rows-only): LPA rounds + Louvain
+    # local-move rounds unrolled as chained CTEs — exact because the
+    # operator's move gain is compared as an INTEGER (dQ * 2m^2) and the
+    # checkerboard parity is md5-portable. Additionally golden-checked in
     # tests/test_graph.py (refinement recovers the optimal partition and
-    # never lands below the LPA baseline)
+    # never lands below the LPA baseline).
+    sql=_louvain_unrolled_sql(n_lpa=10, n_refine=4),
     survey_ops="K5",
     tables=("events",),
 )

@@ -150,11 +150,12 @@ def vec_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "vec_similarity_join",
     sql="""
+    WITH cal AS (SELECT * FROM embeddings WHERE vec_id < 2048)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            CAST(round(list_cosine_similarity(
              CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS DOUBLE)
              AS score
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM cal a JOIN cal b ON a.vec_id < b.vec_id
     WHERE round(list_cosine_similarity(
             CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
     ORDER BY id_a, id_b
@@ -163,11 +164,17 @@ def vec_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables=("embeddings",),
 )
 def vec_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs cosine similarity join above a threshold (AQ:511-522
-    anchored variant generalized to all-pairs). Explicit O(N^2) — correct
-    at this scale; the 100 TB path is vec_lsh_similarity_join."""
+    """Exact all-pairs cosine join above a threshold on a FIXED
+    calibration window (vec_id < 2048) — the ground-truth baseline the
+    scale paths are measured against (LSH recall floors, blocked-GEMM
+    score agreement). The id bound makes the O(N^2) cost CONSTANT in
+    corpus size, so this query is safe to keep registered at any SF;
+    production exact all-pairs is blocked_cosine_pairs (GEMM blocks),
+    and the 100 TB similarity join is vec_lsh_similarity_join (the
+    driver-window C9 carrier)."""
     return cosine_self_join(
-        spark.table("embeddings"), threshold=0.45
+        spark.table("embeddings").filter(F.col("vec_id") < 2048),
+        threshold=0.45,
     ).orderBy("id_a", "id_b")
 
 

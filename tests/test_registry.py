@@ -28,7 +28,8 @@ def test_every_query_has_oracle_or_documented_rows_only():
     # query accidentally registered without an oracle should fail here
     rows_only = {n for n, q in REGISTRY.items() if q.sql is None}
     assert rows_only == {
-        "graph_louvain",
+        # (graph_louvain left this set in r3: integer-gain local moves +
+        # md5 parity made the unrolled-CTE value oracle exact)
         # HLL estimates are sketch-implementation-specific; bounded against
         # exact counts in tests/test_sketches.py instead
         "events_approx_distinct_rollup",
