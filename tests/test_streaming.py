@@ -9,6 +9,7 @@ source -> memory sink with processAllAvailable().
 
 from __future__ import annotations
 
+import importlib.util
 import os
 
 import pytest
@@ -207,14 +208,25 @@ def test_cms_sketch_sink_equals_batch_sketch(spark, event_dir, tmp_path):
     assert est_stream == est_batch
 
 
+try:  # find_spec raises if even the parent 'google' namespace is absent
+    _HAVE_PROTOBUF = importlib.util.find_spec("google.protobuf") is not None
+except ModuleNotFoundError:
+    _HAVE_PROTOBUF = False
+
+
+@pytest.mark.xfail(
+    condition=not _HAVE_PROTOBUF,
+    reason="transformWithStateInPandas needs protobuf (the state-server "
+    "wire format), which this container does not ship — strict xfail "
+    "instead of skip so the gap stays VISIBLE in the report and the test "
+    "flips to a hard error the day protobuf appears but the code rotted "
+    "(or starts passing protobuf-free, which would mean the env "
+    "assertion itself is stale)",
+    strict=True,
+)
 def test_transform_with_state_totals_equal_batch(spark, event_dir):
     """transformWithStateInPandas running totals == the batch aggregate
-    (count/sum per user). Requires protobuf (the transformWithState
-    state-server wire format); skipped where absent."""
-    pytest.importorskip(
-        "google.protobuf",
-        reason="transformWithState needs protobuf, not shipped here",
-    )
+    (count/sum per user)."""
     from pyspark.sql import functions as F
 
     from esco_neo4j_spark.streaming.events import (
