@@ -25,7 +25,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from esco_neo4j_spark.functions.text import normalize_ws, word_tokens
@@ -454,29 +454,78 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard near-dup pairs.
+    """Exact word-n-gram Jaccard near-dup pairs with LOSSLESS prefix
+    filtering (the SSJoin/PPJoin principle; Chaudhuri et al. 2006, Xiao
+    et al. 2008).
 
-    Implemented as an inverted-index join (explode shingles -> equi-join on
-    shingle -> count common -> Jaccard via |A|+|B|-common), NOT a cross
-    join — at 100 TB the shingle join shuffles on content, and pairs
-    sharing nothing never meet. Word shingles keep the inverted lists
-    short (a char-3-gram posting list covers ~half the corpus and the
-    join explodes quadratically; see minhash_signature docstring).
+    The naive inverted-index join (all postings x all postings per
+    shingle) is output-sensitive: work ~ sum over shingles of
+    |posting|^2, which the r3 sf1 audit measured going 19x on a 10x
+    corpus with realistic near-dup density. Prefix filtering bounds it
+    exactly: order shingles globally by (document frequency asc,
+    shingle), and index only each doc's first |S| - ceil(t*|S|) + 1
+    shingles in that order. Two sets with Jaccard >= t MUST share a
+    prefix element (prefix-filtering lemma: overlap >= ceil(t*max(|A|,
+    |B|)) forces the (|X| - overlap + 1)-prefixes to intersect; our
+    per-set prefixes are at least that long), so the prefix-prefix
+    equi-join yields every qualifying pair — and because prefixes are
+    RAREST-FIRST, hot shingles fall outside most prefixes and posting
+    lists stay short. Candidates are then verified exactly with one
+    array_intersect over the full shingle sets. Same output, bounded
+    join: measured 489s -> seconds at sf1.
+
+    Shuffle budget at 100 TB: shingle-df agg (content-keyed), per-doc
+    rank window (id-keyed), prefix equi-join (content-keyed, pruned),
+    verify join (pair-keyed) — all bounded by data or output size, no
+    posting-list cross products.
     """
     sh = shingled(df, text_col, id_col, shingle_n)
-    sizes = sh.select("id", F.size("sh").alias("n"))
-    inv = sh.select("id", F.explode("sh").alias("g"))
-    a = inv.select(F.col("id").alias("id_a"), "g")
-    b = inv.select(F.col("id").alias("id_b"), "g")
-    common = (
-        a.join(b, ["g"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("common"))
+    sh = sh.withColumn("n", F.size("sh"))
+    inv = sh.select("id", "n", F.explode("sh").alias("g"))
+    # global rarity order: document frequency per shingle
+    dfreq = inv.groupBy("g").agg(F.count("*").alias("df"))
+    # per-doc prefix length: |S| - ceil(t*|S|) + 1. The epsilon guards
+    # float error at exact integer boundaries (0.7*10 evaluating to
+    # 7.000...001 would shorten the prefix and break losslessness; a
+    # LONGER prefix is always safe).
+    plen = (
+        F.col("n")
+        - F.ceil(F.lit(float(threshold)) * F.col("n") - F.lit(1e-9))
+        + 1
     )
+    ranked = inv.join(dfreq, "g").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy(F.asc("df"), F.asc("g"))
+        ),
+    )
+    prefix = ranked.filter(F.col("rk") <= plen).select("id", "g")
+    cand = (
+        prefix.alias("pa")
+        .join(prefix.alias("pb"), "g")
+        .filter(F.col("pa.id") < F.col("pb.id"))
+        .select(
+            F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b")
+        )
+        .distinct()
+    )
+    # exact verify on the candidate pairs only
     return (
-        common.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        cand.join(
+            sh.select(
+                F.col("id").alias("id_a"), F.col("sh").alias("sha"),
+                F.col("n").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            sh.select(
+                F.col("id").alias("id_b"), F.col("sh").alias("shb"),
+                F.col("n").alias("nb"),
+            ),
+            "id_b",
+        )
+        .withColumn("common", F.size(F.array_intersect("sha", "shb")))
         .withColumn(
             "jaccard",
             F.round(
@@ -504,12 +553,17 @@ def embedding_neardup_pairs(
     hash embedding here). Cosine is computed SPARSELY via an inverted index
     on the non-zero buckets: pairs that share no bucket have dot = 0 and
     never meet in the join — the same no-cross-join trick as
-    ngram_jaccard_pairs, so the plan scales: explode (one narrow map),
-    shuffle on bucket, partial-agg dot products, join per-doc norms.
+    ngram_jaccard_pairs: explode (one narrow map), shuffle on bucket,
+    partial-agg dot products, join per-doc norms.
 
-    At 100 TB the bucket join is the only shuffle; hot buckets (stopword-
-    dominated) would be capped or IDF-weighted — at this corpus size the
-    exact join is the oracle-checkable choice.
+    SCALE CAVEAT (measured, sf1 audit r3): the pruning only helps while
+    vectors are SPARSE. Text hash-embeddings are dense — nearly every doc
+    posts to most of the ``dim`` buckets, so the index join degenerates
+    to all-pairs x dim (cliff observed at ~50k docs x 128 dims). Callers
+    wanting exact pairs bound the input (the calibration-window pattern);
+    the production semantic near-dup paths are the LSH family and
+    semantic_neardup_bucketed (SemDeDup cells), whose candidate sets stay
+    bucket-local.
     """
     from esco_neo4j_spark.operators.textmodel import embed_column
 

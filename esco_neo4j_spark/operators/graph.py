@@ -78,8 +78,35 @@ def aggregate_messages(
 
 
 def _checkpoint(df: DataFrame) -> DataFrame:
-    """Cut lineage between supersteps; eager so each round materializes once."""
-    return df.localCheckpoint(eager=True)
+    """Cut lineage between supersteps; eager so each round materializes once.
+
+    Also cuts STATS lineage: Spark 4's localCheckpoint propagates the
+    origin plan's statistics into the resulting LogicalRDD. Join size
+    estimates MULTIPLY child sizes, so in an iterative join loop the
+    sizeInBytes BigInt compounds ~3x digits per round (three-way join:
+    round r carries ~19*3^r digits); by round ~12 Catalyst burns minutes
+    of driver CPU in BigInteger Toom-Cook multiplications just planning
+    the next round (caught by the sf1 scale audit: msf_boruvka hung
+    >10 min on 15k edges, single driver core pegged inside
+    SizeInBytesOnlyStatsPlanVisitor). When the propagated estimate no
+    longer fits a sane byte count, rebuild the frame over the SAME
+    checkpointed JVM rows via internalCreateDataFrame, which restores
+    the default (finite) size estimate. AQE still makes the real
+    broadcast/skew decisions from runtime shuffle sizes, so dropping the
+    inflated estimate loses nothing.
+    """
+    ck = df.localCheckpoint(eager=True)
+    try:
+        # Unconditional rebuild. (A conditional "only when stats exploded"
+        # check is a trap: reading sizeInBytes from Python returns the
+        # BigInt through py4j, which stringifies it — itself O(n^2) on a
+        # million-digit value, observed pegging the driver.)
+        fresh = ck.sparkSession._jsparkSession.internalCreateDataFrame(
+            ck._jdf.queryExecution().toRdd(), ck._jdf.schema(), False
+        )
+        return type(ck)(fresh, ck.sparkSession)
+    except Exception:  # internal API moved — inflated stats, still correct
+        return ck
 
 
 @contextmanager

@@ -241,7 +241,8 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_cosine",
     sql=f"""
     WITH tok AS (
-      SELECT doc_id, unnest({_TOKENS_ALL_RAW}) AS t FROM documents
+      SELECT doc_id, unnest({_TOKENS_ALL_RAW}) AS t
+      FROM documents WHERE doc_id < 4096
     ),
     hashed AS (
       SELECT doc_id, ('0x' || substr(md5(t), 1, 7))::BIGINT AS h FROM tok
@@ -276,13 +277,18 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables=("documents",),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (>= 0.9) over 128-dim hash
-    embeddings from the model-UDF pipeline. Cosine is computed sparsely
-    via an inverted index on non-zero buckets (no cross join) — the same
-    candidate-pruning shape the 100 TB path needs; the oracle rebuilds
-    the identical embedding and score in SQL."""
+    """EXACT embedding-cosine near-dup pairs (>= 0.9) over 128-dim hash
+    embeddings from the model-UDF pipeline, on a FIXED calibration window
+    (doc_id < 4096). The inverted-index join is exact and avoids a cross
+    join, but on DENSE vectors nearly every doc posts to every bucket, so
+    its cost is O(N^2 * dim) in disguise — the sf1 scale audit measured
+    the cliff at ~50k docs. The id bound makes the exact query constant
+    cost at any corpus size (the ground truth that calibrates the
+    bucketed paths); the production-scale semantic near-dup is
+    dedup_semantic_bucketed (SemDeDup cells) / the LSH family."""
     return embedding_neardup_pairs(
-        spark.table("documents"), "text", "doc_id", threshold=0.9, dim=128
+        spark.table("documents").filter(F.col("doc_id") < 4096),
+        "text", "doc_id", threshold=0.9, dim=128,
     ).orderBy("id_a", "id_b")
 
 
@@ -766,12 +772,17 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT *, row_number() OVER (
           PARTITION BY vec_id ORDER BY s DESC, cid) AS rk FROM s)
       WHERE rk = 1),
+    capped AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster, row_number() OVER (
+          PARTITION BY cluster ORDER BY vec_id) AS rnc FROM a)
+      WHERE rnc <= 512),
     p AS (
       SELECT ax.cluster, x.vec_id AS id_a, y.vec_id AS id_b
       FROM embeddings x
-      JOIN a ax ON ax.vec_id = x.vec_id
+      JOIN capped ax ON ax.vec_id = x.vec_id
       JOIN embeddings y ON x.vec_id < y.vec_id
-      JOIN a ay ON ay.vec_id = y.vec_id
+      JOIN capped ay ON ay.vec_id = y.vec_id
       WHERE ax.cluster = ay.cluster
         AND round(list_cosine_similarity(
               CAST(x.embedding AS DOUBLE[]),
@@ -793,7 +804,14 @@ def dedup_semantic_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     join into k independent within-cluster joins — the same
     bucket-then-verify shape as the LSH family, but with semantic
     buckets. Ties in the rounded assignment score break to the lowest
-    centroid id on both engines."""
+    centroid id on both engines.
+
+    Scale guard (r3, sf1 audit): with FIXED k, within-cluster pairs are
+    O(N^2/k) — quadratic again at 10x. Per-cluster participation is
+    therefore capped at the 512 lowest vec_ids (deterministic windowed
+    drop, replayed in the oracle — the max_bucket guard the MinHash path
+    uses). The cap never binds at driver scales (~250/cluster at sf0.1);
+    at 100 TB production also scales k with N (IVF-style assignment)."""
     emb = spark.table("embeddings").filter(F.col("embedding").isNotNull())
     from pyspark.sql import Window
 
@@ -814,6 +832,12 @@ def dedup_semantic_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(wa))
         .filter(F.col("rk") == 1)
         .select("vec_id", F.col("cid").alias("cluster"))
+    )
+    wcap = Window.partitionBy("cluster").orderBy("vec_id")
+    assign = (
+        assign.withColumn("rnc", F.row_number().over(wcap))
+        .filter(F.col("rnc") <= 512)
+        .drop("rnc")
     )
     keyed = emb.join(assign, "vec_id").select(
         "cluster", "vec_id", "embedding"

@@ -86,7 +86,8 @@ def _lsh_topk_sql(n_planes: int = 4, n_tables: int = 8, dim: int = 64) -> str:
 
 
 def _lsh_join_sql(
-    threshold: float, n_planes: int = 4, n_tables: int = 16, dim: int = 64
+    threshold: float, n_planes: int = 4, n_tables: int = 16, dim: int = 64,
+    max_bucket: int = 1024,
 ) -> str:
     from esco_neo4j_spark.operators.similarity import _hyperplanes
 
@@ -104,13 +105,21 @@ def _lsh_join_sql(
         "list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),"
         " CAST(eb.embedding AS DOUBLE[]))"
     )
+    # capped replays the operator's max_bucket hot-bucket guard (lowest
+    # ids per (t, bucket) participate; never binds at driver scales)
     return f"""
     WITH keyed AS (
       {keyed}
     ),
+    capped AS (
+      SELECT vec_id, t, bucket FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY t, bucket ORDER BY vec_id) AS rb FROM keyed)
+      WHERE rb <= {max_bucket}
+    ),
     cand AS (
       SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-      FROM keyed x JOIN keyed y ON x.t = y.t AND x.bucket = y.bucket
+      FROM capped x JOIN capped y ON x.t = y.t AND x.bucket = y.bucket
       WHERE x.vec_id < y.vec_id
     )
     SELECT c.id_a, c.id_b,
