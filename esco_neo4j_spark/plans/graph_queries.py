@@ -1801,11 +1801,123 @@ def graph_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return priority_coloring(_edges(spark), rounds=16).orderBy("id")
 
 
+def _msf_unrolled_sql(n_rounds: int = 8, cc_rounds: int = 14) -> str:
+    """DuckDB twin of operators/graph.msf_boruvka with the NESTED
+    iteration fully unrolled: ``n_rounds`` Boruvka rounds, each embedding
+    ``cc_rounds`` hash-min + pointer-jump connected-components rounds
+    over that round's contraction graph.
+
+    Valid as a value oracle because BOTH loops are idempotent past their
+    fixpoints (an empty live set makes every later Boruvka round the
+    identity; min-adoption + pointer jumping re-derives the same state
+    once converged), so fixed unroll counts >= the rounds Spark actually
+    ran reproduce its early-exit semantics exactly — the same argument
+    as the LPA/Louvain oracles, applied one level deeper. Every quantity
+    is integer (ids, integer-hash weights stored as exact doubles,
+    row_number tie-breaks on (w, a, b)), so cross-engine equality is
+    exact. MATERIALIZED throughout: each round references its state
+    multiple times and DuckDB inlines plain CTEs per reference.
+    """
+    parts = [f"""
+    WITH base AS MATERIALIZED (
+      SELECT src, dst,
+             CAST((22853 * (src * 1000003 + dst) + 977) % 2147483647
+               AS DOUBLE) AS w
+      FROM (
+        SELECT DISTINCT src, dst FROM (
+          SELECT user_id AS src, user_id // 2 AS dst
+          FROM events WHERE user_id >= 1
+          UNION ALL
+          SELECT user_id AS src, user_id - 1 AS dst
+          FROM events WHERE user_id >= 2
+        )
+      )
+    ),
+    canon AS MATERIALIZED (
+      SELECT least(src, dst) AS a, greatest(src, dst) AS b, min(w) AS w
+      FROM base WHERE src <> dst GROUP BY 1, 2
+    ),
+    comp0 AS MATERIALIZED (
+      SELECT id, id AS component FROM (
+        SELECT DISTINCT a AS id FROM canon
+        UNION SELECT DISTINCT b FROM canon
+      )
+    )"""]
+    for r in range(n_rounds):
+        parts.append(f""",
+    live{r} AS MATERIALIZED (
+      SELECT c.a, c.b, c.w, ca.component AS cca, cb.component AS ccb
+      FROM canon c
+      JOIN comp{r} ca ON c.a = ca.id
+      JOIN comp{r} cb ON c.b = cb.id
+      WHERE ca.component <> cb.component
+    ),
+    picked{r} AS MATERIALIZED (
+      SELECT DISTINCT a, b, w FROM (
+        SELECT c, w, a, b, row_number() OVER (
+          PARTITION BY c ORDER BY w, a, b) AS rn
+        FROM (
+          SELECT cca AS c, w, a, b FROM live{r}
+          UNION ALL
+          SELECT ccb AS c, w, a, b FROM live{r}
+        )
+      ) WHERE rn = 1
+    ),
+    cgraph{r} AS MATERIALIZED (
+      SELECT l.cca AS src, l.ccb AS dst
+      FROM picked{r} p
+      JOIN (SELECT DISTINCT a, b, cca, ccb FROM live{r}) l
+        ON p.a = l.a AND p.b = l.b
+    ),
+    und{r} AS MATERIALIZED (
+      SELECT src, dst FROM cgraph{r}
+      UNION ALL SELECT dst, src FROM cgraph{r}
+    ),
+    st{r}_0 AS MATERIALIZED (
+      SELECT id, id AS component FROM (
+        SELECT DISTINCT src AS id FROM cgraph{r}
+        UNION SELECT DISTINCT dst FROM cgraph{r}
+      )
+    )""")
+        for j in range(cc_rounds):
+            parts.append(f""",
+    ad{r}_{j} AS MATERIALIZED (
+      SELECT id, min(component) AS component FROM (
+        SELECT id, component FROM st{r}_{j}
+        UNION ALL
+        SELECT e.dst AS id, s.component
+        FROM und{r} e JOIN st{r}_{j} s ON e.src = s.id
+      ) GROUP BY id
+    ),
+    st{r}_{j + 1} AS MATERIALIZED (
+      SELECT a.id, p.component
+      FROM ad{r}_{j} a JOIN ad{r}_{j} p ON a.component = p.id
+    )""")
+        parts.append(f""",
+    comp{r + 1} AS MATERIALIZED (
+      SELECT c.id, coalesce(s.component, c.component) AS component
+      FROM comp{r} c LEFT JOIN st{r}_{cc_rounds} s ON c.component = s.id
+    )""")
+    forest = "\n      UNION ALL\n      ".join(
+        f"SELECT a, b, w FROM picked{r}" for r in range(n_rounds)
+    )
+    parts.append(f"""
+    SELECT a, b, w AS weight FROM (
+      {forest}
+    )
+    ORDER BY a, b""")
+    return "".join(parts)
+
+
 @query(
     "graph_msf_boruvka",
-    sql=None,  # nested iteration (hash-min CC inside every Boruvka round)
-    # is not SQL-expressible even unrolled; the exact edge set is pinned
-    # against an independent plain-Python Kruskal in tests/test_graph.py
+    # FULL value oracle (r3, formerly rows-only): both the Boruvka loop
+    # AND the per-round hash-min/pointer-jump CC are unrolled as
+    # MATERIALIZED CTE rounds — see _msf_unrolled_sql for the
+    # idempotent-past-fixpoint argument. The exact edge set is ALSO
+    # pinned against an independent plain-Python Kruskal in
+    # tests/test_graph.py.
+    sql=_msf_unrolled_sql(n_rounds=8, cc_rounds=14),
     survey_ops="K(ext),C1,E",
     tables=("events",),
 )

@@ -39,8 +39,7 @@ def test_every_query_has_oracle_or_documented_rows_only():
         # no SQL zlib exists; exact plain-Python byte-count golden in
         # tests/test_textmodel.py
         "udf_compression_ratio",
-        # minimum-spanning-forest needs union-find across rounds (not
-        # SQL-expressible); pinned against a plain-Python Kruskal in
-        # tests/test_graph.py::test_msf_boruvka_matches_kruskal
-        "graph_msf_boruvka",
+        # (graph_msf_boruvka left this set in r3: the nested Boruvka x CC
+        # iteration unrolls to MATERIALIZED CTE rounds, idempotent past
+        # both fixpoints — _msf_unrolled_sql; the Kruskal golden remains)
     }
