@@ -102,3 +102,54 @@ def test_packing_conserves_tokens_and_fills_packs(spark, docs):
     # concat-and-chop: every pack boundary is crossed by a straddling doc
     # or met exactly, so no pack can start beyond the stream's end
     assert ids[-1] == (total - 1) // _CTX or ids[-1] == (total - 1) // _CTX - 1
+
+
+def test_ngram_jaccard_prefix_filter_lossless(spark):
+    """r3: PPJoin prefix filtering must return EXACTLY the brute-force
+    pair set on a corpus engineered with heavy near-duplication (clone
+    families at varying mutation strength, straddling the threshold)."""
+    from esco_neo4j_spark.operators.dedup import ngram_jaccard_pairs, shingled
+
+    base = ("the quick brown fox jumps over the lazy dog while seventeen "
+            "sleepy otters carry tiny baskets of ripe blackberries down "
+            "the winding river path toward the old stone mill")
+    words = base.split()
+    rows = []
+    did = 0
+    # family f mutates f words per copy: f=0,1 stay near-dups (J >= 0.7),
+    # higher f sinks below the threshold — pairs straddle the boundary
+    for fam in range(6):
+        for copy in range(5):
+            muts = {(copy * 5 + k * 7) % len(words) for k in range(fam)}
+            ws = [
+                (f"mut{fam}_{copy}_{i}" if i in muts else w)
+                for i, w in enumerate(words)
+            ]
+            rows.append((did, " ".join(ws) + f" fam{fam}"))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    got = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.7).collect()
+    )
+
+    # brute force over the same shingle sets
+    sets = {
+        r["id"]: set(r["sh"])
+        for r in shingled(df, "text", "doc_id", 3).collect()
+    }
+    import math
+
+    want = []
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            j = math.floor(j * 1e6 + 0.5) / 1e6
+            if j >= 0.7:
+                want.append((a, b, j))
+    assert got == sorted(want) and len(want) > 0

@@ -550,3 +550,30 @@ def test_lateral_top1_decorrelates_to_window(spark):
     plan = _plan(spark, "ext_lateral_top1_per_nation")
     assert "WindowGroupLimit" in plan or "Window" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lsh_join_exchanges_ids_not_vectors(spark):
+    """r3 scale guard: the LSH bucket join must carry IDS ONLY — the
+    embedding column may not flow through the (t, bucket) exchange
+    (width x candidate fanout filled 50 GB of shuffle at sf1). Vectors
+    enter via id-keyed joins at verify time, after pair dedup."""
+    plan = _plan(spark, "vec_lsh_similarity_join")
+    import re
+
+    # every exchange that partitions on the bucket key must not ship an
+    # embedding/vector column
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        args = m.group(1)
+        if "bucket" in args:
+            assert "embedding" not in args and "va" not in args, args
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_jaccard_prefix_filter_shape(spark):
+    """r3: prefix-filtered exact Jaccard — no cartesian anywhere, and the
+    verify stage computes the intersection from the two shingle ARRAYS
+    (array_intersect), not by re-joining full posting lists per pair."""
+    plan = _plan(spark, "dedup_ngram_jaccard")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "array_intersect" in plan
