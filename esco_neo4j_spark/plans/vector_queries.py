@@ -159,7 +159,7 @@ def vec_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "vec_similarity_join",
     sql="""
-    WITH cal AS (SELECT * FROM embeddings WHERE vec_id < 2048)
+    WITH cal AS (SELECT * FROM embeddings WHERE vec_id < 1024)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            CAST(round(list_cosine_similarity(
              CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS DOUBLE)
@@ -174,7 +174,7 @@ def vec_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def vec_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine join above a threshold on a FIXED
-    calibration window (vec_id < 2048) — the ground-truth baseline the
+    calibration window (vec_id < 1024) — the ground-truth baseline the
     scale paths are measured against (LSH recall floors, blocked-GEMM
     score agreement). The id bound makes the O(N^2) cost CONSTANT in
     corpus size, so this query is safe to keep registered at any SF;
@@ -182,7 +182,7 @@ def vec_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the 100 TB similarity join is vec_lsh_similarity_join (the
     driver-window C9 carrier)."""
     return cosine_self_join(
-        spark.table("embeddings").filter(F.col("vec_id") < 2048),
+        spark.table("embeddings").filter(F.col("vec_id") < 1024),
         threshold=0.45,
     ).orderBy("id_a", "id_b")
 
