@@ -1489,11 +1489,16 @@ def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
         F.sum(F.when(F.col("variant") == 0, F.col("cents")).otherwise(0)).alias("sum_a"),
         F.sum(F.when(F.col("variant") == 1, F.col("cents")).otherwise(0)).alias("sum_b"),
+        # decimal(38,0) sums: exact integers with 1e38 headroom — the
+        # int64 square-sum overflow class the sf1 audit caught in
+        # ext_pearson_corr (DuckDB sums BIGINT as HUGEINT already)
         F.sum(
-            F.when(F.col("variant") == 0, F.col("cents") * F.col("cents")).otherwise(0)
+            F.when(F.col("variant") == 0, F.col("cents") * F.col("cents"))
+            .otherwise(0).cast("decimal(38,0)")
         ).alias("ssq_a"),
         F.sum(
-            F.when(F.col("variant") == 1, F.col("cents") * F.col("cents")).otherwise(0)
+            F.when(F.col("variant") == 1, F.col("cents") * F.col("cents"))
+            .otherwise(0).cast("decimal(38,0)")
         ).alias("ssq_b"),
     )
     mean_a_c = F.col("sum_a") / F.col("n_a").cast("double")

@@ -295,7 +295,7 @@ _BAND = (
     "mm_ahash_hamming_hist",
     sql=f"""
     WITH m AS (
-      SELECT doc_id, {_BODY} AS body FROM documents
+      SELECT doc_id, {_BODY} AS body FROM documents WHERE doc_id < 8192
     ),
     sized AS (
       SELECT doc_id, body, length(body) AS len FROM m WHERE length(body) >= 64
@@ -334,11 +334,19 @@ def mm_ahash_hamming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     one projection (no shuffle, whole-stage codegen); candidate pairs come
     from 8x8-bit pigeonhole bands — lossless for hamming<=7, the same
     banding contract as dedup_simhash_banded — so no all-pairs join ever
-    forms. Real pixel decode stays behind the documented stub; this proves
-    the full fingerprint->band->join->bit_count refine pipeline on the
-    deterministic synthetic bodies. Two shuffles total (band join, final
-    histogram), both bounded, scale-safe at 100 TB."""
-    media = attach_payload(spark.table("documents"))
+    forms. This proves the full fingerprint->band->join->bit_count
+    refine pipeline on the deterministic synthetic bodies.
+
+    Calibration window (r3, doc_id < 8192): one-byte bands give only 256
+    buckets, so candidate pairs grow ~N^2/2048 — fine for threshold
+    calibration on a fixed sample (its purpose), quadratic as a corpus
+    sweep (the sf1 audit measured 342s at 50k docs). The id bound makes
+    the histogram constant cost at any SF; a full-corpus visual dedup
+    would band 16 bits (65k buckets, lossless to hamming<=3) like
+    dedup_simhash_banded."""
+    media = attach_payload(
+        spark.table("documents").filter(F.col("doc_id") < 8192)
+    )
     body = F.decode(
         F.expr("substring(payload, 21, length(payload) - 20)"), "UTF-8"
     )

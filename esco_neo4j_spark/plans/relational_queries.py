@@ -1328,21 +1328,26 @@ def ext_pearson_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines. The built-in corr() aggregates floats in partition order
     and cannot be value-oracled; this shape can, and it is also the
     numerically honest one at 100 TB (integer sums cannot drift).
-    Products stay far under int64: qty <= 50, cents <= ~1e7, rows ~6e6
-    at sf1."""
+    Per-row products fit int64 (cents^2 ~ 1e14), but the SUM of cents^2
+    does NOT at scale — ~2e19 at sf1 (caught by the r3 sf1 audit as an
+    ANSI long-overflow) — so the square sums aggregate as
+    decimal(38,0): still exact integer arithmetic, 1e38 headroom.
+    DuckDB's sum(BIGINT) is already HUGEINT, so the oracle needs no
+    change."""
     li = spark.table("lineitem")
     q = li.select(
         "l_returnflag",
         F.col("l_quantity").cast("bigint").alias("qty"),
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
     )
+    dec = "decimal(38,0)"
     s = q.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.sum("qty").alias("sx"),
         F.sum("cents").alias("sy"),
-        F.sum(F.col("qty") * F.col("qty")).alias("sxx"),
-        F.sum(F.col("cents") * F.col("cents")).alias("syy"),
-        F.sum(F.col("qty") * F.col("cents")).alias("sxy"),
+        F.sum((F.col("qty") * F.col("qty")).cast(dec)).alias("sxx"),
+        F.sum((F.col("cents") * F.col("cents")).cast(dec)).alias("syy"),
+        F.sum((F.col("qty") * F.col("cents")).cast(dec)).alias("sxy"),
     )
     # the POWER SUMS are exact int64; their combination overflows int64
     # (n * syy ~ 1e21), so it runs in double — scalar IEEE ops on
