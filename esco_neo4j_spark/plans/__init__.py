@@ -55,10 +55,13 @@ _DRIVER_WINDOW = [
     "udf_hash_embedding",
     "udf_translate_memoized",
     # multimodal binary columns — 5
+    # (r3: mm_pixel_stats carries REAL pixel decode — PPM bytes built
+    # JVM-side, decoded pure-Python in executors — replacing the
+    # planning-only mm_resize_dims, which stays mirror-checked)
     "mm_decode_metadata",
     "mm_feature_extract",
     "mm_frame_sample",
-    "mm_resize_dims",
+    "mm_pixel_stats",
     "mm_modality_stats",
     # streaming batch-twins (J) + H10 json + time-series gap fill — 5
     "events_sliding_window",
