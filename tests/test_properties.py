@@ -117,3 +117,50 @@ def test_salted_join_equals_plain_join(spark, big, small):
         .collect()
     )
     assert salted == plain
+
+
+# word pool small enough that random docs share shingles often — the
+# regime where prefix filtering has to prove losslessness
+_words = st.sampled_from(
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+)
+_docs = st.lists(
+    st.lists(_words, min_size=3, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=10,
+)
+
+
+@SLOW
+@given(texts=_docs)
+def test_prefix_filtered_jaccard_equals_brute_force(spark, texts):
+    """PPJoin prefix filtering is LOSSLESS: on arbitrary corpora the
+    filtered pair set equals the brute-force shingle-set Jaccard pairs
+    at the threshold (r3 scale fix for the quadratic posting-list
+    join)."""
+    import math
+
+    from esco_neo4j_spark.operators.dedup import ngram_jaccard_pairs, shingled
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.6).collect()
+    )
+    sets = {
+        r["id"]: set(r["sh"]) for r in shingled(df, "text", "doc_id", 3).collect()
+    }
+    want = []
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            j = math.floor(j * 1e6 + 0.5) / 1e6
+            if j >= 0.6:
+                want.append((a, b, j))
+    assert got == sorted(want)
