@@ -372,3 +372,96 @@ def test_clean_sessions_pipeline_end_to_end(spark, event_dir, tmp_path):
     run("b")  # full replay: new checkpoint, same sink -> idempotent
     again = _rows(spark.read.parquet(sink).filter("user_id <> 999999"))
     assert again == got
+
+
+def test_neardup_gate_stream_equals_incremental_batch(spark, tmp_path):
+    """The streaming near-dup gate (file stream, one file per trigger)
+    admits EXACTLY the documents the batch incremental operator admits
+    when the same batches arrive sequentially — and replaying the last
+    batch is a no-op (effectively-once on at-least-once delivery)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from esco_neo4j_spark.operators.dedup import minhash_incremental_pairs
+    from esco_neo4j_spark.streaming.dedup import (
+        neardup_gate_sink,
+        process_neardup_batch,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(120)
+    )
+    # 3 deterministic batches; batch 1 and 2 get EXACT copies of earlier
+    # docs under new ids, so the gate provably drops cross-batch dups
+    b0 = docs.filter("doc_id % 3 = 0")
+    b1 = docs.filter("doc_id % 3 = 1").unionByName(
+        b0.limit(5).selectExpr("doc_id + 100000 AS doc_id", "text")
+    )
+    b2 = docs.filter("doc_id % 3 = 2").unionByName(
+        b1.limit(5).selectExpr("doc_id + 200000 AS doc_id", "text")
+    )
+    stream_dir = str(tmp_path / "in")
+    os.makedirs(stream_dir)
+    for i, b in enumerate([b0, b1, b2]):
+        b.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage{i}")
+        )
+        src = [
+            f for f in os.listdir(str(tmp_path / f"stage{i}"))
+            if f.endswith(".parquet")
+        ][0]
+        os.rename(
+            str(tmp_path / f"stage{i}" / src),
+            os.path.join(stream_dir, f"{i:03d}.parquet"),
+        )
+
+    kwargs = dict(threshold=0.5, num_hashes=16, bands=4, max_bucket=None)
+    out_path = str(tmp_path / "accepted")
+    index_dir = str(tmp_path / "index")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = neardup_gate_sink(
+        stream, index_dir, out_path, str(tmp_path / "ckpt"), **kwargs
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r["doc_id"] for r in spark.read.parquet(out_path).collect()}
+
+    # batch twin: sequential replay through the INDEPENDENT incremental
+    # operator — accepted(k) = batch_k minus docs with a verified pair
+    # whose partner is accepted-so-far or a smaller id of the same batch
+    accepted = None
+    for b in [b0, b1, b2]:
+        union = b if accepted is None else accepted.unionByName(b)
+        batch_ids = {r["doc_id"] for r in b.collect()}
+        pairs = minhash_incremental_pairs(
+            union, "text", "doc_id",
+            new_pred=lambda c, s=frozenset(batch_ids): c.isin(list(s)),
+            **kwargs,
+        ).collect()
+        # (batch_id, other_id, jaccard, other_is_base): a batch doc with
+        # a base partner drops; a batch-batch pair drops its LARGER id
+        dropped = set()
+        for p in pairs:
+            if p["other_is_base"]:
+                dropped.add(p["batch_id"])
+            else:
+                dropped.add(max(p["batch_id"], p["other_id"]))
+        keep = b.filter(~F.col("doc_id").isin(list(dropped)) if dropped else F.lit(True))
+        accepted = keep if accepted is None else accepted.unionByName(keep)
+    want = {r["doc_id"] for r in accepted.collect()}
+    assert got == want and len(got) > 0
+    # the injected exact copies must all have been rejected
+    assert not any(d >= 100000 for d in got)
+
+    # replay idempotency: re-run the LAST batch manually; output unchanged
+    n_before = spark.read.parquet(out_path).count()
+    process_neardup_batch(b2, index_dir, out_path, **kwargs)
+    assert spark.read.parquet(out_path).count() == n_before
+    assert {r["doc_id"] for r in spark.read.parquet(out_path).collect()} == want
