@@ -38,8 +38,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL for every SQL-expressible query — including the
     iterative and approximate operators (pagerank, LPA, betweenness,
-    LSH/IVF, k-means, HITS, Luby MIS), which carry unrolled/closed-form
-    oracles. Only 5 remain rows-only (Louvain, HLL, GK sketches, zlib
-    compression, Boruvka MSF), each golden- or bound-tested in tests/
-    instead."""
+    LSH/IVF, k-means, HITS, Luby MIS, Louvain, Boruvka MSF), which carry
+    unrolled/closed-form oracles. Only 3 remain rows-only — HLL
+    (events_approx_distinct_rollup) and GK-sketch
+    (events_value_quantiles_approx) estimates and the zlib compression
+    ratio (udf_compression_ratio), each implementation-specific by nature
+    and golden- or bound-tested in tests/ instead."""
     return {name: q.sql for name, q in REGISTRY.items() if q.sql is not None}

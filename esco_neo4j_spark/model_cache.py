@@ -45,14 +45,36 @@ def _hub_dir_name(model_name: str) -> str:
     return "models--" + model_name.replace("/", "--")
 
 
+def _resolve_snapshot(model_dir: str, snapshots: list[str]) -> str:
+    """Pick the snapshot ``transformers`` itself would resolve: the commit
+    hash recorded in ``refs/main`` when that file exists and points at one
+    of the snapshot dirs; otherwise the most recently modified snapshot
+    (NOT the lexicographically first — hashes carry no ordering, and a
+    stale partial snapshot can sort before the complete one)."""
+    ref_path = os.path.join(model_dir, "refs", "main")
+    if os.path.isfile(ref_path):
+        try:
+            with open(ref_path, encoding="utf-8") as fh:
+                commit = fh.read().strip()
+        except OSError:
+            commit = ""
+        if commit:
+            ref_snap = os.path.join(model_dir, "snapshots", commit)
+            if os.path.isdir(ref_snap):
+                return ref_snap
+    return max(snapshots, key=os.path.getmtime)
+
+
 def verify_model_cache(
     cache_dir: str, model_name: str = DEFAULT_MODEL
 ) -> CacheReport:
     """Check that ``cache_dir`` holds a complete HuggingFace-hub cache of
     ``model_name``: locate the ``models--org--name`` directory anywhere
-    under the cache, pick a snapshot, and require one file per asset
-    category. Returns a CacheReport (ok=False + reason rather than
-    raising, so CLI callers can emit a structured error)."""
+    under the cache, resolve the snapshot transformers would use
+    (``refs/main`` when present, else newest mtime — see
+    ``_resolve_snapshot``), and require one file per asset category.
+    Returns a CacheReport (ok=False + reason rather than raising, so CLI
+    callers can emit a structured error)."""
     if not os.path.isdir(cache_dir):
         return CacheReport(False, None, error=f"cache dir not found: {cache_dir}")
     pattern = os.path.join(
@@ -70,7 +92,7 @@ def verify_model_cache(
     )
     if not snapshots:
         return CacheReport(False, None, error=f"no snapshots in {model_dirs[0]}")
-    snap = snapshots[0]
+    snap = _resolve_snapshot(model_dirs[0], snapshots)
     found: dict[str, str] = {}
     missing: list[str] = []
     for category, names in REQUIRED_ASSETS.items():

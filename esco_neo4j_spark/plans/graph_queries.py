@@ -1801,7 +1801,21 @@ def graph_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return priority_coloring(_edges(spark), rounds=16).orderBy("id")
 
 
-def _msf_unrolled_sql(n_rounds: int = 8, cc_rounds: int = 14) -> str:
+# One constant drives BOTH sides of the graph_msf_boruvka gate: the Spark
+# operator's max_iter AND the oracle's Boruvka unroll count. Because the
+# operator emits exactly its first max_iter rounds of picks (early-exiting
+# once no live inter-component edge remains) and the unrolled SQL emits the
+# identical deterministic round-prefix (idempotent past the fixpoint), the
+# two sides agree BY CONSTRUCTION at any scale — even on a graph too deep
+# to converge in this many rounds. Full convergence (complete forest) is a
+# separate property, asserted vs a plain-Python Kruskal in
+# tests/test_graph.py at test scale; 8 rounds converge comfortably on the
+# events graph (components at least halve per round; the hash weights make
+# chains collapse far faster — sf0.1 converges in <5 rounds).
+MSF_UNROLL_ROUNDS = 8
+
+
+def _msf_unrolled_sql(n_rounds: int = MSF_UNROLL_ROUNDS, cc_rounds: int = 14) -> str:
     """DuckDB twin of operators/graph.msf_boruvka with the NESTED
     iteration fully unrolled: ``n_rounds`` Boruvka rounds, each embedding
     ``cc_rounds`` hash-min + pointer-jump connected-components rounds
@@ -1914,10 +1928,11 @@ def _msf_unrolled_sql(n_rounds: int = 8, cc_rounds: int = 14) -> str:
     # FULL value oracle (r3, formerly rows-only): both the Boruvka loop
     # AND the per-round hash-min/pointer-jump CC are unrolled as
     # MATERIALIZED CTE rounds — see _msf_unrolled_sql for the
-    # idempotent-past-fixpoint argument. The exact edge set is ALSO
-    # pinned against an independent plain-Python Kruskal in
-    # tests/test_graph.py.
-    sql=_msf_unrolled_sql(n_rounds=8, cc_rounds=14),
+    # idempotent-past-fixpoint argument, and MSF_UNROLL_ROUNDS for why
+    # sharing the round cap with the operator makes the match exact by
+    # construction. The exact edge set is ALSO pinned against an
+    # independent plain-Python Kruskal in tests/test_graph.py.
+    sql=_msf_unrolled_sql(n_rounds=MSF_UNROLL_ROUNDS, cc_rounds=14),
     survey_ops="K(ext),C1,E",
     tables=("events",),
 )
@@ -1943,7 +1958,7 @@ def graph_msf_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 2_147_483_647
     ).cast("double")
     return (
-        msf_boruvka(edges.withColumn("weight", w))
+        msf_boruvka(edges.withColumn("weight", w), max_iter=MSF_UNROLL_ROUNDS)
         .orderBy("a", "b")
     )
 

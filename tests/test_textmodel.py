@@ -266,6 +266,51 @@ def test_verify_model_cache(tmp_path):
     assert full.snapshot_dir.endswith("abc123")
 
 
+def test_verify_model_cache_snapshot_resolution(tmp_path):
+    """With a stale partial snapshot sorting BEFORE the complete one, the
+    gate must verify the snapshot transformers would actually resolve:
+    refs/main when present, else the newest-mtime snapshot — never the
+    lexicographically first."""
+    import os
+    import time
+
+    from esco_neo4j_spark.model_cache import verify_model_cache
+
+    cache = tmp_path / "model_cache"
+    model_dir = cache / "hub" / "models--Helsinki-NLP--opus-mt-en-he"
+    stale = model_dir / "snapshots" / "0000aaaa"  # sorts first, incomplete
+    good = model_dir / "snapshots" / "ffffbbbb"
+    stale.mkdir(parents=True)
+    good.mkdir(parents=True)
+    (stale / "config.json").write_text("x")  # partial download leftover
+    for name in (
+        "model.safetensors", "config.json", "tokenizer_config.json",
+        "vocab.json", "source.spm", "target.spm",
+    ):
+        (good / name).write_text("x")
+
+    # No refs/main: newest mtime wins (the complete snapshot).
+    past = time.time() - 3600
+    os.utime(stale, (past, past))
+    by_mtime = verify_model_cache(str(cache))
+    assert by_mtime.ok and by_mtime.snapshot_dir.endswith("ffffbbbb")
+
+    # refs/main present: it wins even when the OTHER snapshot is newer.
+    refs = model_dir / "refs"
+    refs.mkdir()
+    (refs / "main").write_text("ffffbbbb\n")
+    now = time.time()
+    os.utime(stale, (now + 60, now + 60))
+    by_ref = verify_model_cache(str(cache))
+    assert by_ref.ok and by_ref.snapshot_dir.endswith("ffffbbbb")
+
+    # refs/main pointing at a missing snapshot falls back to mtime.
+    (refs / "main").write_text("deadbeef\n")
+    fallback = verify_model_cache(str(cache))
+    assert fallback.snapshot_dir.endswith("0000aaaa")  # now newest, partial
+    assert not fallback.ok and "model" in fallback.missing
+
+
 def test_cli_translate_model_dir_gate(tmp_path, capsys):
     """cmd_translate --model-dir refuses to run against an incomplete
     cache (exit 2 with a structured error), before any Spark work."""
