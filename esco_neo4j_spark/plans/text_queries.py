@@ -1302,3 +1302,238 @@ def text_keyword_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- BPE tokenizer: distributed trainer + subword application ---------------
+#
+# The scale-correct BPE shape (Sennrich et al. 2016, as production trainers
+# implement it): ONE corpus-wide pass builds the (word, freq) vocabulary
+# table, after which every merge round runs on vocabulary-sized state —
+# training cost is independent of corpus size beyond that first groupBy.
+# Each word is represented as a "(tok)(tok)...(tok)($)" string ('$' = the
+# end-of-word marker; word tokens are [a-z0-9']+ runs, so '(' ')' '$' can
+# never appear inside a token). Wrapping every token in parens makes a
+# merge application a plain literal replace('(l)(r)' -> '(lr)') that is
+# EXACT: adjacent occurrences share no characters (each token's delimiters
+# belong to itself alone), so both engines' left-to-right non-overlapping
+# replace semantics coincide with BPE's greedy leftmost merge — and a pair
+# pattern can only match at true token boundaries, never inside a longer
+# token. Each round: pair counts via a per-word array expression (zero
+# shuffle) + one map-side-combinable groupBy, a 1-row TakeOrdered argmax
+# (count desc, then pair string asc — space sorts below every token char,
+# so string order == (left, right) tuple order), then the narrow replace.
+# The driver holds only the K-row merge table — same bounded-state budget
+# as the k-means centroids. The DuckDB oracle unrolls the K rounds with
+# scalar-subquery argmaxes: every count is an integer, every state a
+# string, so cross-engine equality is exact.
+_BPE_ROUNDS = 8
+
+
+def _bpe_rounds_sql(n_rounds: int = _BPE_ROUNDS) -> str:
+    """WITH-clause prefix shared by the train/apply oracles: words ->
+    rep0 -> (pairs{r}, best{r}, rep{r+1}) per unrolled merge round."""
+    parts = [f"""
+    WITH words AS MATERIALIZED (
+      SELECT w, count(*) AS freq
+      FROM (SELECT unnest({_TOKENS}) AS w FROM documents)
+      GROUP BY w
+    ),
+    rep0 AS MATERIALIZED (
+      SELECT w, freq,
+             regexp_replace(w, '(.)', '(\\1)', 'g') || '($)' AS rep
+      FROM words
+    )"""]
+    for r in range(n_rounds):
+        parts.append(f""",
+    pairs{r} AS MATERIALIZED (
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
+        SELECT freq, unnest(list_transform(
+                 generate_series(1, len(ts) - 1),
+                 i -> ts[i] || ' ' || ts[i + 1])) AS pair
+        FROM (SELECT freq,
+                     string_split(substring(rep, 2, length(rep) - 2),
+                                  ')(') AS ts
+              FROM rep{r})
+      ) GROUP BY pair
+    ),
+    best{r} AS MATERIALIZED (
+      SELECT split_part(pair, ' ', 1) AS lt,
+             split_part(pair, ' ', 2) AS rt, n
+      FROM pairs{r} ORDER BY n DESC, pair LIMIT 1
+    ),
+    rep{r + 1} AS MATERIALIZED (
+      SELECT w, freq,
+             replace(rep,
+                     '(' || (SELECT lt FROM best{r}) || ')(' ||
+                       (SELECT rt FROM best{r}) || ')',
+                     '(' || (SELECT lt FROM best{r}) ||
+                       (SELECT rt FROM best{r}) || ')') AS rep
+      FROM rep{r}
+    )""")
+    return "".join(parts)
+
+
+def _bpe_train_final_sql(n_rounds: int = _BPE_ROUNDS) -> str:
+    rows = "\n      UNION ALL\n      ".join(
+        f"""SELECT CAST({r + 1} AS INTEGER) AS merge_round,
+             (SELECT lt FROM best{r}) AS left_tok,
+             (SELECT rt FROM best{r}) AS right_tok,
+             CAST((SELECT n FROM best{r}) AS BIGINT) AS pair_count,
+             (SELECT CAST(sum(freq * (length(rep)
+                        - length(replace(rep, '(', '')))) AS BIGINT)
+              FROM rep{r + 1}) AS corpus_tokens"""
+        for r in range(n_rounds)
+    )
+    return f"""
+    SELECT * FROM (
+      {rows}
+    ) ORDER BY merge_round"""
+
+
+def _bpe_merge_loop(spark: SparkSession):
+    """Run the K-round BPE trainer; returns (per-round merge rows, final
+    vocabulary state with the fully-merged rep column)."""
+    d = spark.table("documents")
+    state = (
+        d.select(F.explode(word_tokens(F.col("text"))).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("freq"))
+        .select(
+            "w", "freq",
+            F.concat(
+                F.regexp_replace(F.col("w"), "(.)", "($1)"), F.lit("($)")
+            ).alias("rep"),
+        )
+        .cache()
+    )
+    rows = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        ts = F.split(F.expr("substring(rep, 2, length(rep) - 2)"), r"\)\(")
+        pairs = (
+            state.select("freq", ts.alias("ts"))
+            # fully-merged single-token words have no pairs; without the
+            # guard sequence(0, -1) would DESCEND and index out of bounds
+            .filter(F.size("ts") >= 2)
+            .select("freq", F.explode(F.expr(
+                "transform(sequence(0, size(ts) - 2),"
+                " i -> concat(ts[i], ' ', ts[i + 1]))")).alias("pair"))
+            .groupBy("pair").agg(F.sum("freq").alias("n"))
+        )
+        top = pairs.orderBy(F.desc("n"), F.asc("pair")).limit(1).collect()
+        if not top:  # pragma: no cover — chars+EOW always yield pairs
+            break
+        lt, rt = top[0]["pair"].split(" ")
+        state = state.withColumn(
+            "rep",
+            F.replace(
+                F.col("rep"), F.lit(f"({lt})({rt})"), F.lit(f"({lt}{rt})")
+            ),
+        )
+        tokens_after = state.select(
+            F.sum(
+                F.col("freq") * (
+                    F.length("rep")
+                    - F.length(F.replace(F.col("rep"), F.lit("("), F.lit("")))
+                )
+            ).alias("t")
+        ).collect()[0]["t"]
+        rows.append((rnd, lt, rt, int(top[0]["n"]), int(tokens_after)))
+    return rows, state
+
+
+@query(
+    "text_bpe_train",
+    sql=_bpe_rounds_sql() + _bpe_train_final_sql(),
+    survey_ops="text-bpe(ext),D2,F2",
+    tables=("documents",),
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING — the full loop whose inner
+    statistic text_bpe_pair_counts exposes: per round, count adjacent
+    token pairs over the vocabulary (weighted by word frequency), merge
+    the argmax pair everywhere, repeat. Output is the learned merge
+    table: (merge_round, left_tok, right_tok, pair_count, corpus_tokens
+    after the merge) — the compression curve of the tokenizer. State is
+    vocabulary-sized from round 1 on (the header comment has the scale
+    argument and the paren-wrapping exactness proof); the K-row merge
+    table is the only driver-side result, like the k-means centroids."""
+    rows, _ = _bpe_merge_loop(spark)
+    return spark.createDataFrame(
+        rows,
+        "merge_round int, left_tok string, right_tok string, "
+        "pair_count bigint, corpus_tokens bigint",
+    ).orderBy("merge_round")
+
+
+@query(
+    "text_bpe_subword_stats",
+    sql=_bpe_rounds_sql() + f""",
+    docw AS MATERIALIZED (
+      SELECT source, unnest({_TOKENS}) AS w FROM documents
+    ),
+    j AS MATERIALIZED (
+      SELECT d.source, r.rep FROM docw d JOIN rep{_BPE_ROUNDS} r ON d.w = r.w
+    ),
+    agg AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(length(rep) - length(replace(rep, '(', '')))
+                  AS BIGINT) AS subword_tokens
+      FROM j GROUP BY source
+    ),
+    dv AS (
+      SELECT source, CAST(count(DISTINCT t) AS BIGINT) AS distinct_subwords
+      FROM (
+        SELECT source,
+               unnest(string_split(substring(rep, 2, length(rep) - 2),
+                                   ')(')) AS t
+        FROM j
+      ) GROUP BY source
+    )
+    SELECT a.source, a.n_words, a.subword_tokens,
+           CAST(round(a.subword_tokens / CAST(a.n_words AS DOUBLE), 6)
+                AS DOUBLE) AS subwords_per_word,
+           dv.distinct_subwords
+    FROM agg a JOIN dv USING (source)
+    ORDER BY source
+    """,
+    survey_ops="text-bpe(ext),C1,D3",
+    tables=("documents",),
+)
+def text_bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the trained BPE to the corpus: per source, words are joined
+    to the broadcast vocabulary->subword table (the set-oriented form of
+    running a tokenizer — each distinct word is segmented once, not per
+    occurrence) and rolled up into subword-token totals, tokens-per-word,
+    and the distinct subword inventory. The join is broadcast (vocabulary
+    -sized build side); everything after is one shuffle per aggregate.
+    Token counts derive from the rep string (count of '(' delimiters), so
+    the oracle replays them exactly."""
+    _, state = _bpe_merge_loop(spark)
+    docw = spark.table("documents").select(
+        "source", F.explode(word_tokens(F.col("text"))).alias("w")
+    )
+    j = docw.join(F.broadcast(state.select("w", "rep")), "w")
+    tok_n = F.length("rep") - F.length(
+        F.replace(F.col("rep"), F.lit("("), F.lit(""))
+    )
+    agg = j.groupBy("source").agg(
+        F.count("*").alias("n_words"),
+        F.sum(tok_n).alias("subword_tokens"),
+    )
+    ts = F.split(F.expr("substring(rep, 2, length(rep) - 2)"), r"\)\(")
+    dv = (
+        j.select("source", F.explode(ts).alias("t")).distinct()
+        .groupBy("source").agg(F.count("*").alias("distinct_subwords"))
+    )
+    return (
+        agg.join(dv, "source")
+        .select(
+            "source",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("subword_tokens").cast("long").alias("subword_tokens"),
+            F.round(
+                F.col("subword_tokens") / F.col("n_words"), 6
+            ).alias("subwords_per_word"),
+            F.col("distinct_subwords").cast("long").alias("distinct_subwords"),
+        )
+        .orderBy("source")
+    )

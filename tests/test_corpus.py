@@ -153,3 +153,47 @@ def test_ngram_jaccard_prefix_filter_lossless(spark):
             if j >= 0.7:
                 want.append((a, b, j))
     assert got == sorted(want) and len(want) > 0
+
+
+def test_bpe_merge_semantics(spark):
+    """BPE trainer invariants on a tiny literal corpus: (1) overlapping
+    pair runs merge greedily left-to-right ('aaaa' -> [aa, aa, $], never
+    [a, aaa...]); (2) the argmax tie-break is the pair string, so 'a b'
+    beats 'c d' at equal count; (3) a merge rule (a, b) never fires
+    inside longer tokens ('abx' stays untouched by it)."""
+    from esco_neo4j_spark.plans.text_queries import _bpe_merge_loop
+
+    spark.createDataFrame(
+        [(1, "aaaa aaaa ab cd abx", "src0")], ["doc_id", "text", "source"]
+    ).createOrReplaceTempView("documents")
+    try:
+        rows, state = _bpe_merge_loop(spark)
+        # round 1: 'a a' appears 3x in each 'aaaa' (weight 2 words... freq
+        # counted per word-occurrence: 'aaaa' freq=2, pairs 3 each -> 6).
+        r1 = rows[0]
+        assert (r1[1], r1[2]) == ("a", "a") and r1[3] == 6
+        # greedy overlap: after merging (a,a), each 'aaaa' is
+        # (aa)(aa)($) = 3 tokens (x2 words) and ab/cd/abx are untouched
+        # (3+3+4): corpus = 16. A boundary-consumption bug (first match
+        # eating the next one's delimiter) would leave (aa)(a)(a)($) = 18.
+        assert r1[4] == 16
+        # after all rounds every rep must still be a partition of the
+        # word's characters + EOW — merges never corrupt token content
+        reps = {r["w"]: r["rep"] for r in state.collect()}
+        for w, rep in reps.items():
+            assert rep.replace("(", "").replace(")", "") == w + "$"
+    finally:
+        spark.catalog.dropTempView("documents")
+
+
+def test_bpe_tiebreak_prefers_smaller_pair_string(spark):
+    from esco_neo4j_spark.plans.text_queries import _bpe_merge_loop
+
+    spark.createDataFrame(
+        [(1, "ab cd", "src0")], ["doc_id", "text", "source"]
+    ).createOrReplaceTempView("documents")
+    try:
+        rows, _ = _bpe_merge_loop(spark)
+        assert (rows[0][1], rows[0][2]) == ("a", "b")
+    finally:
+        spark.catalog.dropTempView("documents")
