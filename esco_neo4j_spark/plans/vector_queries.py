@@ -411,6 +411,99 @@ def vec_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "vec_ivfpq_topk",
+    sql=f"""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE embedding IS NOT NULL
+    ),
+    cents AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE embedding IS NOT NULL
+      ORDER BY vec_id LIMIT 8
+    ),
+    assign AS (
+      SELECT vec_id, v, cid AS cell, cvec FROM (
+        SELECT t.vec_id, t.v, c.cid, c.cvec,
+               row_number() OVER (
+                 PARTITION BY t.vec_id
+                 ORDER BY list_cosine_similarity(t.v, c.cvec) DESC, c.cid ASC
+               ) AS rn
+        FROM vecs t CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    res AS (
+      SELECT vec_id, cell,
+             list_transform(list_zip(v, cvec), x -> x[1] - x[2]) AS r
+      FROM assign
+    ),
+    rcb AS (
+      SELECT vec_id AS kid, r AS kv FROM res ORDER BY vec_id LIMIT 16
+    ),
+    subs AS (SELECT unnest(generate_series(0, 7)) AS s),
+    dists AS (
+      SELECT t.vec_id, subs.s, rcb.kid,
+             round(list_aggregate(list_transform(generate_series(1, 8),
+                   i -> (t.r[subs.s*8 + i] - rcb.kv[subs.s*8 + i])
+                      * (t.r[subs.s*8 + i] - rcb.kv[subs.s*8 + i])),
+                   'sum'), 9) AS d
+      FROM res t, subs, rcb
+    ),
+    codes AS (
+      SELECT vec_id, s, kid AS code FROM dists
+      QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, kid) = 1
+    ),
+    q AS (SELECT {_ANCHOR_SQL} AS qv),
+    probe AS (
+      SELECT cid, cvec FROM cents, q
+      ORDER BY list_cosine_similarity(cvec, qv) DESC, cid ASC
+      LIMIT 2
+    ),
+    qres AS (
+      SELECT cid, list_transform(list_zip(qv, cvec), x -> x[1] - x[2]) AS qr
+      FROM probe, q
+    ),
+    adc AS (
+      SELECT c.vec_id,
+             sum(CAST(floor(list_aggregate(list_transform(
+                   generate_series(1, 8),
+                   i -> (p.qr[c.s*8 + i] - kb.kv[c.s*8 + i])
+                      * (p.qr[c.s*8 + i] - kb.kv[c.s*8 + i])),
+                   'sum') * 1e9 + 0.5) AS BIGINT)) AS d2n
+      FROM codes c
+      JOIN res t USING (vec_id)
+      JOIN qres p ON p.cid = t.cell
+      JOIN rcb kb ON kb.kid = c.code
+      GROUP BY c.vec_id
+    ),
+    cand AS (SELECT vec_id FROM adc ORDER BY d2n, vec_id LIMIT 30)
+    SELECT e.vec_id,
+           CAST(round({_COS.format(anchor=_ANCHOR_SQL)}, 6) AS DOUBLE) AS score
+    FROM embeddings e JOIN cand USING (vec_id)
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+    survey_ops="A7(scale),H1,K7",
+    tables=("embeddings",),
+)
+def vec_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ residual ANN (the FAISS IVFPQ architecture, completing the
+    compression-family set after IVF / PQ / SQ8): coarse cell assignment,
+    PQ codes over RESIDUALS (vector minus cell centroid — the residual
+    trick that makes coarse+fine quantization compose), per-cell ADC
+    lookup tables in integer nano-units (floor(x*1e9 + 0.5) in Python,
+    Spark, and DuckDB alike, so candidate ranking is an integer sort),
+    nprobe=2, exact re-rank of the best 30. Every stage deterministic —
+    the full coarse->residual->encode->ADC->rerank pipeline is value-hash
+    oracle-checked. See operators/similarity.ivfpq_topk for the 100 TB
+    shape (offline build partitioned by cell, code-only probe scans)."""
+    from esco_neo4j_spark.operators.similarity import ivfpq_topk
+
+    return ivfpq_topk(
+        spark.table("embeddings"), _anchor_vec(spark),
+        k=10, rerank=30, n_cells=8, nprobe=2, m=8, n_codes=16,
+    )
+
 
 def _kmeans_unrolled_sql(k: int = 8, n_iter: int = 3, dim: int = 64) -> str:
     """DuckDB twin of operators/similarity.kmeans_lloyd, unrolled: per

@@ -107,6 +107,33 @@ def test_pq_topk_subset_and_recall(emb, anchor):
     assert recall >= 0.6  # 8x16 codebook on 64-dim, rerank=30
 
 
+def test_ivfpq_topk_subset_and_recall(emb, anchor):
+    from esco_neo4j_spark.operators.similarity import ivfpq_topk
+
+    # IVF-PQ re-ranks candidates exactly: every hit carries its TRUE score
+    full = {
+        r.vec_id: r.score
+        for r in brute_force_topk(emb, anchor, k=emb.count()).collect()
+    }
+    hits = ivfpq_topk(emb, anchor, k=10, rerank=30).collect()
+    assert all(full.get(r.vec_id) == r.score for r in hits)
+    # the anchor is in the table and lands in its own probed cell:
+    # residual-PQ of the anchor scores itself near-perfectly -> rank 1
+    assert hits[0].vec_id == 0 and hits[0].score == 1.0
+    top10 = [r.vec_id for r in brute_force_topk(emb, anchor, k=10).collect()]
+    recall = len({r.vec_id for r in hits} & set(top10)) / 10
+    # nprobe=2 of 8 cells bounds recall by cell coverage; residual codes
+    # are sharper than raw-vector PQ at equal budget
+    assert recall >= 0.5
+
+
+def test_ivfpq_zero_norm_query_is_empty(emb):
+    from esco_neo4j_spark.operators.similarity import ivfpq_topk
+
+    out = ivfpq_topk(emb, [0.0] * 64, k=10)
+    assert out.count() == 0 and out.columns == ["vec_id", "score"]
+
+
 def test_kmeans_recovers_separated_blobs(spark):
     """Two tight blobs 14 units apart, ids interleaved so the first-2-ids
     init lands one seed in each blob: Lloyd's must separate them exactly
