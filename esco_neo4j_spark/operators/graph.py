@@ -1860,3 +1860,54 @@ def k_truss(edges: DataFrame, k: int, max_rounds: int = 8) -> DataFrame:
             F.coalesce(F.col("s"), F.lit(0)).cast("int").alias("support"),
         )
     )
+
+
+def core_numbers(edges: DataFrame, n_rounds: int = 20) -> DataFrame:
+    """Per-vertex core number (coreness: the largest k such that the
+    vertex survives in the k-core) by H-index iteration (Lu, Zhou et al.
+    2016, "The H-index of a network node and its relation to degree and
+    coreness"): initialize every vertex at its degree, then repeatedly set
+    c(v) to the H-index of its neighbors' current values — the largest h
+    such that >= h neighbors have value >= h. The sequence is monotone
+    non-increasing and converges exactly to the core number; once
+    converged, further rounds are the IDENTITY, so a fixed round count
+    shared with the unrolled SQL oracle makes cross-engine equality hold
+    by construction (the msf_boruvka argument) while a golden test pins
+    true convergence at test scale.
+
+    Per round: one (edges x estimates) equi-join and one per-vertex
+    window max(least(rank, value)) — both shuffle on vertex id, state is
+    exactly |V| rows, and rounds needed are the peeling depth (graph
+    diameter worst case, O(log V) on the tree-plus-chain event graphs).
+    Generalizes k_core (fixed k membership) to the full decomposition.
+    Returns (id, core). Cypher analog: none in the reference (extension
+    per SURVEY §2.K).
+    """
+    und_c = (
+        undirected(edges)
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = und_c.union(und_c.select(F.col("b"), F.col("a"))).toDF("src", "dst")
+    adj = _checkpoint(adj)
+    est = (
+        adj.groupBy("src").agg(F.count("*").alias("core"))
+        .withColumnRenamed("src", "id")
+    )
+    est = _checkpoint(est)
+    for _ in range(n_rounds):
+        nb = adj.join(
+            est.select(F.col("id").alias("dst"), F.col("core").alias("nv")),
+            "dst",
+        )
+        w = Window.partitionBy("src").orderBy(F.desc("nv"), F.asc("dst"))
+        est = _checkpoint(
+            nb.withColumn("rn", F.row_number().over(w))
+            .groupBy("src")
+            .agg(F.max(F.least(F.col("rn").cast("long"), F.col("nv")))
+                 .alias("core"))
+            .withColumnRenamed("src", "id")
+        )
+    return est

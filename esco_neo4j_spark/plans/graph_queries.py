@@ -2295,3 +2295,94 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "reciprocity",
         F.round(F.col("n_reciprocal") * 1.0 / F.col("n_directed"), 6),
     )
+
+
+# --- core-number decomposition (full coreness, not just fixed-k) ------------
+# Shared round cap: the operator runs exactly this many H-index rounds and
+# the oracle unrolls the same count — equality by construction even before
+# convergence (msf_boruvka argument); tests/test_graph.py pins convergence
+# to the true peeling core numbers at test scale. 20 rounds cover the
+# events graph comfortably (peeling depth tracks tree depth ~ log2 V).
+CORE_UNROLL_ROUNDS = 20
+
+
+def _core_numbers_unrolled_sql(n_rounds: int = CORE_UNROLL_ROUNDS) -> str:
+    """DuckDB twin of operators/graph.core_numbers on the events user
+    graph, H-index rounds unrolled: per round one estimates join and one
+    per-vertex max(least(rank, neighbor_value)) window — all integers, so
+    cross-engine equality is exact."""
+    parts = ["""
+    WITH base AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM (
+        SELECT user_id AS src, user_id // 2 AS dst
+        FROM events WHERE user_id >= 1
+        UNION ALL
+        SELECT user_id AS src, user_id - 1 AS dst
+        FROM events WHERE user_id >= 2
+      ) WHERE src <> dst
+    ),
+    adj AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM base
+      UNION ALL
+      SELECT b AS src, a AS dst FROM base
+    ),
+    est0 AS MATERIALIZED (
+      SELECT src AS id, count(*) AS core FROM adj GROUP BY src
+    )"""]
+    for r in range(n_rounds):
+        parts.append(f""",
+    est{r + 1} AS MATERIALIZED (
+      SELECT src AS id, max(least(rn, nv)) AS core FROM (
+        SELECT a.src, e.core AS nv,
+               row_number() OVER (
+                 PARTITION BY a.src ORDER BY e.core DESC, a.dst) AS rn
+        FROM adj a JOIN est{r} e ON a.dst = e.id
+      ) GROUP BY src
+    )""")
+    parts.append(f"""
+    SELECT CAST(core AS BIGINT) AS core,
+           CAST(count(*) AS BIGINT) AS n_vertices,
+           CAST(sum(id) AS BIGINT) AS sum_id
+    FROM est{n_rounds}
+    GROUP BY core ORDER BY core""")
+    return "".join(parts)
+
+
+@query(
+    "graph_core_numbers",
+    sql=_core_numbers_unrolled_sql(),
+    survey_ops="K(ext),C1,E,D2",
+    tables=("events",),
+)
+def graph_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full core-number (coreness) decomposition of the events user graph
+    by H-index iteration — generalizes graph_kcore's fixed-k membership to
+    the whole k-core hierarchy in one pass, the standard graph-summary
+    statistic for density stratification. Result is the coreness
+    histogram with a per-core id checksum (sum_id pins the exact vertex
+    assignment at any scale without shipping |V| rows through the gate).
+    See operators/graph.core_numbers for the per-round shuffle budget and
+    CORE_UNROLL_ROUNDS for the shared-cap oracle argument."""
+    from esco_neo4j_spark.operators.graph import core_numbers
+
+    ev = spark.table("events")
+    tree = ev.filter(F.col("user_id") >= 1).select(
+        F.col("user_id").alias("src"),
+        (F.col("user_id") / 2).cast("bigint").alias("dst"),
+    )
+    sib = ev.filter(F.col("user_id") >= 2).select(
+        F.col("user_id").alias("src"),
+        (F.col("user_id") - 1).alias("dst"),
+    )
+    edges = tree.union(sib).distinct()
+    cores = core_numbers(edges, n_rounds=CORE_UNROLL_ROUNDS)
+    return (
+        cores.groupBy("core")
+        .agg(
+            F.count("*").cast("long").alias("n_vertices"),
+            F.sum("id").cast("long").alias("sum_id"),
+        )
+        .select(F.col("core").cast("long").alias("core"),
+                "n_vertices", "sum_id")
+        .orderBy("core")
+    )

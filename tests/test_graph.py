@@ -584,3 +584,55 @@ def test_round6_half_away_from_zero():
     assert round6(-0.0000005) == -0.000001
     assert round6(1.2345675) == 1.234568
     assert round6(2.5e-7) == 0.0
+
+
+def _peel_core_numbers(edge_list):
+    """Independent plain-Python core decomposition by textbook peeling
+    (Batagelj-Zaversnik shape): repeatedly remove the minimum-degree
+    vertex, its core number = max(k seen so far, its degree at removal)."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edge_list:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    core = {}
+    k = 0
+    remaining = set(adj)
+    while remaining:
+        v = min(remaining, key=lambda x: (deg[x], x))
+        k = max(k, deg[v])
+        core[v] = k
+        remaining.remove(v)
+        for u in adj[v]:
+            if u in remaining:
+                deg[u] -= 1
+    return core
+
+
+def test_core_numbers_match_peeling_golden(spark):
+    """H-index iteration converges to the true peeling core numbers —
+    pinned on a planted K4 + tail chain (K4 vertices coreness 3, chain
+    coreness 1) and on the sf0.001 events user graph."""
+    from esco_neo4j_spark.operators.graph import core_numbers
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    tail = [(4, 5), (5, 6), (6, 7)]
+    df = spark.createDataFrame(k4 + tail, ["src", "dst"])
+    got = {r["id"]: r["core"] for r in core_numbers(df, n_rounds=10).collect()}
+    assert got == _peel_core_numbers(k4 + tail)
+    assert got[1] == 3 and got[7] == 1
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    users = [r[0] for r in ev.select("user_id").distinct().collect()]
+    edges = [(u, u // 2) for u in users if u >= 1] + [
+        (u, u - 1) for u in users if u >= 2
+    ]
+    edf = spark.createDataFrame(sorted(set(edges)), ["src", "dst"])
+    got = {
+        r["id"]: r["core"]
+        for r in core_numbers(edf, n_rounds=20).collect()
+    }
+    assert got == _peel_core_numbers(edges)
