@@ -1911,3 +1911,66 @@ def core_numbers(edges: DataFrame, n_rounds: int = 20) -> DataFrame:
             .withColumnRenamed("src", "id")
         )
     return est
+
+
+def hyperball_nf(edges: DataFrame, n_rounds: int = 8) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013): the neighborhood function N(t) —
+    how many (source, target) pairs lie within distance t — estimated by
+    giving every vertex a mergeable HLL register TABLE of its ball and,
+    per round, max-merging each vertex's sketch with its neighbors'.
+    THE at-scale distance-distribution / effective-diameter algorithm:
+    exact all-pairs BFS is O(V*E), this is n_rounds scans of a
+    (vertex, bucket) register table whose size is <= 16|V| rows no matter
+    the graph, and every step is an equi-join + groupBy-max — the same
+    mergeable-sketch property the rollup queries use, lifted onto graph
+    iteration.
+
+    Uses the md5-hashed HLL from operators/sketch.py (pseudorandom AND
+    portable — the affine family's bucket cycle over-spreads consecutive
+    ids and biases small-ball linear counting), so every register, merge,
+    and floored estimate replays exactly in SQL: the per-round output
+    (t, nf_sum, avg_ball) is value-oracle-able. Fixed round count, merge
+    is idempotent past the ball fixpoint — the shared cap makes oracle
+    equality hold by construction (msf_boruvka argument); rounds >=
+    diameter give the full distance distribution.
+    Cypher analog: none in the reference (extension per SURVEY §2.K).
+    """
+    from esco_neo4j_spark.operators.sketch import hll_estimate_md5
+
+    und_c = (
+        undirected(edges)
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = und_c.union(und_c.select(F.col("b"), F.col("a"))).toDF("src", "dst")
+    adj = _checkpoint(adj)
+    verts = vertices_of(adj)
+    # init: each vertex's sketch holds exactly itself
+    from esco_neo4j_spark.operators.sketch import hll_registers_md5
+
+    sk = _checkpoint(hll_registers_md5(verts.select("id"), "id", ["id"]))
+    rounds = []
+    for t in range(1, n_rounds + 1):
+        msgs = adj.join(
+            sk.select(F.col("id").alias("src"), "bucket", "rho"), "src"
+        ).select(F.col("dst").alias("id"), "bucket", "rho")
+        sk = _checkpoint(
+            sk.select("id", "bucket", "rho").union(msgs)
+            .groupBy("id", "bucket").agg(F.max("rho").alias("rho"))
+        )
+        est = hll_estimate_md5(sk, ["id"])
+        rounds.append(
+            est.agg(
+                F.lit(t).cast("int").alias("t"),
+                F.sum("approx").cast("long").alias("nf_sum"),
+                F.round(
+                    F.sum("approx") / F.count("*"), 6
+                ).alias("avg_ball"),
+            )
+        )
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.union(r)
+    return out.orderBy("t")

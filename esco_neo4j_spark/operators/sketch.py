@@ -231,3 +231,60 @@ def hll_estimate(registers: DataFrame, group_cols: list[str],
         F.floor(est).cast("bigint").alias("approx"),
         v.cast("int").alias("empty_registers"),
     )
+
+
+# --- md5-hashed HLL (pseudorandom + portable) -------------------------------
+#
+# The affine-hash family above is deliberately minimal, but on CONSECUTIVE
+# integer keys its bucket map h%16 is an affine cycle that spreads k <= 16
+# keys over ~k distinct registers — far more uniformly than a random hash
+# would — which biases linear counting upward (15 keys -> v=1 -> estimate
+# 44). Fine for the rollup queries' documented error regime over large
+# user populations; wrong for per-vertex HyperBall balls of size 3-50.
+# md5 is the one hash both engines share (playbook), and is genuinely
+# pseudorandom: bucket = first hex nibble, rank source = next 48 bits.
+_HLL48_RHO_CAP = 49  # w == 0 (probability 2^-48) maps here
+
+
+def hll_registers_md5(df: DataFrame, key_col: str,
+                      group_cols: list[str]) -> DataFrame:
+    """Per-group HLL register table keyed by md5(key): bucket is the
+    first md5 nibble (m=16), rho = 1 + trailing zeros of the next 48
+    bits. Same shape and merge property as hll_registers."""
+    hexs = F.md5(F.col(key_col).cast("string"))
+    bucket = F.conv(F.substring(hexs, 1, 1), 16, 10).cast("int")
+    w = F.conv(F.substring(hexs, 2, 12), 16, 10).cast("long")
+    lowbit = w.bitwiseAND(-w)
+    rho = (
+        F.when(w == 0, F.lit(_HLL48_RHO_CAP))
+        .otherwise((F.log2(lowbit.cast("double")) + F.lit(1)).cast("int"))
+    )
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate_md5(registers: DataFrame, group_cols: list[str],
+                     m: int = HLL_M) -> DataFrame:
+    """Estimate from an md5-register table (48-bit rank source): psum
+    terms are 2^(48-rho) — dyadic, so the <= m-term double sum is exact
+    and order-free in both engines; empty registers contribute 2^48.
+    Same alpha/linear-counting rules as hll_estimate."""
+    alpha = 0.673 if m == 16 else 0.7213 / (1 + 1.079 / m)
+    two48 = 281474976710656.0
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), F.lit(48) - F.col("rho"))).alias("psum"),
+        F.count("*").alias("nb"),
+    )
+    v = F.lit(m) - F.col("nb")
+    raw = F.lit(alpha * m * m * two48) / (F.col("psum") + v * F.lit(two48))
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0), F.lit(m) * F.log(F.lit(float(m)) / v)
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        F.floor(est).cast("bigint").alias("approx"),
+        v.cast("int").alias("empty_registers"),
+    )

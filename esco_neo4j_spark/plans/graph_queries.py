@@ -2386,3 +2386,116 @@ def graph_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_vertices", "sum_id")
         .orderBy("core")
     )
+
+
+# --- HyperBall neighborhood function ----------------------------------------
+HB_UNROLL_ROUNDS = 8
+
+
+def _hyperball_unrolled_sql(n_rounds: int = HB_UNROLL_ROUNDS) -> str:
+    """DuckDB twin of operators/graph.hyperball_nf on the events user
+    graph: per unrolled round a register-table max-merge (the HLL merge
+    property relationally) and the per-vertex floored harmonic estimate.
+    Registers use the md5 hash family (sketch.hll_registers_md5): bucket
+    = first md5 nibble, rho = 1 + trailing zeros of the next 48 bits —
+    psum terms 2^(48-rho) are dyadic so the <= 16-term double sum is
+    exact and order-free; linear-counting constants sit far from floor
+    boundaries (the events_hll_distinct_rollup precedent)."""
+    parts = ["""
+    WITH base AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM (
+        SELECT user_id AS src, user_id // 2 AS dst
+        FROM events WHERE user_id >= 1
+        UNION ALL
+        SELECT user_id AS src, user_id - 1 AS dst
+        FROM events WHERE user_id >= 2
+      ) WHERE src <> dst
+    ),
+    adj AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM base
+      UNION ALL
+      SELECT b AS src, a AS dst FROM base
+    ),
+    verts AS (SELECT DISTINCT src AS id FROM adj),
+    h0 AS (
+      SELECT id,
+             ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 1))::BIGINT
+               AS bucket,
+             ('0x' || substr(md5(CAST(id AS VARCHAR)), 2, 12))::BIGINT AS w
+      FROM verts
+    ),
+    sk0 AS MATERIALIZED (
+      SELECT id, CAST(bucket AS INT) AS bucket,
+             CASE WHEN w = 0 THEN 49
+                  ELSE CAST(log2(w & -w) AS INT) + 1
+             END AS rho
+      FROM h0
+    )"""]
+    for t in range(1, n_rounds + 1):
+        parts.append(f""",
+    sk{t} AS MATERIALIZED (
+      SELECT id, bucket, max(rho) AS rho FROM (
+        SELECT id, bucket, rho FROM sk{t - 1}
+        UNION ALL
+        SELECT a.dst AS id, s.bucket, s.rho
+        FROM adj a JOIN sk{t - 1} s ON a.src = s.id
+      ) GROUP BY id, bucket
+    ),
+    est{t} AS (
+      SELECT id,
+             CAST(floor(CASE WHEN raw <= 40 AND v > 0
+                             THEN 16 * ln(16.0 / v) ELSE raw END)
+                  AS BIGINT) AS approx
+      FROM (
+        SELECT id, 16 - count(*) AS v,
+               0.673 * 16 * 16 * CAST(281474976710656 AS DOUBLE)
+                 / (sum(pow(2, 48 - rho))
+                    + (16 - count(*)) * CAST(281474976710656 AS DOUBLE))
+                 AS raw
+        FROM sk{t} GROUP BY id
+      )
+    )""")
+    rows = "\n      UNION ALL\n      ".join(
+        f"""SELECT CAST({t} AS INTEGER) AS t,
+             CAST(sum(approx) AS BIGINT) AS nf_sum,
+             CAST(round(sum(approx) / CAST(count(*) AS DOUBLE), 6)
+                  AS DOUBLE) AS avg_ball
+      FROM est{t}"""
+        for t in range(1, n_rounds + 1)
+    )
+    parts.append(f"""
+    SELECT * FROM (
+      {rows}
+    ) ORDER BY t""")
+    return "".join(parts)
+
+
+@query(
+    "graph_hyperball_nf",
+    sql=_hyperball_unrolled_sql(),
+    survey_ops="K(ext),sketch(ext),C1,D2",
+    tables=("events",),
+)
+def graph_hyperball_nf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall neighborhood function of the events user graph: N(t) =
+    estimated reachable pairs within t hops, t = 1..8, plus the average
+    ball size — the distance-distribution / effective-diameter summary at
+    sketch cost (16 registers per vertex, merge = groupBy-max) instead of
+    all-pairs BFS. Composes the two scale primitives this engine already
+    proves independently: mergeable HLL sketches (events_hll_distinct_
+    rollup) and fixed-round graph iteration (CORE/MSF shared-cap oracle
+    argument). Fully value-oracled — registers, merges, and floored
+    estimates replay bit-exactly in the unrolled SQL."""
+    from esco_neo4j_spark.operators.graph import hyperball_nf
+
+    ev = spark.table("events")
+    tree = ev.filter(F.col("user_id") >= 1).select(
+        F.col("user_id").alias("src"),
+        (F.col("user_id") / 2).cast("bigint").alias("dst"),
+    )
+    sib = ev.filter(F.col("user_id") >= 2).select(
+        F.col("user_id").alias("src"),
+        (F.col("user_id") - 1).alias("dst"),
+    )
+    edges = tree.union(sib).distinct()
+    return hyperball_nf(edges, n_rounds=HB_UNROLL_ROUNDS)

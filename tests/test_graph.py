@@ -636,3 +636,49 @@ def test_core_numbers_match_peeling_golden(spark):
         for r in core_numbers(edf, n_rounds=20).collect()
     }
     assert got == _peel_core_numbers(edges)
+
+
+def test_hyperball_tracks_exact_neighborhood_function(spark):
+    """On the sf0.001 events graph, HyperBall's N(t) must (1) be monotone
+    non-decreasing in t, and (2) track the EXACT neighborhood function
+    (plain-Python BFS) within the m=16 HLL error regime (~26% RSE per
+    vertex; the sum concentrates much tighter)."""
+    from collections import deque
+
+    from esco_neo4j_spark.operators.graph import hyperball_nf
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    users = sorted({r[0] for r in ev.select("user_id").distinct().collect()})
+    edges = {(u, u // 2) for u in users if u >= 1} | {
+        (u, u - 1) for u in users if u >= 2
+    }
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+
+    def exact_nf(t_max):
+        nf = dict.fromkeys(range(1, t_max + 1), 0)
+        for s in adj:
+            seen = {s}
+            frontier = deque([s])
+            for t in range(1, t_max + 1):
+                nxt = deque()
+                for v in frontier:
+                    for u in adj[v]:
+                        if u not in seen:
+                            seen.add(u)
+                            nxt.append(u)
+                nf[t] += len(seen)
+                frontier = nxt
+        return nf
+
+    df = spark.createDataFrame(sorted(edges), ["src", "dst"])
+    got = {r["t"]: r["nf_sum"] for r in hyperball_nf(df, n_rounds=4).collect()}
+    exact = exact_nf(4)
+    prev = 0
+    for t in range(1, 5):
+        assert got[t] >= prev
+        prev = got[t]
+        assert abs(got[t] - exact[t]) / exact[t] < 0.35
