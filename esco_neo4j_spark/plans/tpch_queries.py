@@ -979,3 +979,58 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+@query(
+    "tpch_q11_important_parts",
+    sql=f"""
+    WITH val AS (
+      SELECT l.l_partkey, CAST(sum({_CENTS_SQL}) AS BIGINT) AS value_c
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, value_c
+    FROM val
+    WHERE value_c > (SELECT 1.3 * avg(value_c) FROM val)
+    ORDER BY value_c DESC, l_partkey
+    """,
+    survey_ops="C1,D3,G(ext)",
+    tables=("lineitem", "supplier", "nation", "region"),
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification), adapted: the
+    driver schema has no partsupp table, so 'inventory value' is the
+    lineitem revenue one region's suppliers moved per part — the defining
+    Q11 mechanics are intact: per-key value rollup filtered by a HAVING
+    against a SCALAR SUBQUERY over the same rollup (group total vs a
+    multiple of the global mean — scale-free where Q11's literal fraction
+    is 1/SF-scaled by the spec). The rollup is computed once and
+    reused for both sides (self-referencing CTE; Spark caches the small
+    aggregated frame, never rescanning the fact table); the global sum
+    is a 1-row broadcast crossJoin. Integer cents throughout — the only
+    double is the threshold itself (one avg division). Completes the named TPC-H
+    corpus: Q1-Q22 all present (Q13's shape is
+    aq_order_count_distribution)."""
+    l = spark.table("lineitem")
+    s = spark.table("supplier")
+    n = spark.table("nation")
+    r = spark.table("region").filter(F.col("r_name") == "EUROPE")
+    val = (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_cents()).alias("value_c"))
+        .cache()
+    )
+    total = val.agg((1.3 * F.avg("value_c")).alias("thr"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value_c") > F.col("thr"))
+        .select("l_partkey", "value_c")
+        .orderBy(F.desc("value_c"), F.asc("l_partkey"))
+    )
