@@ -2216,3 +2216,85 @@ def ext_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("custkey", "n_priorities", "n_orders")
         .orderBy("custkey")
     )
+
+
+@query(
+    "ext_exact_quantiles_twopass",
+    sql="""
+    WITH c AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+      FROM lineitem
+    )
+    SELECT pct,
+           CAST(value_c AS BIGINT) AS value_c,
+           CAST(value_c / 100.0 AS DOUBLE) AS value
+    FROM (
+      SELECT 'p50' AS pct,
+             percentile_disc(0.50) WITHIN GROUP (ORDER BY c) AS value_c
+      FROM c
+      UNION ALL
+      SELECT 'p90', percentile_disc(0.90) WITHIN GROUP (ORDER BY c) FROM c
+      UNION ALL
+      SELECT 'p99', percentile_disc(0.99) WITHIN GROUP (ORDER BY c) FROM c
+    ) ORDER BY pct
+    """,
+    survey_ops="D(ext),F(ext),E",
+    tables=("lineitem",),
+)
+def ext_exact_quantiles_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global quantiles (p50/p90/p99 of l_extendedprice) WITHOUT a
+    global sort — the two-pass histogram-refine pattern that replaces
+    percentile_approx when the answer must be exact at 100 TB: pass 1
+    builds a 1024-bin equi-width histogram in integer cents (map-side
+    combinable; the driver holds only the 1024-row histogram + min/max),
+    the driver locates each target rank's bin and its in-bin rank offset,
+    and pass 2 scans ONLY the rows of the <= 3 needed bins (a pushable
+    range predicate — with a binned/sorted layout this is file pruning),
+    sorts those few rows per bin with a window, and picks the exact
+    element. Rank semantics: value at rank ceil(p*n) on the ascending
+    sort — exactly percentile_disc, so the DuckDB oracle is an
+    INDEPENDENT check of the algorithm (a full-sort quantile vs the
+    histogram-refine path), not a replay. Ties are safe by construction:
+    equal values share a bin, and the picked value at a rank is unique
+    even when row_number breaks ties arbitrarily."""
+    import math
+
+    B = 1024
+    c = spark.table("lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c")
+    )
+    lo, hi, n = c.agg(
+        F.min("c"), F.max("c"), F.count("*")
+    ).collect()[0]
+    span = max(int(hi) - int(lo) + 1, 1)
+    binc = F.floor((F.col("c") - F.lit(int(lo))) * B / F.lit(span)).cast("int")
+    hist = {
+        r["bin"]: r["cnt"]
+        for r in c.select(binc.alias("bin"))
+        .groupBy("bin").agg(F.count("*").alias("cnt")).collect()
+    }
+    targets = []  # (bin, in-bin rank, label)
+    for label, p in (("p50", 0.50), ("p90", 0.90), ("p99", 0.99)):
+        rank = max(1, math.ceil(p * int(n)))
+        cum = 0
+        for b in sorted(hist):
+            if cum + hist[b] >= rank:
+                targets.append((b, rank - cum, label))
+                break
+            cum += hist[b]
+    need_bins = sorted({t[0] for t in targets})
+    tdf = F.broadcast(
+        spark.createDataFrame(targets, "bin int, rn long, pct string")
+    )
+    w = Window.partitionBy("bin").orderBy("c")
+    picked = (
+        c.withColumn("bin", binc)
+        .filter(F.col("bin").isin(need_bins))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .join(tdf, ["bin", "rn"])
+    )
+    return picked.select(
+        "pct",
+        F.col("c").alias("value_c"),
+        (F.col("c") / 100.0).alias("value"),
+    ).orderBy("pct")
