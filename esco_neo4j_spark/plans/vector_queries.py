@@ -1435,3 +1435,72 @@ def vec_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, round6(x)) for i, x in enumerate(v)],
         "dim int, component double",
     ).orderBy("dim")
+
+
+@query(
+    "pipeline_hard_negatives",
+    sql="""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS anchor_label,
+             CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL),
+    s AS (
+      SELECT q.query_id, q.anchor_label, v.vec_id, v.label AS neg_label,
+             round(list_cosine_similarity(
+               CAST(v.embedding AS DOUBLE[]), q.qv), 6) AS score
+      FROM embeddings v CROSS JOIN q
+      WHERE v.embedding IS NOT NULL AND v.label <> q.anchor_label)
+    SELECT query_id, CAST(anchor_label AS INT) AS anchor_label,
+           vec_id, CAST(neg_label AS INT) AS neg_label,
+           CAST(score AS DOUBLE) AS score, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, vec_id) AS rk
+      FROM s)
+    WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+    survey_ops="H1,C9,E,K7",
+    tables=("embeddings",),
+)
+def pipeline_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone #5 — HARD-NEGATIVE MINING for contrastive training
+    (retrieval/embedding fine-tuning data construction): for each anchor
+    in the query batch, the top-5 most-similar corpus vectors whose
+    ground-truth label DIFFERS from the anchor's — close in embedding
+    space but semantically wrong, exactly the negatives that make
+    contrastive losses work (the in-batch-random alternative is too easy
+    to be informative). One corpus pass: broadcast anchor batch, label
+    mismatch as a join residual (at 100 TB the label filter also prunes
+    a label-partitioned layout), per-anchor top-k window — the same
+    batch-scan shape as vec_batch_topk with the exclusion predicate
+    composed in. Scores rounded 6dp; full value oracle."""
+    from pyspark.sql import Window
+
+    emb = spark.table("embeddings").filter(F.col("embedding").isNotNull())
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("anchor_label"),
+            F.col("embedding").alias("qv"),
+        )
+    )
+    scored = (
+        emb.crossJoin(q)
+        .filter(F.col("label") != F.col("anchor_label"))
+        .select(
+            "query_id",
+            F.col("anchor_label").cast("int").alias("anchor_label"),
+            "vec_id",
+            F.col("label").cast("int").alias("neg_label"),
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("qv")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 5)
+        .orderBy("query_id", "rk")
+    )
