@@ -3219,3 +3219,119 @@ def events_user_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# --- temporal (time-respecting) reachability --------------------------------
+TEMPORAL_UNROLL_ROUNDS = 12
+
+
+def _temporal_reach_sql(n_rounds: int = TEMPORAL_UNROLL_ROUNDS) -> str:
+    """DuckDB twin of events_temporal_reachability: earliest-arrival
+    relaxation unrolled. Contacts are BIDIRECTIONAL timestamped edges
+    (each event connects the user with its tree parent and predecessor at
+    that instant); arrival times are integer epoch-micros, so every round
+    is exact min-arithmetic. Idempotent past the fixpoint — the shared
+    round cap gives equality by construction (msf_boruvka argument)."""
+    parts = ["""
+    WITH contacts AS MATERIALIZED (
+      SELECT src, dst, ts_us FROM (
+        SELECT user_id AS src, user_id // 2 AS dst, epoch_us(ts) AS ts_us
+        FROM events WHERE user_id >= 1
+        UNION ALL
+        SELECT user_id // 2 AS src, user_id AS dst, epoch_us(ts) AS ts_us
+        FROM events WHERE user_id >= 1
+        UNION ALL
+        SELECT user_id AS src, user_id - 1 AS dst, epoch_us(ts) AS ts_us
+        FROM events WHERE user_id >= 2
+        UNION ALL
+        SELECT user_id - 1 AS src, user_id AS dst, epoch_us(ts) AS ts_us
+        FROM events WHERE user_id >= 2
+      ) WHERE src <> dst
+    ),
+    arr0 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS a)"""]
+    for t in range(n_rounds):
+        parts.append(f""",
+    arr{t + 1} AS MATERIALIZED (
+      SELECT id, min(a) AS a FROM (
+        SELECT id, a FROM arr{t}
+        UNION ALL
+        SELECT e.dst AS id, e.ts_us AS a
+        FROM contacts e JOIN arr{t} u ON e.src = u.id AND e.ts_us >= u.a
+      ) GROUP BY id
+    )""")
+    parts.append(f"""
+    SELECT CAST(a // 86400000000 AS BIGINT) AS day_idx,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(id) AS BIGINT) AS sum_id
+    FROM arr{n_rounds}
+    GROUP BY day_idx ORDER BY day_idx""")
+    return "".join(parts)
+
+
+@query(
+    "events_temporal_reachability",
+    sql=_temporal_reach_sql(),
+    survey_ops="K(ext),H10,C1,D2",
+    tables=("events",),
+)
+def events_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-RESPECTING reachability (temporal graph analytics — static
+    shortest paths overstate spread because a path is only traversable if
+    edge times are non-decreasing): every event is a bidirectional
+    timestamped contact between the user and its tree parent /
+    predecessor; from seed user 1 at epoch, earliest-arrival relaxation
+    computes when each user can first have been reached through a
+    time-ordered contact chain — the information-diffusion / contagion
+    primitive. Per round one (contacts x arrivals) equi-join with the
+    time gate as join residual plus a groupBy-min; arrival state is |V|
+    rows; all arithmetic is integer epoch-micros. Fixed shared round cap
+    (TEMPORAL_UNROLL_ROUNDS) -> unrolled-oracle equality by construction;
+    a plain-Python Dijkstra-style golden pins true convergence at test
+    scale. Output is the arrival-day histogram with a sum_id witness
+    (scale-constant gate rows)."""
+    from esco_neo4j_spark.operators.graph import _checkpoint
+
+    ev = spark.table("events")
+    tree = ev.filter(F.col("user_id") >= 1).select(
+        F.col("user_id").alias("src"),
+        (F.col("user_id") / 2).cast("bigint").alias("dst"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    sib = ev.filter(F.col("user_id") >= 2).select(
+        F.col("user_id").alias("src"),
+        (F.col("user_id") - 1).alias("dst"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    fwd = tree.union(sib)
+    contacts = (
+        fwd.union(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                       "ts_us")
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    contacts = _checkpoint(contacts)
+    arr = contacts.sparkSession.createDataFrame(
+        [(1, 0)], "id bigint, a bigint"
+    )
+    for _ in range(TEMPORAL_UNROLL_ROUNDS):
+        relax = (
+            contacts.join(
+                arr.select(F.col("id").alias("src"), F.col("a").alias("ua")),
+                "src",
+            )
+            .filter(F.col("ts_us") >= F.col("ua"))
+            .select(F.col("dst").alias("id"), F.col("ts_us").alias("a"))
+        )
+        arr = _checkpoint(
+            arr.union(relax).groupBy("id").agg(F.min("a").alias("a"))
+        )
+    return (
+        # integer `div`, not `/`+cast: double division can round across a
+        # day boundary; DuckDB's // is exact integer floor
+        arr.select(F.expr("a div 86400000000").alias("day_idx"), "id")
+        .groupBy("day_idx")
+        .agg(F.count("*").cast("long").alias("n_users"),
+             F.sum("id").cast("long").alias("sum_id"))
+        .orderBy("day_idx")
+    )

@@ -682,3 +682,54 @@ def test_hyperball_tracks_exact_neighborhood_function(spark):
         assert got[t] >= prev
         prev = got[t]
         assert abs(got[t] - exact[t]) / exact[t] < 0.35
+
+
+def test_temporal_reachability_matches_exact_earliest_arrival(spark):
+    """The fixed-round relaxation must equal an independent plain-Python
+    earliest-arrival computation (Dijkstra over time-respecting contacts)
+    on the sf0.001 events graph — proving TEMPORAL_UNROLL_ROUNDS covers
+    the true temporal diameter at test scale, not just oracle symmetry."""
+    import heapq
+
+    from esco_neo4j_spark.plans import REGISTRY
+    from esco_neo4j_spark.plans.event_queries import TEMPORAL_UNROLL_ROUNDS
+
+    assert TEMPORAL_UNROLL_ROUNDS >= 8
+    rows = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("user_id", "ts").collect()
+    )
+    contacts = []
+    for r in rows:
+        us = int(r["ts"].timestamp() * 1_000_000)
+        u = r["user_id"]
+        if u >= 1 and u != u // 2:
+            contacts.append((u, u // 2, us))
+            contacts.append((u // 2, u, us))
+        if u >= 2:
+            contacts.append((u, u - 1, us))
+            contacts.append((u - 1, u, us))
+    out = {1: 0}
+    heap = [(0, 1)]
+    by_src = {}
+    for s, d, t in contacts:
+        by_src.setdefault(s, []).append((d, t))
+    while heap:
+        a, v = heapq.heappop(heap)
+        if a > out.get(v, 1 << 62):
+            continue
+        for d, t in by_src.get(v, ()):
+            if t >= a and t < out.get(d, 1 << 62):
+                out[d] = t
+                heapq.heappush(heap, (t, d))
+    exact = {}
+    for v, a in out.items():
+        exact.setdefault(a // 86400000000, [0, 0])
+        exact[a // 86400000000][0] += 1
+        exact[a // 86400000000][1] += v
+    got = {
+        r["day_idx"]: [r["n_users"], r["sum_id"]]
+        for r in REGISTRY["events_temporal_reachability"]
+        .fn(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == exact
