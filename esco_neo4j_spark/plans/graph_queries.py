@@ -1053,16 +1053,23 @@ _WEDGES_SQL = """
 
 
 def _pagerank_weighted_unrolled_sql(
-    n_iter: int = 10, damping: float = 0.85, scale: int = 10**9
+    n_iter: int = 10, damping: float = 0.85, scale: int = 10**9,
+    edges_sql: str | None = None, final_sql: str | None = None,
+    with_prefix: str = "",
 ) -> str:
     """Unrolled DuckDB twin of operators/graph.pagerank_weighted_fixedpoint.
     All state is BIGINT units; the only float op per vertex per iteration
     is the single damping multiply+round — deterministic on both engines —
     so the whole 10-iteration chain is value-exact BY CONSTRUCTION, not
-    empirically (contrast _pagerank_unrolled_sql's in-degree<=2 argument)."""
+    empirically (contrast _pagerank_unrolled_sql's in-degree<=2 argument).
+    Parameterizable: ``edges_sql`` swaps the (src, dst, w) edge derivation
+    (default: the weighted events graph), ``with_prefix`` injects CTEs the
+    edge derivation needs, ``final_sql`` swaps the closing SELECT —
+    text_queries' TextRank runs the SAME unrolled chain over a word
+    co-occurrence graph."""
     base = int(round((1.0 - damping) * scale))
     sql = [f"""
-    WITH edges AS ({_WEDGES_SQL}),
+    WITH {with_prefix}edges AS ({edges_sql or _WEDGES_SQL}),
     verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
     wsum AS (SELECT src, sum(w) AS wtot FROM edges GROUP BY src),
     ed AS (SELECT e.src, e.dst, e.w, s.wtot FROM edges e JOIN wsum s ON e.src = s.src),
@@ -1079,7 +1086,7 @@ def _pagerank_weighted_unrolled_sql(
                AS r
       FROM verts v LEFT JOIN m{i} m ON v.id = m.id
     )""")
-    sql.append(f"""
+    sql.append(final_sql or f"""
     SELECT id, r AS rank_units,
            CAST(round(r / {float(scale)!r}, 6) AS DOUBLE) AS rank
     FROM r{n_iter} ORDER BY id""")

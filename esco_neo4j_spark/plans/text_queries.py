@@ -1537,3 +1537,91 @@ def text_bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- TextRank keyword extraction ---------------------------------------------
+def _textrank_sql() -> str:
+    from esco_neo4j_spark.plans.graph_queries import (
+        _pagerank_weighted_unrolled_sql,
+    )
+
+    prefix = f"""tp AS (
+      SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+             i -> ws[i] || ' ' || ws[i + 1])) AS p
+      FROM (SELECT {_TOKENS} AS ws FROM documents)
+    ),
+    cooc AS MATERIALIZED (
+      SELECT least(split_part(p, ' ', 1), split_part(p, ' ', 2)) AS a,
+             greatest(split_part(p, ' ', 1), split_part(p, ' ', 2)) AS b,
+             CAST(count(*) AS BIGINT) AS w
+      FROM tp
+      WHERE split_part(p, ' ', 1) <> split_part(p, ' ', 2)
+      GROUP BY 1, 2
+    ),
+    """
+    edges = """
+      SELECT a AS src, b AS dst, w FROM cooc
+      UNION ALL
+      SELECT b AS src, a AS dst, w FROM cooc
+    """
+    final = """
+    SELECT id AS word, r AS rank_units,
+           CAST(round(r / 1000000000.0, 6) AS DOUBLE) AS rank
+    FROM r10 ORDER BY r DESC, id LIMIT 20"""
+    return _pagerank_weighted_unrolled_sql(
+        with_prefix=prefix, edges_sql=edges, final_sql=final
+    )
+
+
+@query(
+    "text_textrank_keywords",
+    sql=_textrank_sql(),
+    survey_ops="text-keywords(ext),K4-adjacent,C1,D2",
+    tables=("documents",),
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    the word co-occurrence graph (adjacent-token pairs, undirected,
+    count-weighted) — corpus-level salient terms that plain frequency
+    confuses with stopword-adjacent noise. Composes two proven pieces:
+    the co-occurrence edge build is the text_bpe_pair_counts shape
+    (per-row array expression + one combinable groupBy, vocabulary-sized
+    output), and the ranking is pagerank_weighted_fixedpoint — integer
+    rank units, bit-identical at any parallelism, so the full chain
+    (graph build -> 10 iterations -> top-20) is value-oracled through the
+    parameterized unrolled-SQL builder it shares with
+    graph_pagerank_weighted."""
+    from esco_neo4j_spark.operators.graph import pagerank_weighted_fixedpoint
+
+    d = spark.table("documents")
+    ws = word_tokens(F.col("text"))
+    pairs = (
+        d.select(ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(F.explode(F.expr(
+            "transform(sequence(0, size(ws) - 2),"
+            " i -> struct(ws[i] as x, ws[i + 1] as y))")).alias("p"))
+        .filter(F.col("p.x") != F.col("p.y"))
+    )
+    cooc = (
+        pairs.select(
+            F.least("p.x", "p.y").alias("a"),
+            F.greatest("p.x", "p.y").alias("b"),
+        )
+        .groupBy("a", "b").agg(F.count("*").alias("w"))
+    )
+    edges = cooc.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).union(
+        cooc.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    )
+    pr = pagerank_weighted_fixedpoint(edges, weight_col="w", num_iter=10)
+    return (
+        pr.select(
+            F.col("id").alias("word"),
+            F.col("rank_units"),
+            F.round(F.col("rank_units") / 1e9, 6).alias("rank"),
+        )
+        .orderBy(F.desc("rank_units"), F.asc("word"))
+        .limit(20)
+    )
