@@ -577,3 +577,70 @@ def test_ngram_jaccard_prefix_filter_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "array_intersect" in plan
+
+
+def test_hard_negatives_broadcasts_anchor_batch(spark):
+    """The contrastive-mining pass must broadcast the 8-row anchor batch
+    (BroadcastNestedLoopJoin over one corpus scan) — never shuffle the
+    corpus against it."""
+    plan = _plan(spark, "pipeline_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_exact_quantiles_scan_prunes_to_price(spark):
+    """Both passes of the histogram-refine quantile read ONLY
+    l_extendedprice from the lineitem scan."""
+    plan = _plan(spark, "ext_exact_quantiles_twopass")
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "l_extendedprice" in line
+            assert "l_orderkey" not in line and "l_comment" not in line
+
+
+def test_ivfpq_candidate_scan_stays_narrow(spark):
+    """IVF-PQ assignment/encode are narrow maps: no shuffle exchange may
+    appear below the rerank's top-k (the only exchanges allowed are the
+    TakeOrdered singletons)."""
+    plan = _plan(spark, "vec_ivfpq_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_bpe_pair_count_is_partial_aggregated(spark):
+    """The BPE trainer's per-round pair count must map-side combine
+    (partial_sum before the exchange)."""
+    from esco_neo4j_spark.plans.text_queries import _bpe_merge_loop
+    import contextlib, io
+
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    try:
+        from pyspark.sql import functions as F
+        from esco_neo4j_spark.functions.text import word_tokens
+
+        d = spark.table("documents")
+        state = (
+            d.select(F.explode(word_tokens(F.col("text"))).alias("w"))
+            .groupBy("w").agg(F.count("*").alias("freq"))
+            .select("w", "freq", F.concat(
+                F.regexp_replace(F.col("w"), "(.)", "($1)"), F.lit("($)")
+            ).alias("rep"))
+        )
+        ts = F.split(F.expr("substring(rep, 2, length(rep) - 2)"), r"\)\(")
+        pairs = (
+            state.select("freq", ts.alias("ts"))
+            .filter(F.size("ts") >= 2)
+            .select("freq", F.explode(F.expr(
+                "transform(sequence(0, size(ts) - 2),"
+                " i -> concat(ts[i], ' ', ts[i + 1]))")).alias("pair"))
+            .groupBy("pair").agg(F.sum("freq").alias("n"))
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            pairs.explain("formatted")
+        plan = buf.getvalue()
+        assert "partial_sum" in plan
+    finally:
+        spark.catalog.dropTempView("documents")
