@@ -862,3 +862,102 @@ def dedup_semantic_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.col("x.vec_id")).cast("bigint").alias("canonical_id"))
         .orderBy("vec_id")
     )
+
+
+@query(
+    "pipeline_leakage_safe_split",
+    sql=f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs AS ({_MINHASH_PAIRS_SELECT}),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    walk AS (
+      SELECT src AS id, dst AS reach FROM und
+      UNION
+      SELECT w.id, u.dst FROM walk w JOIN und u ON w.reach = u.src
+    ),
+    comp AS (
+      SELECT id, least(id, min(reach)) AS comp FROM walk GROUP BY id
+    ),
+    assigned AS (
+      SELECT d.doc_id, d.source,
+             coalesce(c.comp, d.doc_id) AS canonical_id,
+             CASE WHEN h < 90 THEN 'train'
+                  WHEN h < 95 THEN 'val' ELSE 'test' END AS split
+      FROM (
+        SELECT d.doc_id, d.source, coalesce(c2.comp, d.doc_id) AS cid,
+               ('0x' || substr(md5(CAST(coalesce(c2.comp, d.doc_id)
+                                        AS VARCHAR)), 1, 7))::BIGINT % 100
+                 AS h
+        FROM documents d LEFT JOIN comp c2 ON d.doc_id = c2.id
+      ) d LEFT JOIN comp c ON d.doc_id = c.id
+    ),
+    leak AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_leaky_clusters FROM (
+        SELECT canonical_id FROM assigned
+        GROUP BY canonical_id HAVING count(DISTINCT split) > 1
+      )
+    )
+    SELECT a.split, a.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT a.canonical_id) AS BIGINT) AS n_clusters,
+           l.n_leaky_clusters
+    FROM assigned a CROSS JOIN leak l
+    GROUP BY a.split, a.source, l.n_leaky_clusters
+    ORDER BY a.split, a.source
+    """,
+    survey_ops="dedup-canonical,C2,D3,H(ext)",
+    tables=("documents",),
+)
+def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone #6 — LEAKAGE-SAFE train/val/test split: assignment is
+    hashed from the near-dup CLUSTER's canonical id (LSH pairs -> CC ->
+    min-id), not the document's, so near-duplicates can never straddle
+    splits — the classic eval-contamination bug (a test doc whose
+    near-copy sits in train) is impossible BY CONSTRUCTION, and the
+    n_leaky_clusters witness column audits exactly that invariant inside
+    the query (must be 0). Split hash is md5(canonical_id) % 100 with
+    90/5/5 bands — deterministic, engine-portable, stable under corpus
+    growth (adding docs never reassigns an existing cluster unless its
+    canonical min changes). One LSH pass + tiny-graph CC + one rollup."""
+    from esco_neo4j_spark.operators.dedup import minhash_dedup_pairs
+    from esco_neo4j_spark.operators.graph import connected_components
+
+    docs = spark.table("documents")
+    pairs = minhash_dedup_pairs(
+        docs, "text", "doc_id", threshold=0.5, num_hashes=16, bands=4
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components(pairs)
+    canon = F.coalesce(F.col("component"), F.col("doc_id")).cast("bigint")
+    h = (
+        F.conv(F.substring(F.md5(canon.cast("string")), 1, 7), 16, 10)
+        .cast("bigint") % 100
+    )
+    assigned = (
+        docs.select("doc_id", "source")
+        .join(cc, docs["doc_id"] == cc["id"], "left")
+        .select(
+            "doc_id", "source", canon.alias("canonical_id"),
+            F.when(h < 90, "train").when(h < 95, "val")
+            .otherwise("test").alias("split"),
+        )
+    )
+    leak = (
+        assigned.groupBy("canonical_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count("*").cast("long").alias("n_leaky_clusters"))
+    )
+    return (
+        assigned.groupBy("split", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("canonical_id").cast("long").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .select("split", "source", "n_docs", "n_clusters",
+                "n_leaky_clusters")
+        .orderBy("split", "source")
+    )
