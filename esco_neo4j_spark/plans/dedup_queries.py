@@ -935,7 +935,11 @@ def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(canon.cast("string")), 1, 7), 16, 10)
         .cast("bigint") % 100
     )
-    assigned = (
+    from esco_neo4j_spark.operators.graph import _checkpoint
+
+    # two consumers (leak audit + rollup) — checkpoint the narrow
+    # 4-column assignment so the docs-x-cc join runs once
+    assigned = _checkpoint(
         docs.select("doc_id", "source")
         .join(cc, docs["doc_id"] == cc["id"], "left")
         .select(

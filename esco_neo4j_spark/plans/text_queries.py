@@ -1603,7 +1603,13 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             " i -> struct(ws[i] as x, ws[i + 1] as y))")).alias("p"))
         .filter(F.col("p.x") != F.col("p.y"))
     )
-    cooc = (
+    from esco_neo4j_spark.operators.graph import _checkpoint
+
+    # checkpoint the vocabulary-sized co-occurrence table: pagerank's
+    # setup consumes the edge frame three times (vertices, out-weight
+    # sums, edge join) and each evaluation would re-run the corpus-wide
+    # pair explode otherwise
+    cooc = _checkpoint(
         pairs.select(
             F.least("p.x", "p.y").alias("a"),
             F.greatest("p.x", "p.y").alias("b"),
