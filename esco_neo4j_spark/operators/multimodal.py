@@ -416,3 +416,122 @@ def pixel_stats(media: DataFrame, decoder_fn=None) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=PIXEL_STATS_SCHEMA)
+
+
+def _le_hex(col, n_bytes: int):
+    """Hex string of ``col`` as an n-byte little-endian integer — feeds
+    ``unhex`` when building real binary file formats JVM-side."""
+    parts = [
+        F.lpad(F.hex((col.cast("long") / (256 ** j)).cast("long") % 256), 2, "0")
+        for j in range(n_bytes)
+    ]
+    return F.concat(*parts)
+
+
+def attach_wav_payload(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, n_samples, payload) where payload is a VALID
+    RIFF/WAVE PCM16 mono file built entirely JVM-side: ASCII chunk ids
+    via encode, little-endian header integers and sample words via a
+    hex-string projection + ``unhex`` (same construction as
+    attach_ppm_payload — transform over a sequence stays in codegen).
+
+    Deterministic sample scheme (mirrored by the DuckDB oracle):
+      n_samples = 64 + doc_id % 129, sample_rate = 8000 Hz,
+      raw 16-bit word i = (doc_id * 37 + i * 11) % 65536
+      (two's complement: value = word - 65536 when word >= 32768).
+    """
+    d = docs.select(
+        "doc_id",
+        (64 + F.col("doc_id") % 129).cast("int").alias("n_samples"),
+    ).withColumn("data_size", (F.col("n_samples") * 2).cast("long"))
+    word = lambda i: (F.col("doc_id") * 37 + i * 11) % 65536  # noqa: E731
+    samples_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_samples") - 1),
+            lambda i: F.concat(
+                F.lpad(F.hex(word(i) % 256), 2, "0"),
+                F.lpad(F.hex((word(i) / 256).cast("long")), 2, "0"),
+            ),
+        ),
+        "",
+    )
+    payload = F.concat(
+        F.encode(F.lit("RIFF"), "UTF-8"),
+        F.unhex(_le_hex(F.col("data_size") + 36, 4)),
+        F.encode(F.lit("WAVEfmt "), "UTF-8"),
+        F.unhex(F.lit("10000000")),          # fmt chunk size 16, LE
+        F.unhex(F.lit("0100")),              # PCM
+        F.unhex(F.lit("0100")),              # mono
+        F.unhex(F.lit("401F0000")),          # sample_rate 8000, LE
+        F.unhex(F.lit("803E0000")),          # byte_rate 16000, LE
+        F.unhex(F.lit("0200")),              # block_align 2
+        F.unhex(F.lit("1000")),              # bits 16
+        F.encode(F.lit("data"), "UTF-8"),
+        F.unhex(_le_hex(F.col("data_size"), 4)),
+        F.unhex(samples_hex),
+    )
+    return d.select("doc_id", "n_samples", payload.alias("payload"))
+
+
+def decode_wav(payload: bytes):
+    """Genuine pure-Python RIFF/WAVE parser for PCM16 mono: walks the
+    chunk list (not fixed offsets — real WAV files may carry LIST/fact
+    chunks), validates the fmt chunk, and returns (sample_rate,
+    int16-numpy samples). Loud ValueError on anything non-PCM16."""
+    import numpy as np
+
+    if len(payload) < 12 or payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    rate = None
+    samples = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = int.from_bytes(body[0:2], "little")
+            ch = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if fmt != 1 or ch != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV: fmt={fmt} ch={ch} bits={bits}")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, samples
+
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_samples int, peak int, rms double"
+)
+
+
+def audio_loudness(media: DataFrame) -> DataFrame:
+    """Per-clip loudness statistics from REAL WAV decode — the first
+    operator downstream of an audio decoder in any speech-curation
+    pipeline (silence/clipping detection, loudness normalization).
+    peak = max |sample|; rms = sqrt(ssq/n) where ssq is an exact integer
+    sum of squares, so the one sqrt is a correctly-rounded IEEE op on an
+    identical double in both engines — 6dp rounding is stable. One
+    narrow mapInPandas, no shuffle."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, s = decode_wav(bytes(payload))
+                ssq = int((s.astype("int64") ** 2).sum())
+                n = int(s.size)
+                rms = _round6((ssq / n) ** 0.5) if n else 0.0
+                rows.append(
+                    (doc_id, rate, n, int(abs(s.astype("int64")).max()), rms)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "n_samples", "peak", "rms"],
+            )
+            rows = []
+
+    return media.mapInPandas(run, schema=AUDIO_SCHEMA)

@@ -398,3 +398,48 @@ def mm_ahash_hamming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_pairs"))
         .orderBy("hamming")
     )
+
+
+@query(
+    "mm_audio_loudness",
+    sql="""
+    WITH clips AS (
+      SELECT doc_id, 64 + doc_id % 129 AS n FROM documents
+    ),
+    samples AS (
+      SELECT doc_id, n,
+             CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+      FROM (
+        SELECT doc_id, n, (doc_id * 37 + i * 11) % 65536 AS u
+        FROM clips, LATERAL (
+          SELECT unnest(generate_series(0, n - 1)) AS i
+        )
+      )
+    )
+    SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+           CAST(n AS INT) AS n_samples,
+           CAST(max(abs(v)) AS INT) AS peak,
+           CAST(floor(sqrt(sum(v * v) / CAST(count(*) AS DOUBLE))
+                      * 1e6 + 0.5) / 1e6 AS DOUBLE) AS rms
+    FROM samples GROUP BY doc_id, n
+    ORDER BY doc_id
+    """,
+    survey_ops="multimodal-audiodecode,I9(ext)",
+    tables=("documents",),
+)
+def mm_audio_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end to end — the WAV sibling of mm_pixel_stats:
+    build valid RIFF/WAVE PCM16 mono files JVM-side (chunk ids + LE
+    header integers + LE sample words via unhex), ship through Arrow,
+    parse with the pure-Python chunk-walking WAV parser in executors, and
+    aggregate per-clip loudness (peak + RMS from an exact integer sum of
+    squares). The oracle recomputes from the deterministic sample
+    formula WITHOUT binary support — a hash match proves the byte-level
+    build -> Arrow -> decode round-trip exact, now for a second media
+    container format. Narrow map, no shuffle."""
+    from esco_neo4j_spark.operators.multimodal import (
+        attach_wav_payload, audio_loudness,
+    )
+
+    media = attach_wav_payload(spark.table("documents"))
+    return audio_loudness(media).orderBy("doc_id")

@@ -187,3 +187,63 @@ def test_decode_pixels_default_rejects_non_ppm(spark, media_df):
     with pytest.raises((PythonException, Py4JJavaError)) as exc:
         decode_pixels(media_df.filter("modality = 'image'").limit(1)).collect()
     assert "no codec" in str(exc.value)
+
+
+def test_wav_decoder_round_trip_and_chunk_walking():
+    """decode_wav must (1) round-trip the exact int16 samples written by
+    a reference struct-built file, (2) tolerate an extra LIST chunk
+    before data with odd-size 2-byte alignment (real WAV files have
+    these), and (3) refuse non-PCM16 layouts loudly."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from esco_neo4j_spark.operators.multimodal import decode_wav
+
+    samples = np.array([0, 1, -1, 32767, -32768, 12345], dtype="<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    extra = b"xyz"  # odd-size chunk -> pad byte must be skipped
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", len(extra)) + extra + b"\x00"
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    rate, out = decode_wav(wav)
+    assert rate == 8000 and np.array_equal(out, samples)
+
+    stereo_fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    bad_body = (
+        b"fmt " + struct.pack("<I", len(stereo_fmt)) + stereo_fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    bad = b"RIFF" + struct.pack("<I", 4 + len(bad_body)) + b"WAVE" + bad_body
+    with _pytest.raises(ValueError, match="unsupported WAV"):
+        decode_wav(bad)
+    with _pytest.raises(ValueError, match="not a RIFF"):
+        decode_wav(b"OggS" + bytes(40))
+
+
+def test_wav_payload_builder_matches_decoder(spark):
+    """attach_wav_payload's JVM-built bytes parse back to the formula's
+    samples exactly (build -> binary -> decode identity, audio twin of
+    the PPM round-trip)."""
+    import numpy as np
+
+    from esco_neo4j_spark.operators.multimodal import (
+        attach_wav_payload, decode_wav,
+    )
+
+    docs = spark.createDataFrame([(7, "x", "en", "s", 1)],
+                                 ["doc_id", "text", "lang", "source", "n_chars"])
+    row = attach_wav_payload(docs).collect()[0]
+    rate, s = decode_wav(bytes(row["payload"]))
+    n = 64 + 7 % 129
+    want = np.array(
+        [((7 * 37 + i * 11) % 65536 + 32768) % 65536 - 32768 for i in range(n)],
+        dtype="int64",
+    )
+    assert rate == 8000 and row["n_samples"] == n
+    assert np.array_equal(s.astype("int64"), want)
