@@ -1631,3 +1631,78 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_units"), F.asc("word"))
         .limit(20)
     )
+
+
+@query(
+    "pipeline_mixture_reweight",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest({_TOKENS}) AS term FROM documents
+    ),
+    tf AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+    n AS (SELECT count(*) AS n_total FROM toks),
+    per_src AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(round(
+               sum(CAST(round(-ln(cnt::DOUBLE / n_total::DOUBLE) * 1000000)
+                        AS BIGINT)) * 1.0 / count(*)) AS BIGINT)
+               AS avg_micro_nats
+      FROM toks JOIN tf USING (term) CROSS JOIN n
+      GROUP BY source
+    ),
+    tot AS (SELECT sum(avg_micro_nats) AS denom FROM per_src)
+    SELECT p.source, p.n_tokens, p.avg_micro_nats,
+           CAST(round(p.avg_micro_nats * 1.0 / t.denom, 6) AS DOUBLE)
+             AS mix_weight,
+           CAST((p.avg_micro_nats * 1000000) // t.denom AS BIGINT)
+             AS tokens_per_million
+    FROM per_src p CROSS JOIN tot t
+    ORDER BY p.source
+    """,
+    survey_ops="text-lm-quality(ext),D8,H(ext)",
+    tables=("documents",),
+)
+def pipeline_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone #7 — DoReMi-flavored MIXTURE REWEIGHTING: upweight
+    training domains in proportion to their excess loss. The per-source
+    loss proxy is average unigram surprisal (text_unigram_logprob's
+    integer micro-nat machinery, so every sum is order-free); weights are
+    the surprisal shares (one double division per source against an
+    INTEGER denominator — no order-sensitive float sum anywhere), plus an
+    exact integer tokens_per_million allocation for a budgeted sampler
+    (floor division, so allocations never oversubscribe the budget). At
+    100 TB: one corpus pass + vocabulary broadcast + a |sources|-row
+    rollup — the mixture table is driver-sized by construction."""
+    d = spark.table("documents")
+    toks = d.select(
+        "source", F.explode(word_tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = toks.agg(F.count("*").alias("n_total"))
+    micro = F.round(
+        -F.log(F.col("cnt").cast("double") / F.col("n_total").cast("double"))
+        * 1_000_000
+    ).cast("bigint")
+    per_src = (
+        toks.join(F.broadcast(tf), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.sum(micro) * 1.0 / F.count("*")).cast("bigint")
+            .alias("avg_micro_nats"),
+        )
+    )
+    denom = per_src.agg(F.sum("avg_micro_nats").alias("denom"))
+    return (
+        per_src.crossJoin(F.broadcast(denom))
+        .select(
+            "source", "n_tokens", "avg_micro_nats",
+            F.round(F.col("avg_micro_nats") * 1.0 / F.col("denom"), 6)
+            .alias("mix_weight"),
+            F.expr("(avg_micro_nats * 1000000) div denom")
+            .alias("tokens_per_million"),
+        )
+        .orderBy("source")
+    )
