@@ -1504,3 +1504,104 @@ def pipeline_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .orderBy("query_id", "rk")
     )
+
+
+def _semantic_order_sql() -> str:
+    """Oracle for pipeline_semantic_order: the two projection dots replay
+    as left-associated literal chains (the _lsh_bucket_sql argument), the
+    min/max scaling is exact-pick aggregation, and quantize + Morton
+    interleave are pure integer arithmetic generated from one Python loop
+    for both engines."""
+    from esco_neo4j_spark.operators.similarity import _hyperplanes
+
+    p1, p2 = _hyperplanes(64, 2, 777)
+    def dot(plane):
+        return " + ".join(
+            f"embedding[{j + 1}] * {x!r}" for j, x in enumerate(plane)
+        )
+    def q(p, mn, mx):
+        return (f"CAST(least(1023, greatest(0, floor((({p}) - {mn})"
+                f" / (({mx}) - ({mn})) * 1024.0))) AS BIGINT)")
+    morton = " + ".join(
+        f"((q1 // {1 << j}) % 2) * {4 ** j} + ((q2 // {1 << j}) % 2) * {2 * 4 ** j}"
+        for j in range(10)
+    )
+    return f"""
+    WITH proj AS (
+      SELECT vec_id, {dot(p1)} AS p1v, {dot(p2)} AS p2v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    bounds AS (
+      SELECT min(p1v) AS mn1, max(p1v) AS mx1,
+             min(p2v) AS mn2, max(p2v) AS mx2
+      FROM proj
+    ),
+    quant AS (
+      SELECT vec_id,
+             {q('p1v', 'mn1', 'mx1')} AS q1,
+             {q('p2v', 'mn2', 'mx2')} AS q2
+      FROM proj, bounds
+    )
+    SELECT vec_id, q1, q2, CAST({morton} AS BIGINT) AS morton
+    FROM quant
+    ORDER BY morton, vec_id
+    """
+
+
+@query(
+    "pipeline_semantic_order",
+    sql=_semantic_order_sql(),
+    survey_ops="H1,zorder(ext),D1",
+    tables=("embeddings",),
+)
+def pipeline_semantic_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone #8 — SEMANTIC CURRICULUM / LOCALITY ORDERING: give every
+    vector a Morton position over two fixed random embedding projections,
+    so sorting (or range-partitioning a write) by it places semantically
+    similar examples in the same file splits — sequential training reads
+    then touch coherent batches, and similarity-heavy jobs get data
+    skipping (the embedding-space generalization of sources/zorder.py's
+    2-column layout). Plan: two literal-plane fold dots (narrow map), one
+    1-row min/max broadcast, integer quantize + bit interleave — no
+    window, no corpus shuffle until the layout write itself. Locality
+    gain over storage order is pytest-asserted; the full chain is
+    value-oracled (left-associated dot replay + integer Morton)."""
+    from esco_neo4j_spark.functions.vector import dot_product
+    from esco_neo4j_spark.operators.similarity import _hyperplanes
+
+    p1, p2 = _hyperplanes(64, 2, 777)
+    emb = spark.table("embeddings").filter(F.col("embedding").isNotNull())
+    proj = emb.select(
+        "vec_id",
+        dot_product(F.col("embedding"), p1).alias("p1v"),
+        dot_product(F.col("embedding"), p2).alias("p2v"),
+    )
+    bounds = proj.agg(
+        F.min("p1v").alias("mn1"), F.max("p1v").alias("mx1"),
+        F.min("p2v").alias("mn2"), F.max("p2v").alias("mx2"),
+    )
+    def q(p, mn, mx):
+        return F.least(
+            F.lit(1023),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col(p) - F.col(mn)) / (F.col(mx) - F.col(mn)) * 1024.0
+                ),
+            ),
+        ).cast("bigint")
+    quant = proj.crossJoin(F.broadcast(bounds)).select(
+        "vec_id", q("p1v", "mn1", "mx1").alias("q1"),
+        q("p2v", "mn2", "mx2").alias("q2"),
+    )
+    morton = F.lit(0).cast("bigint")
+    for j in range(10):
+        morton = (
+            morton
+            + (F.expr(f"q1 div {1 << j}") % 2) * (4 ** j)
+            + (F.expr(f"q2 div {1 << j}") % 2) * (2 * 4 ** j)
+        )
+    return (
+        quant.select("vec_id", "q1", "q2", morton.alias("morton"))
+        .orderBy("morton", "vec_id")
+    )

@@ -263,3 +263,35 @@ def test_blocked_cosine_pairs_empty_input(spark):
 
     empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
     assert blocked_cosine_pairs(empty).count() == 0
+
+
+def test_semantic_order_improves_adjacent_locality(spark):
+    """Morton ordering over embedding projections must make ADJACENT rows
+    more similar on average than storage (vec_id) order — the whole point
+    of the curriculum/locality layout."""
+    import math
+
+    from esco_neo4j_spark.plans import REGISTRY
+
+    out = REGISTRY["pipeline_semantic_order"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return d / (na * nb)
+
+    morton_ids = [r["vec_id"] for r in out]
+    id_ids = sorted(morton_ids)
+    def adj_avg(ids):
+        pairs = list(zip(ids, ids[1:]))
+        return sum(cos(emb[a], emb[b]) for a, b in pairs) / len(pairs)
+    assert adj_avg(morton_ids) > adj_avg(id_ids)
