@@ -288,3 +288,47 @@ def hll_estimate_md5(registers: DataFrame, group_cols: list[str],
         F.floor(est).cast("bigint").alias("approx"),
         v.cast("int").alias("empty_registers"),
     )
+
+
+# --- AMS F2 (second frequency moment / self-join size) sketch ---------------
+#
+# Alon-Matias-Szegedy tug-of-war: per sketch row j, every key pulls a
+# +1/-1 rope end chosen by a hash; S_j = sum of pulls over the STREAM
+# (with multiplicity), and S_j^2 is an unbiased estimator of
+# F2 = sum_k count(k)^2 — the self-join size, the quantity join planners
+# and skew triage actually need (ext_join_cardinality_probe's exact twin
+# at sketch cost: 9 integers of state instead of a per-key rollup).
+# Median over rows tightens the tail. Signs come from the same affine
+# family as CMS (parity bit of (a*key + b) mod P), so every S_j is an
+# exact integer both engines reproduce — the estimate itself is
+# value-oracle-able, like the CMS/KMV/HLL families above.
+AMS_PARAMS: list[tuple[int, int]] = [
+    (3_571, 17), (5_939, 131), (8_209, 257), (11_351, 389),
+    (13_691, 499), (17_389, 641), (19_997, 769), (23_311, 887),
+    (29_443, 1_019),
+]
+
+
+def ams_f2_terms(df: DataFrame, key_col: str) -> DataFrame:
+    """(sketch_row, s) — the 9 rope sums. One narrow explode (9x rows of
+    two ints) + one 9-group partial-aggregable sum; mergeable across
+    partitions/days by construction (sums add)."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("sketch_row"),
+                (
+                    F.lit(1)
+                    - 2 * (((F.lit(a) * F.col(key_col) + F.lit(b)) % CMS_P) % 2)
+                ).cast("long").alias("pull"),
+            )
+            for j, (a, b) in enumerate(AMS_PARAMS)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("r"))
+        .select(F.col("r.sketch_row").alias("sketch_row"),
+                F.col("r.pull").alias("pull"))
+        .groupBy("sketch_row")
+        .agg(F.sum("pull").alias("s"))
+    )

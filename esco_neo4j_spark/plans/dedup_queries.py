@@ -965,3 +965,92 @@ def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_leaky_clusters")
         .orderBy("split", "source")
     )
+
+
+@query(
+    "dedup_sorted_neighborhood",
+    sql=f"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, substring({_NORM}, 1, 32) AS k,
+             list_sort(list_distinct({_WORDS})) AS ws
+      FROM documents
+    ),
+    ranked AS MATERIALIZED (
+      SELECT doc_id, ws, row_number() OVER (ORDER BY k, doc_id) AS r
+      FROM base
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(b.r - a.r AS INT) AS delta, a.ws AS wa, b.ws AS wb
+      FROM ranked a JOIN ranked b ON b.r > a.r AND b.r <= a.r + 7
+    )
+    SELECT id_a, id_b, delta,
+           CAST(round(len(list_intersect(wa, wb))::DOUBLE /
+                (len(wa) + len(wb) - len(list_intersect(wa, wb))), 6)
+                AS DOUBLE) AS jaccard
+    FROM pairs
+    WHERE len(list_intersect(wa, wb))::DOUBLE /
+          (len(wa) + len(wb) - len(list_intersect(wa, wb))) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    survey_ops="dedup-snm(ext),E,C1",
+    tables=("documents",),
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup (Hernandez-Stolfo SNM — the classic
+    BLOCKING-FREE alternative to LSH banding): sort by a domain key (the
+    32-char normalized-text prefix), compare each record only against its
+    next w-1=7 neighbors in key order, verify exact word-set Jaccard.
+    Candidate count is exactly (w-1)*N — linear BY CONSTRUCTION, no
+    hot-bucket cap needed (the property that made SNM the entity-
+    resolution workhorse before minhash).
+
+    Scale shape: the global key rank is assembled DISTRIBUTED with the
+    two-level bucket trick (per-first-char row_number + broadcast bucket
+    offsets — corpus_queries.shuffle_rank's pattern; the oracle's plain
+    row_number() OVER (ORDER BY ...) would be a single-partition window),
+    neighbor candidates come from ONE equi-join on rank after a 7-way
+    delta explode carrying ids+rank only, and the word sets are fetched
+    by two id-keyed joins at verify time (ids-not-payloads discipline,
+    same as the LSH join)."""
+    from pyspark.sql import Window
+
+    from esco_neo4j_spark.functions.text import word_tokens
+    from esco_neo4j_spark.operators.dedup import norm_text
+    from esco_neo4j_spark.plans.corpus_queries import _bucket_offsets
+
+    W = 8
+    d = spark.table("documents")
+    base = d.select(
+        "doc_id",
+        F.substring(norm_text(F.col("text")), 1, 32).alias("k"),
+        F.array_sort(F.array_distinct(word_tokens(F.col("text")))).alias("ws"),
+    )
+    keyed = base.select(
+        "doc_id", "k", F.substring(F.col("k"), 1, 1).alias("bkt")
+    )
+    counts = keyed.groupBy("bkt").agg(F.count("*").alias("c"))
+    offs = _bucket_offsets(counts, "c")
+    win = Window.partitionBy("bkt").orderBy("k", "doc_id")
+    ranked = keyed.join(F.broadcast(offs), "bkt").select(
+        "doc_id",
+        (F.col("off") + F.row_number().over(win)).cast("bigint").alias("r"),
+    )
+    probes = ranked.select(
+        F.col("doc_id").alias("id_a"), F.col("r").alias("ra"),
+        F.explode(F.array(*[F.lit(i) for i in range(1, W)])).alias("delta"),
+    ).withColumn("r", F.col("ra") + F.col("delta"))
+    cand = probes.join(
+        ranked.select(F.col("doc_id").alias("id_b"), "r"), "r"
+    ).select("id_a", "id_b", F.col("delta").cast("int").alias("delta"))
+    wa = base.select(F.col("doc_id").alias("id_a"), F.col("ws").alias("wa"))
+    wb = base.select(F.col("doc_id").alias("id_b"), F.col("ws").alias("wb"))
+    inter = F.size(F.array_intersect(F.col("wa"), F.col("wb")))
+    uni = F.size("wa") + F.size("wb") - inter
+    jac = inter / uni
+    return (
+        cand.join(wa, "id_a").join(wb, "id_b")
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b", "delta", F.round(jac, 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )

@@ -3335,3 +3335,70 @@ def events_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("id").cast("long").alias("sum_id"))
         .orderBy("day_idx")
     )
+
+
+def _ams_f2_sql() -> str:
+    from esco_neo4j_spark.operators.sketch import AMS_PARAMS, CMS_P
+
+    branches = "\n      UNION ALL\n      ".join(
+        f"""SELECT {j} AS sketch_row,
+             CAST(sum(1 - 2 * ((({a} * user_id + {b}) % {CMS_P}) % 2))
+                  AS BIGINT) AS s
+      FROM events"""
+        for j, (a, b) in enumerate(AMS_PARAMS)
+    )
+    return f"""
+    WITH pulls AS (
+      {branches}
+    ),
+    est AS (
+      SELECT s * s AS f2 FROM pulls ORDER BY f2 LIMIT 1 OFFSET 4
+    ),
+    exact AS (
+      SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact FROM (
+        SELECT count(*) AS c FROM events GROUP BY user_id
+      )
+    )
+    SELECT CAST(e.f2 AS BIGINT) AS f2_estimate, x.f2_exact,
+           CAST(round((e.f2 - x.f2_exact) * 1.0 / x.f2_exact, 6) AS DOUBLE)
+             AS rel_err
+    FROM est e CROSS JOIN exact x
+    """
+
+
+@query(
+    "events_ams_f2_selfjoin",
+    sql=_ams_f2_sql(),
+    survey_ops="sketch(ext),D2",
+    tables=("events",),
+)
+def events_ams_f2_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS tug-of-war F2 sketch — the 5th mergeable-sketch family (after
+    CMS / bloom / HLL / KMV): estimates the SELF-JOIN SIZE sum(count^2)
+    of user_id from 9 integers of state, the quantity join planners and
+    skew triage need (ext_join_cardinality_probe computes it exactly with
+    a per-key rollup; this answers from sketch state mergeable across
+    partitions and days). Median of the 9 squared rope sums via an exact
+    ORDER BY/OFFSET pick — every number is an integer, so the estimate
+    itself is value-oracled, and the exact F2 rides along to expose the
+    sketch error honestly. One narrow 9x explode + 9-group partial sum;
+    no shuffle wider than 9 rows."""
+    from esco_neo4j_spark.operators.sketch import ams_f2_terms
+
+    ev = spark.table("events")
+    terms = ams_f2_terms(ev, "user_id")
+    est = (
+        terms.select((F.col("s") * F.col("s")).alias("f2"))
+        .orderBy("f2").limit(5).orderBy(F.desc("f2")).limit(1)
+    )
+    exact = (
+        ev.groupBy("user_id").agg(F.count("*").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2_exact"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.col("f2").cast("bigint").alias("f2_estimate"),
+        "f2_exact",
+        F.round(
+            (F.col("f2") - F.col("f2_exact")) * 1.0 / F.col("f2_exact"), 6
+        ).alias("rel_err"),
+    )

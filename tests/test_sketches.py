@@ -145,3 +145,26 @@ def test_approx_quantiles_within_rank_error(spark):
             lo = vals[max(0, r0 - eps)]
             hi = vals[min(n - 1, r0 + eps)]
             assert lo - 1e-9 <= est <= hi + 1e-9, (etype, q, est, lo, hi)
+
+
+def test_ams_f2_median_pick_and_accuracy(spark):
+    """The AMS estimate must be the exact 5th-smallest squared rope sum
+    (verified against a plain-Python replay of the sign hashes) and land
+    within 4x of the true self-join size on a skewed key set — the
+    one-median-of-9 guarantee regime (each S_j^2 is unbiased with
+    variance <= 2*F2^2)."""
+    from esco_neo4j_spark.operators.sketch import AMS_PARAMS, CMS_P, ams_f2_terms
+
+    keys = [1] * 50 + [2] * 20 + list(range(3, 40))  # skewed multiset
+    df = spark.createDataFrame([(k,) for k in keys], ["user_id"])
+    got = {r["sketch_row"]: r["s"] for r in ams_f2_terms(df, "user_id").collect()}
+    want = {}
+    for j, (a, b) in enumerate(AMS_PARAMS):
+        want[j] = sum(1 - 2 * (((a * k + b) % CMS_P) % 2) for k in keys)
+    assert got == want
+    f2s = sorted(s * s for s in want.values())
+    est = f2s[4]
+    from collections import Counter
+
+    exact = sum(c * c for c in Counter(keys).values())
+    assert exact / 4 <= est <= exact * 4
