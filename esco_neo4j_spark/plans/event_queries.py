@@ -3402,3 +3402,113 @@ def events_ams_f2_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("f2") - F.col("f2_exact")) * 1.0 / F.col("f2_exact"), 6
         ).alias("rel_err"),
     )
+
+
+# --- Poissonized bootstrap CI ------------------------------------------------
+import math as _math
+
+_BOOT_B = 64
+# Poisson(1) inverse-CDF thresholds on a 28-bit integer uniform: replicate
+# multiplicity m = #thresholds below u, capped at 5 (P(>5) ~ 0.06%). The
+# thresholds are INTEGER literals, so the draw is exact integer comparison
+# in Python, Spark, and DuckDB alike.
+_BOOT_THRESH = [
+    int(_math.floor(sum(_math.exp(-1) / _math.factorial(k) for k in range(j + 1))
+                    * (1 << 28)))
+    for j in range(5)
+]
+
+
+def _bootstrap_sql() -> str:
+    cases = " + ".join(
+        f"(CASE WHEN u >= {t} THEN 1 ELSE 0 END)" for t in _BOOT_THRESH
+    )
+    return f"""
+    WITH draws AS (
+      SELECT b.b,
+             {cases} AS m,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM (
+        SELECT event_id, value,
+               b,
+               ('0x' || substr(md5(event_id::VARCHAR || '|' || b::VARCHAR),
+                               1, 7))::BIGINT AS u
+        FROM events, (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b)
+      ) b
+    ),
+    reps AS (
+      SELECT b, sum(m * cents) * 1.0 / sum(m) AS mean_b
+      FROM draws GROUP BY b HAVING sum(m) > 0
+    ),
+    lo AS (SELECT mean_b FROM reps ORDER BY mean_b, b LIMIT 1 OFFSET 1),
+    hi AS (SELECT mean_b FROM reps ORDER BY mean_b, b LIMIT 1 OFFSET 62),
+    pt AS (
+      SELECT sum(CAST(round(value * 100) AS BIGINT)) * 1.0 / count(*) AS c
+      FROM events
+    )
+    SELECT CAST(round(pt.c / 100.0, 6) AS DOUBLE) AS mean_value,
+           CAST(round(lo.mean_b / 100.0, 6) AS DOUBLE) AS ci_lo,
+           CAST(round(hi.mean_b / 100.0, 6) AS DOUBLE) AS ci_hi,
+           CAST({_BOOT_B} AS INT) AS n_replicates
+    FROM pt CROSS JOIN lo CROSS JOIN hi
+    """
+
+
+@query(
+    "events_bootstrap_ci",
+    sql=_bootstrap_sql(),
+    survey_ops="sketch(ext),D1,H(ext)",
+    tables=("events",),
+)
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable BOOTSTRAP 95% CI for the mean event value — Poissonized
+    resampling (the bag-of-little-bootstraps trick): each of 64
+    replicates assigns every row a Poisson(1) multiplicity drawn by
+    integer inverse-CDF thresholds on a 28-bit md5 uniform, so resamples
+    are never materialized — one 64x narrow explode and a 64-group
+    partial-aggregable sum replace 64 shuffles of the data. Replicate
+    means are single divisions of exact integer sums; the CI bounds are
+    exact order-statistic picks (2nd / 63rd of 64), so the whole
+    uncertainty calculation is value-oracled. At 100 TB: the only state
+    is 64 (sum, count) pairs."""
+    ev = spark.table("events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("event_id").cast("string"), F.lit("|"),
+                           F.col("b").cast("string"))), 1, 7),
+        16, 10,
+    ).cast("bigint")
+    m = sum(
+        (F.when(u >= t, 1).otherwise(0) for t in _BOOT_THRESH),
+        F.lit(0),
+    )
+    draws = (
+        ev.select("event_id", cents.alias("cents"),
+                  F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1)))
+                  .alias("b"))
+        .select("b", "cents", m.alias("m"))
+    )
+    reps = (
+        draws.groupBy("b")
+        .agg(F.sum(F.col("m") * F.col("cents")).alias("ws"),
+             F.sum("m").alias("wn"))
+        .filter(F.col("wn") > 0)
+        .select("b", (F.col("ws") * 1.0 / F.col("wn")).alias("mean_b"))
+    )
+    lo = reps.orderBy("mean_b", "b").limit(2).orderBy(F.desc("mean_b")).limit(1)
+    hi = reps.orderBy(F.desc("mean_b"), F.desc("b")).limit(2).orderBy(
+        "mean_b").limit(1)
+    pt = ev.agg(
+        (F.sum(cents) * 1.0 / F.count("*")).alias("c")
+    )
+    return (
+        pt.crossJoin(F.broadcast(lo.select(F.col("mean_b").alias("l"))))
+        .crossJoin(F.broadcast(hi.select(F.col("mean_b").alias("h"))))
+        .select(
+            F.round(F.col("c") / 100.0, 6).alias("mean_value"),
+            F.round(F.col("l") / 100.0, 6).alias("ci_lo"),
+            F.round(F.col("h") / 100.0, 6).alias("ci_hi"),
+            F.lit(_BOOT_B).cast("int").alias("n_replicates"),
+        )
+    )

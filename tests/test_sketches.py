@@ -168,3 +168,16 @@ def test_ams_f2_median_pick_and_accuracy(spark):
 
     exact = sum(c * c for c in Counter(keys).values())
     assert exact / 4 <= est <= exact * 4
+
+
+def test_bootstrap_ci_brackets_mean_and_narrows(spark):
+    """The Poissonized bootstrap CI must bracket the point mean and
+    narrow with more data (~1/sqrt(n))."""
+    from esco_neo4j_spark.plans import REGISTRY
+
+    q = REGISTRY["events_bootstrap_ci"].fn
+    small = q(spark, "/root/testdata/sf0.001").collect()[0]
+    big = q(spark, "/root/testdata/sf0.01").collect()[0]
+    for r in (small, big):
+        assert r["ci_lo"] <= r["mean_value"] <= r["ci_hi"]
+    assert (big["ci_hi"] - big["ci_lo"]) < (small["ci_hi"] - small["ci_lo"])
