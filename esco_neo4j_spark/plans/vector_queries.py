@@ -1605,3 +1605,93 @@ def pipeline_semantic_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         quant.select("vec_id", "q1", "q2", morton.alias("morton"))
         .orderBy("morton", "vec_id")
     )
+
+
+@query(
+    "vec_covariance_matrix",
+    sql="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    n AS (SELECT count(*) AS n FROM q),
+    sums AS (
+      SELECT i, CAST(sum(qi) AS BIGINT) AS s FROM (
+        SELECT unnest(generate_series(1, 64)) AS i, qv FROM q
+      ) t, LATERAL (SELECT qv[i] AS qi)
+      GROUP BY i
+    ),
+    prods AS (
+      SELECT p.i, p.j, CAST(sum(p.v) AS BIGINT) AS p_sum FROM (
+        SELECT unnest(flatten(list_transform(generate_series(1, 64),
+                 i -> list_transform(generate_series(i, 64),
+                      j -> {'i': i, 'j': j, 'v': qv[i] * qv[j]})))) AS p
+        FROM q
+      ) t
+      GROUP BY p.i, p.j
+    )
+    SELECT p.i, p.j, p.p_sum,
+           CAST(round((p.p_sum * 1.0 / n.n
+                       - (si.s * 1.0 / n.n) * (sj.s * 1.0 / n.n)) / 1e12, 9)
+                AS DOUBLE) AS cov
+    FROM prods p
+    JOIN sums si ON si.i = p.i
+    JOIN sums sj ON sj.i = p.j
+    CROSS JOIN n
+    ORDER BY p.i, p.j
+    """,
+    survey_ops="H1,D8,vec-stats(ext)",
+    tables=("embeddings",),
+)
+def vec_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 64x64 covariance matrix of the embedding corpus in ONE pass
+    of sufficient statistics — the distributed-linear-algebra primitive
+    under PCA/whitening/Mahalanobis (vec_power_iteration_pc1 extracts one
+    eigenvector; this materializes the full Gram state it implicitly
+    uses). Components are quantized to integer micro-units first, so the
+    per-pair product sums and per-dimension sums are EXACT bigints in any
+    aggregation order (playbook trick at matrix scale: 2080 upper-
+    triangle cells + 64 sums are the ONLY state — constant in corpus
+    size); cov derives from them by one deterministic expression. The
+    pair explode is a per-row array expression (zero shuffle until the
+    2080-group partial agg)."""
+    emb = spark.table("embeddings").filter(F.col("embedding").isNotNull())
+    q = emb.select(
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000000)"
+            " as bigint))"
+        ).alias("qv")
+    )
+    n = q.count()
+    sums = (
+        q.select(F.posexplode("qv").alias("i0", "qi"))
+        .groupBy("i0").agg(F.sum("qi").alias("s"))
+        .select((F.col("i0") + 1).alias("i"), "s")
+    )
+    prods = (
+        q.select(F.explode(F.expr(
+            "flatten(transform(sequence(1, 64), i ->"
+            " transform(sequence(i, 64), j ->"
+            " struct(i as i, j as j, qv[i-1] * qv[j-1] as v))))"
+        )).alias("p"))
+        .select("p.i", "p.j", "p.v")
+        .groupBy("i", "j").agg(F.sum("v").alias("p_sum"))
+    )
+    si = sums.select(F.col("i").alias("i"), F.col("s").alias("s_i"))
+    sj = sums.select(F.col("i").alias("j"), F.col("s").alias("s_j"))
+    return (
+        prods.join(F.broadcast(si), "i").join(F.broadcast(sj), "j")
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            "p_sum",
+            F.round(
+                (F.col("p_sum") * 1.0 / n
+                 - (F.col("s_i") * 1.0 / n) * (F.col("s_j") * 1.0 / n)) / 1e12,
+                9,
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )

@@ -295,3 +295,29 @@ def test_semantic_order_improves_adjacent_locality(spark):
         pairs = list(zip(ids, ids[1:]))
         return sum(cos(emb[a], emb[b]) for a, b in pairs) / len(pairs)
     assert adj_avg(morton_ids) > adj_avg(id_ids)
+
+
+def test_covariance_matrix_matches_numpy(spark):
+    """The sufficient-statistics covariance must match numpy's
+    (quantized-input) covariance to the 9dp output rounding, with a PSD
+    diagonal."""
+    import numpy as np
+
+    from esco_neo4j_spark.plans import REGISTRY
+
+    rows = REGISTRY["vec_covariance_matrix"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    vecs = np.array([
+        r["embedding"]
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).collect()
+    ], dtype="float64")
+    q = np.round(vecs * 1e6)
+    want = (q.T @ q) / len(q) - np.outer(q.mean(axis=0), q.mean(axis=0))
+    for r in rows[:200]:
+        i, j = r["i"] - 1, r["j"] - 1
+        assert abs(r["cov"] - want[i, j] / 1e12) < 2e-9
+        if i == j:
+            assert r["cov"] >= 0
