@@ -1695,3 +1695,93 @@ def vec_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("i", "j")
     )
+
+
+@query(
+    "vec_outlier_zscore",
+    sql="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    n AS (SELECT count(*) AS n FROM q),
+    comps AS (
+      SELECT vec_id, i, qv[i] AS qi FROM q,
+        (SELECT unnest(generate_series(1, 64)) AS i)
+    ),
+    stats AS (
+      SELECT i,
+             sum(qi) * 1.0 / any_value(n.n) AS mu,
+             sum(qi * qi) * 1.0 / any_value(n.n)
+               - (sum(qi) * 1.0 / any_value(n.n))
+               * (sum(qi) * 1.0 / any_value(n.n)) AS var
+      FROM comps CROSS JOIN n
+      GROUP BY i
+    ),
+    terms AS (
+      SELECT c.vec_id,
+             CAST(round(((c.qi - s.mu) / sqrt(s.var))
+                        * ((c.qi - s.mu) / sqrt(s.var)) * 1e9) AS BIGINT)
+               AS t_nano
+      FROM comps c JOIN stats s ON c.i = s.i
+      WHERE s.var > 0
+    )
+    SELECT vec_id, CAST(sum(t_nano) AS BIGINT) AS z2_nano,
+           CAST(round(sum(t_nano) / 1e9, 6) AS DOUBLE) AS z2
+    FROM terms GROUP BY vec_id
+    ORDER BY z2_nano DESC, vec_id
+    LIMIT 20
+    """,
+    survey_ops="vec-stats(ext),D3,F2",
+    tables=("embeddings",),
+)
+def vec_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space OUTLIER detection — the curation filter that
+    catches corrupt/degenerate vectors before they poison ANN indexes or
+    training batches: per-dimension standardized squared deviation
+    (diagonal-Mahalanobis z^2), summed in nano-quantized integer terms
+    (order-free; the playbook trick), top-20 most anomalous. Dimension
+    stats come from the same exact quantized sufficient statistics as
+    vec_covariance_matrix (integer sums -> one deterministic double
+    expression per dim); the corpus pass is an explode joined to the
+    BROADCAST 64-row stats table, then one per-vector regroup. Fully
+    value-oracled."""
+    emb = spark.table("embeddings").filter(F.col("embedding").isNotNull())
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000000)"
+            " as bigint))"
+        ).alias("qv"),
+    )
+    n = q.count()
+    comps = q.select(
+        "vec_id", F.posexplode("qv").alias("i0", "qi")
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "qi")
+    stats = (
+        comps.groupBy("i")
+        .agg(F.sum("qi").alias("s"), F.sum(F.col("qi") * F.col("qi")).alias("p"))
+        .select(
+            "i",
+            (F.col("s") * 1.0 / n).alias("mu"),
+            (F.col("p") * 1.0 / n
+             - (F.col("s") * 1.0 / n) * (F.col("s") * 1.0 / n)).alias("var"),
+        )
+        .filter(F.col("var") > 0)
+    )
+    dev = (F.col("qi") - F.col("mu")) / F.sqrt(F.col("var"))
+    t_nano = F.round(dev * dev * 1e9).cast("bigint")
+    return (
+        comps.join(F.broadcast(stats), "i")
+        .select("vec_id", t_nano.alias("t_nano"))
+        .groupBy("vec_id")
+        .agg(F.sum("t_nano").alias("z2_nano"))
+        .select(
+            "vec_id", "z2_nano",
+            F.round(F.col("z2_nano") / 1e9, 6).alias("z2"),
+        )
+        .orderBy(F.desc("z2_nano"), F.asc("vec_id"))
+        .limit(20)
+    )
