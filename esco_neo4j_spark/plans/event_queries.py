@@ -3440,8 +3440,11 @@ def _bootstrap_sql() -> str:
       SELECT b, sum(m * cents) * 1.0 / sum(m) AS mean_b
       FROM draws GROUP BY b HAVING sum(m) > 0
     ),
-    lo AS (SELECT mean_b FROM reps ORDER BY mean_b, b LIMIT 1 OFFSET 1),
-    hi AS (SELECT mean_b FROM reps ORDER BY mean_b, b LIMIT 1 OFFSET 62),
+    -- 2nd-smallest / 2nd-largest of HOWEVER MANY replicates survive the
+    -- HAVING (the DESC pick avoids hard-coding OFFSET 62, which would
+    -- assume all 64 survive and break on a degenerate tiny table).
+    lo AS (SELECT mean_b FROM reps ORDER BY mean_b ASC,  b ASC  LIMIT 1 OFFSET 1),
+    hi AS (SELECT mean_b FROM reps ORDER BY mean_b DESC, b DESC LIMIT 1 OFFSET 1),
     pt AS (
       SELECT sum(CAST(round(value * 100) AS BIGINT)) * 1.0 / count(*) AS c
       FROM events
@@ -3468,7 +3471,8 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     are never materialized — one 64x narrow explode and a 64-group
     partial-aggregable sum replace 64 shuffles of the data. Replicate
     means are single divisions of exact integer sums; the CI bounds are
-    exact order-statistic picks (2nd / 63rd of 64), so the whole
+    exact order-statistic picks (2nd-smallest / 2nd-largest of the
+    surviving replicates), so the whole
     uncertainty calculation is value-oracled. At 100 TB: the only state
     is 64 (sum, count) pairs."""
     ev = spark.table("events")

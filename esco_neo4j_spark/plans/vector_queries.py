@@ -315,6 +315,10 @@ def vec_knn_per_label_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
       LIMIT 2
     ),
     assign AS (
+      -- norm > 0 mirrors ivf_assign's zero-norm handling: NaN cosine
+      -- against every centroid -> NULL cell in Spark (never probed);
+      -- without the predicate DuckDB's NaN sorts first under DESC and
+      -- would hand a zero vector the lowest cid.
       SELECT vec_id, embedding, cid AS cell
       FROM (
         SELECT e.vec_id, e.embedding, c.cid,
@@ -324,6 +328,8 @@ def vec_knn_per_label_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(e.embedding AS DOUBLE[]), c.cvec) DESC, c.cid ASC
                ) AS rn
         FROM embeddings e CROSS JOIN cents c
+        WHERE list_aggregate(list_transform(
+                CAST(e.embedding AS DOUBLE[]), x -> x*x), 'sum') > 0
       ) WHERE rn = 1
     )
     SELECT vec_id, CAST(round({_COS.format(anchor=_ANCHOR_SQL)}, 6) AS DOUBLE) AS score
@@ -415,8 +421,12 @@ def vec_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vec_ivfpq_topk",
     sql=f"""
     WITH vecs AS (
+      -- norm > 0 mirrors ivf_assign's zero-norm handling (NULL cell in
+      -- Spark, filtered before encode); see vec_ivf_topk's assign CTE.
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
       WHERE embedding IS NOT NULL
+        AND list_aggregate(list_transform(
+              CAST(embedding AS DOUBLE[]), x -> x*x), 'sum') > 0
     ),
     cents AS (
       SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec

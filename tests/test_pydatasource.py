@@ -79,7 +79,15 @@ def test_stream_reader_is_prefix_identity_of_batch(spark, tmp_path):
         q.stop()
     streamed = spark.read.parquet(out)
     n = streamed.count()
-    assert n >= 300
+    if n < 300:
+        import pytest
+
+        pytest.fail(
+            f"TIMEOUT (not a prefix-identity violation): the stream "
+            f"committed only {n} rows within the 60s deadline (needed "
+            f"300 = 3 micro-batches) — machine too slow/loaded; the "
+            f"identity and exactly-once assertions below never ran"
+        )
     batch = (
         spark.read.format("synthetic_events")
         .option("n_rows", n).option("n_users", 100).load()

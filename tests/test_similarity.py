@@ -134,6 +134,24 @@ def test_ivfpq_zero_norm_query_is_empty(emb):
     assert out.count() == 0 and out.columns == ["vec_id", "score"]
 
 
+def test_ivfpq_empty_corpus_is_empty(spark):
+    """No non-null embeddings -> no centroids; must return an empty
+    (id, score) frame, not crash building the centroid CASE."""
+    from esco_neo4j_spark.operators.similarity import ivfpq_topk
+
+    empty = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<float>"
+    )
+    out = ivfpq_topk(empty, [1.0] * 64, k=10)
+    assert out.count() == 0 and out.columns == ["vec_id", "score"]
+
+    all_null = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id bigint, embedding array<float>"
+    )
+    out2 = ivfpq_topk(all_null, [1.0] * 64, k=10)
+    assert out2.count() == 0 and out2.columns == ["vec_id", "score"]
+
+
 def test_kmeans_recovers_separated_blobs(spark):
     """Two tight blobs 14 units apart, ids interleaved so the first-2-ids
     init lands one seed in each blob: Lloyd's must separate them exactly
