@@ -39,9 +39,25 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL for every SQL-expressible query — including the
     iterative and approximate operators (pagerank, LPA, betweenness,
     LSH/IVF, k-means, HITS, Luby MIS, Louvain, Boruvka MSF), which carry
-    unrolled/closed-form oracles. Only 3 remain rows-only — HLL
-    (events_approx_distinct_rollup) and GK-sketch
-    (events_value_quantiles_approx) estimates and the zlib compression
-    ratio (udf_compression_ratio), each implementation-specific by nature
-    and golden- or bound-tested in tests/ instead."""
-    return {name: q.sql for name, q in REGISTRY.items() if q.sql is not None}
+    unrolled/closed-form oracles, and — since round 5 — the HLL rollup
+    (md5-register replay) and GK quantile rollup (lossless-regime exact
+    rank pick). Only 1 remains rows-only: the zlib compression ratio
+    (udf_compression_ratio), inherently implementation-specific and
+    golden-tested against plain-Python zlib in tests/ instead.
+
+    Scale-adaptive queries (LSH banding, SemDeDup k) register a per-sf
+    SQL BUILDER instead of a static string; it is resolved here against
+    the driver's correctness scale (sf0.01 — override with
+    SPARK_GRAFT_ORACLE_SF_DIR) so the oracle's derived constants match
+    the Spark plan the driver runs at the same scale. The local mirror
+    test resolves the same builders at its own sf dir."""
+    from esco_neo4j_spark.plans.registry import resolve_sql
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    return {
+        name: resolve_sql(q, sf_dir)
+        for name, q in REGISTRY.items()
+        if q.sql is not None
+    }

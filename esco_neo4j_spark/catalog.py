@@ -74,3 +74,35 @@ def load_tables(
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+_ROWCOUNT_CACHE: dict[str, int] = {}
+
+
+def table_rowcount(sf_dir: str, name: str) -> int:
+    """Row count of a table from PARQUET FOOTER METADATA only — no scan,
+    no Spark job, no DuckDB query. This is the corpus-size estimate the
+    scale-adaptive operators (LSH banding, SemDeDup cluster count) derive
+    their parameters from: because it is pure file metadata, the Spark
+    plan builder and the DuckDB oracle-SQL builder read the IDENTICAL
+    number, so derived parameters stay in lockstep by construction.
+
+    Handles both a single ``table.parquet`` file and a Spark-written
+    directory of part files (sums the parts). At warehouse scale the same
+    number comes from the table format's manifest (Delta/Iceberg
+    snapshot row counts) — still metadata, still no scan."""
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, name)
+    if path in _ROWCOUNT_CACHE:
+        return _ROWCOUNT_CACHE[path]
+    if os.path.isdir(path):
+        n = sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        )
+    else:
+        n = pq.ParquetFile(path).metadata.num_rows
+    _ROWCOUNT_CACHE[path] = n
+    return n

@@ -469,7 +469,17 @@ def connected_components(
     """
     e = undirected(edges)
     e = _checkpoint(e)  # static per-round join side — see bfs_depths
-    state = vertices_of(edges).withColumn("component", F.col("id"))
+    # vertex set from the CHECKPOINTED undirected view (it contains both
+    # directions, so distinct src covers every endpoint) — deriving it
+    # from raw `edges` would evaluate the caller's edge pipeline a second
+    # time, which for the dedup capstones means re-running the whole
+    # MinHash banding+verify plan (half of pipeline_training_mix's
+    # r4-measured sf1 superlinearity).
+    state = (
+        e.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
     state = _checkpoint(state)
     for _ in range(max_iter):
         msgs = (

@@ -756,12 +756,37 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- SemDeDup-style semantic dedup: cluster, then dedup within cluster -----
-@query(
-    "dedup_semantic_bucketed",
-    sql="""
+def derive_semdedup_k(
+    n_rows: int, *, target_cluster: int = 256, base_k: int = 8,
+    max_k: int = 1 << 20,
+) -> int:
+    """Scale-adaptive SemDeDup cluster count: k tracks corpus size so the
+    EXPECTED cluster stays ~``target_cluster`` rows and the within-cluster
+    O(N²/k) verify stays ~linear in N — the round-4 audit's fixed-k gap
+    (with k=8 forever, the 512-row cap starts silently truncating
+    clusters at 10×+ scale). Pure arithmetic over the parquet-metadata
+    row count, so the Spark plan and the DuckDB oracle builder derive the
+    IDENTICAL k. At driver correctness scales (N ≤ 2048) this returns the
+    historic k=8; at sf1 (N = 20k) k=79."""
+    import math
+
+    if n_rows <= 0:
+        return base_k
+    return max(base_k, min(max_k, math.ceil(n_rows / target_cluster)))
+
+
+def _semdedup_k(sf_dir: str) -> int:
+    from esco_neo4j_spark.catalog import table_rowcount
+
+    return derive_semdedup_k(table_rowcount(sf_dir, "embeddings"))
+
+
+def _semdedup_sql(sf_dir: str) -> str:
+    k = _semdedup_k(sf_dir)
+    return f"""
     WITH c AS (
       SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
-      FROM embeddings WHERE vec_id < 8),
+      FROM embeddings WHERE vec_id < {k}),
     s AS (
       SELECT v.vec_id, c.cid,
              round(list_cosine_similarity(
@@ -790,13 +815,18 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id_b AS vec_id, CAST(cluster AS INT) AS cluster,
            CAST(min(id_a) AS BIGINT) AS canonical_id
     FROM p GROUP BY id_b, cluster ORDER BY vec_id
-    """,
+    """
+
+
+@query(
+    "dedup_semantic_bucketed",
+    sql=_semdedup_sql,  # per-sf_dir builder: k derives from corpus size
     survey_ops="dedup-semantic(ext),C9,H1",
     tables=("embeddings",),
 )
 def dedup_semantic_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shape semantic dedup (Abbas et al.): assign every vector
-    to its nearest of k=8 centroids (here: the first 8 vectors,
+    to its nearest of k centroids (here: the first k vectors,
     deterministic — production would feed vec_kmeans_clusters' centroids
     in), then find near-duplicate pairs (cosine >= 0.45) ONLY within a
     cluster and drop the higher id of each pair, keeping the lowest
@@ -806,17 +836,21 @@ def dedup_semantic_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets. Ties in the rounded assignment score break to the lowest
     centroid id on both engines.
 
-    Scale guard (r3, sf1 audit): with FIXED k, within-cluster pairs are
-    O(N^2/k) — quadratic again at 10x. Per-cluster participation is
-    therefore capped at the 512 lowest vec_ids (deterministic windowed
-    drop, replayed in the oracle — the max_bucket guard the MinHash path
-    uses). The cap never binds at driver scales (~250/cluster at sf0.1);
-    at 100 TB production also scales k with N (IVF-style assignment)."""
+    Scale guards:
+    - k DERIVES from corpus size (derive_semdedup_k: ~N/256, floor 8 —
+      the round-5 fix for the fixed-k O(N²/k) re-quadratization; the
+      oracle builder replays the same k from the same parquet metadata).
+    - per-cluster participation capped at the 512 lowest vec_ids
+      (deterministic windowed drop, replayed in the oracle — the
+      max_bucket guard the MinHash path uses); with adaptive k the
+      expected cluster is ~256 rows, so the cap is the skew backstop,
+      not the steady-state truncator."""
     emb = spark.table("embeddings").filter(F.col("embedding").isNotNull())
     from pyspark.sql import Window
 
+    k = _semdedup_k(sf_dir)
     cents = F.broadcast(
-        emb.filter(F.col("vec_id") < 8).select(
+        emb.filter(F.col("vec_id") < k).select(
             F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
         )
     )

@@ -447,37 +447,94 @@ def ext_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_approx_distinct_rollup",
-    sql=None,  # HLL estimates are sketch-implementation-specific; no
-    # cross-engine value oracle exists. tests/test_sketches.py bounds the
-    # estimate against the exact distinct count instead.
+    sql="""
+    WITH h AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             md5(CAST(user_id AS VARCHAR)) AS hx
+      FROM events
+    ),
+    rho AS (
+      SELECT event_type, d,
+             ('0x' || substr(hx, 1, 1))::BIGINT AS bucket,
+             CASE WHEN ('0x' || substr(hx, 2, 12))::BIGINT = 0 THEN 49
+                  ELSE CAST(log2(('0x' || substr(hx, 2, 12))::BIGINT
+                                 & -(('0x' || substr(hx, 2, 12))::BIGINT))
+                            AS INT) + 1
+             END AS rho
+      FROM h
+    ),
+    daily AS (
+      SELECT event_type, d, bucket, max(rho) AS rho
+      FROM rho GROUP BY 1, 2, 3
+    ),
+    merged AS (
+      SELECT event_type, bucket, max(rho) AS rho
+      FROM daily GROUP BY 1, 2
+    ),
+    agg AS (
+      -- CAST: DuckDB parses the 2^48 literal as DECIMAL(18) and the
+      -- multiplication overflows; force DOUBLE (playbook trap #10)
+      SELECT event_type,
+             sum(pow(2, 48 - rho)) AS psum, count(*) AS nb
+      FROM merged GROUP BY 1
+    ),
+    est AS (
+      SELECT event_type, 16 - nb AS v,
+             0.673 * 16 * 16 * CAST(281474976710656 AS DOUBLE)
+               / (psum + (16 - nb) * CAST(281474976710656 AS DOUBLE)) AS raw
+      FROM agg
+    ),
+    finals AS (
+      SELECT event_type,
+             CAST(floor(CASE WHEN raw <= 40 AND v > 0
+                             THEN 16 * ln(16.0 / v) ELSE raw END)
+                  AS BIGINT) AS approx_users
+      FROM est
+    ),
+    days AS (
+      SELECT event_type, count(DISTINCT d) AS n_days FROM h GROUP BY 1
+    )
+    SELECT f.event_type, f.approx_users,
+           CAST(y.n_days AS BIGINT) AS n_days
+    FROM finals f JOIN days y USING (event_type)
+    ORDER BY event_type
+    """,
     survey_ops="sketch(ext),D5",
     tables=("events",),
 )
 def events_approx_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup — THE count-distinct pattern at 100 TB:
     exact COUNT(DISTINCT) re-shuffles raw keys for every question asked,
-    while HLL sketches are built once per (type, day) partition, persist
-    at ~KB each, and answer any day-range distinct-user question by
-    MERGING sketches — no second pass over raw data, error ~1.6%% at
-    lgK=12. Two-level plan: partial hll_sketch_agg per day (map-side
-    combinable), hll_union_agg across days, estimate at the end.
-    Deterministic (hash-based, no RNG), so the driver's rows-only check
-    is stable run to run."""
-    spark.table("events")  # registered by the decorator
-    return spark.sql(
-        """
-        WITH daily AS (
-          SELECT event_type, date_trunc('day', ts) AS d,
-                 hll_sketch_agg(user_id, 12) AS sk
-          FROM events GROUP BY 1, 2
-        )
-        SELECT event_type,
-               CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)
-                 AS approx_users,
-               CAST(count(*) AS BIGINT) AS n_days
-        FROM daily GROUP BY 1 ORDER BY 1
-        """
+    while HLL register tables are built once per (type, day) partition,
+    persist at <= m rows each, and answer any day-range distinct-user
+    question by MERGING registers (element-wise max) — no second pass
+    over raw data. Two-level plan: partial per-day register build
+    (map-side combinable groupBy-max), cross-day merge, estimate at the
+    end.
+
+    Round 5: swapped Spark's builtin hll_sketch_agg (engine-private
+    binary sketch => rows-only check) for the md5-register HLL
+    (operators/sketch.py hll_registers_md5) whose registers, merge,
+    harmonic sum, and floored estimate replay bit-exactly in DuckDB —
+    the ESTIMATE is now value-oracled like events_kmv_distinct_rollup.
+    The builtin-sketch variant stays exercised (error-bounded vs exact)
+    in tests/test_sketches.py::test_native_hll_sketch_agg_rollup."""
+    from esco_neo4j_spark.operators.sketch import (
+        hll_estimate_md5, hll_merge, hll_registers_md5,
     )
+
+    ev = spark.table("events").select(
+        "event_type", "user_id", F.date_trunc("day", "ts").alias("d")
+    )
+    daily = hll_registers_md5(ev, "user_id", ["event_type", "d"])
+    merged = hll_merge(daily, ["event_type"])
+    est = hll_estimate_md5(merged, ["event_type"]).select(
+        "event_type", F.col("approx").alias("approx_users")
+    )
+    days = ev.groupBy("event_type").agg(
+        F.count_distinct("d").cast("bigint").alias("n_days")
+    )
+    return est.join(days, "event_type").orderBy("event_type")
 
 
 @query(
@@ -802,9 +859,26 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_value_quantiles_approx",
-    sql=None,  # GK-sketch estimates are implementation-specific (like the
-    # HLL rollup); tests/test_sketches.py bounds them against exact
-    # quantiles at the configured accuracy instead
+    sql="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value)
+               AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           CAST(round(max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
+                               THEN value END), 4) AS DOUBLE) AS p50,
+           CAST(round(max(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT)
+                               THEN value END), 4) AS DOUBLE) AS p90,
+           CAST(round(max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                               THEN value END), 4) AS DOUBLE) AS p99,
+           CAST(max(n) AS BIGINT) AS n
+    FROM ranked
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
     survey_ops="sketch(ext),percentile(ext),D8",
     tables=("events",),
 )
@@ -814,12 +888,20 @@ def events_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame
     path — no per-group sort, bounded sketch state per partition,
     map-side combinable — which is what replaces exact
     percentile_disc/quantile windows once groups stop fitting a partition
-    (see ext_group_percentiles' scale note). accuracy=10000 bounds rank
-    error at n/10000. Deterministic for a fixed input + partitioning, so
-    the driver's rows-only check is stable."""
+    (see ext_group_percentiles' scale note).
+
+    Oracle story (round 5, closing the rows-only tail): below
+    ``accuracy`` rows per group the GK summary is LOSSLESS, and Spark's
+    query then returns exactly the ceil(q·n)-th order statistic
+    (1-based) — verified empirically across types/quantiles including
+    ties — so the estimate itself is value-oracled as an explicit
+    rank pick. accuracy=1e6 keeps the lossless regime through the sf1
+    audit scale; beyond it (true 100 TB groups) the same plan degrades
+    gracefully to rank error n/1e6, bounded by
+    tests/test_sketches.py::test_approx_quantiles_within_rank_error."""
     ev = spark.table("events")
     q = F.percentile_approx(
-        "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10_000)
+        "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(1_000_000)
     )
     return (
         ev.groupBy("event_type")

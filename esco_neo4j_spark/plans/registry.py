@@ -29,7 +29,13 @@ from esco_neo4j_spark.session import tune
 class Query:
     name: str
     fn: Callable[[SparkSession, str], DataFrame]
-    sql: str | None  # DuckDB oracle; None => rows-only check (non-SQL op)
+    # DuckDB oracle; None => rows-only check (non-SQL op). A CALLABLE
+    # (sf_dir -> str) marks a scale-adaptive query whose oracle SQL is
+    # built per data directory — the builder derives its constants (LSH
+    # n_planes/n_tables, SemDeDup k) from the same parquet-metadata row
+    # count the Spark plan uses, so both engines replay identical
+    # literals at every scale. Resolve with resolve_sql().
+    sql: str | Callable[[str], str] | None
     survey_ops: str = ""  # SURVEY.md §2 operator ids covered
     bench: bool = False  # include in bench.py headline set
     tables: tuple[str, ...] = field(default_factory=tuple)
@@ -37,6 +43,13 @@ class Query:
 
 
 REGISTRY: dict[str, Query] = {}
+
+
+def resolve_sql(q: Query, sf_dir: str) -> str | None:
+    """Oracle SQL for ``q`` against the tables in ``sf_dir`` — static
+    strings pass through; scale-adaptive builders are invoked with the
+    directory so their derived constants match the Spark plan's."""
+    return q.sql(sf_dir) if callable(q.sql) else q.sql
 
 
 def query(

@@ -386,12 +386,20 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join, CC runs on the tiny near-dup pair graph, and the sampler
     is a pure filter — the whole mix costs ~the LSH join at 100 TB."""
     from esco_neo4j_spark.operators.dedup import minhash_dedup_pairs
-    from esco_neo4j_spark.operators.graph import connected_components
+    from esco_neo4j_spark.operators.graph import _checkpoint, connected_components
 
     d = spark.table("documents")
     filtered = d.filter(F.size(word_tokens(F.col("text"))) >= 20).select(
         "doc_id", "text", _predicted_lang(F.col("text")).alias("plang")
     )
+    # The quality+langid gate is consumed by FIVE downstream branches
+    # (minhash signature, both exact-Jaccard verify sides, CC vertex set,
+    # and the kept-join) — without cutting lineage the tokenize+langid
+    # subtree re-executes per branch, which is exactly the 11.8×-at-10×
+    # superlinearity the r4 sf1 audit measured (93.5s; its
+    # checkpoint-free sibling dedup_canonical_docs, identical dedup stage
+    # over RAW docs, ran 24.6s). Materialize the gate once.
+    filtered = _checkpoint(filtered)
     pairs = minhash_dedup_pairs(
         filtered, "text", "doc_id", threshold=0.5, num_hashes=16, bands=4
     ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))

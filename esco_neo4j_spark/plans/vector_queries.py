@@ -187,21 +187,45 @@ def vec_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _join_params(sf_dir: str) -> tuple[int, int]:
+    """Scale-adaptive banding for the similarity join: derived from the
+    embeddings parquet-metadata row count (identical on both engines).
+    At driver correctness scales (N ≤ 2000) this is exactly the historic
+    (4, 16); at the sf1 audit (N = 20k) it becomes (8, 24)."""
+    from esco_neo4j_spark.catalog import table_rowcount
+    from esco_neo4j_spark.operators.similarity import derive_lsh_params
+
+    return derive_lsh_params(
+        table_rowcount(sf_dir, "embeddings"), base_tables=16
+    )
+
+
 @query(
     "vec_lsh_similarity_join",
     # full value oracle: plane literals embedded, per-table buckets
     # replayed via UNION ALL, candidate pairs deduped, exact verify —
-    # recall vs the exact join is additionally pytest-asserted
-    sql=_lsh_join_sql(threshold=0.45, n_planes=4, n_tables=16),
+    # recall vs the exact join is additionally pytest-asserted. The SQL
+    # is a per-sf_dir builder (resolve_sql) because n_planes/n_tables
+    # are now derived from corpus size; both builders call _join_params.
+    sql=lambda sf_dir: _lsh_join_sql(
+        threshold=0.45,
+        n_planes=_join_params(sf_dir)[0],
+        n_tables=_join_params(sf_dir)[1],
+    ),
     survey_ops="C9,A7(scale)",
     tables=("embeddings",),
 )
 def vec_lsh_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table LSH similarity join (OR-of-AND banding): equi-join on
     (table, sign-bucket), exact verify on deduped candidates — replaces
-    the cross join at scale (SURVEY §2 A7 mapping)."""
+    the cross join at scale (SURVEY §2 A7 mapping). Banding parameters
+    are derived from the corpus row count (derive_lsh_params) so bucket
+    count tracks N — the round-4 audit's fixed-16-bucket superlinearity
+    fix — and the oracle builder replays the same derivation."""
+    n_planes, n_tables = _join_params(sf_dir)
     return lsh_self_join(
-        spark.table("embeddings"), threshold=0.45, n_planes=4, n_tables=16
+        spark.table("embeddings"), threshold=0.45,
+        n_planes=n_planes, n_tables=n_tables,
     ).orderBy("id_a", "id_b")
 
 
@@ -1239,10 +1263,23 @@ def vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rk")
 
 
-def _knn_graph_sql() -> str:
+def _knn_params(sf_dir: str) -> tuple[int, int]:
+    """Scale-adaptive banding for the kNN graph (base 8 tables — the
+    no-threshold candidate set is denser, so it runs fewer tables than
+    the thresholded join). (4, 8) at driver scales, (8, 16) at sf1."""
+    from esco_neo4j_spark.catalog import table_rowcount
+    from esco_neo4j_spark.operators.similarity import derive_lsh_params
+
+    return derive_lsh_params(
+        table_rowcount(sf_dir, "embeddings"), base_tables=8
+    )
+
+
+def _knn_graph_sql(sf_dir: str) -> str:
     """Symmetrize the LSH candidate pairs (no threshold) and rank top-3
     neighbors per vector — reuses the banding replay of _lsh_join_sql."""
-    pairs = _lsh_join_sql(threshold=-1.0, n_planes=4, n_tables=8)
+    n_planes, n_tables = _knn_params(sf_dir)
+    pairs = _lsh_join_sql(threshold=-1.0, n_planes=n_planes, n_tables=n_tables)
     return f"""
     WITH pairs AS ({pairs}),
     sym AS (
@@ -1273,11 +1310,15 @@ def vec_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexes, NN-descent refinement, and graph-clustering alternatives to
     SemDeDup; per-vector ranking is a window partitioned by the vector
     (corpus-parallel). Candidate recall inherits the pytest-pinned LSH
-    floors; the oracle replays banding, symmetrization, and ranking."""
+    floors; the oracle replays banding, symmetrization, and ranking.
+    Banding parameters derive from corpus size (derive_lsh_params) on
+    both engines."""
     from pyspark.sql import Window
 
+    n_planes, n_tables = _knn_params(sf_dir)
     pairs = lsh_self_join(
-        spark.table("embeddings"), threshold=-1.0, n_planes=4, n_tables=8
+        spark.table("embeddings"), threshold=-1.0,
+        n_planes=n_planes, n_tables=n_tables,
     )
     sym = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("nbr"), "score"
@@ -1297,7 +1338,7 @@ def vec_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from esco_neo4j_spark.plans.registry import REGISTRY as _REGISTRY  # noqa: E402
 
-_REGISTRY["vec_knn_graph_lsh"].sql = _knn_graph_sql()
+_REGISTRY["vec_knn_graph_lsh"].sql = _knn_graph_sql  # per-sf_dir builder
 
 
 @query(

@@ -13,6 +13,7 @@ import duckdb
 import pytest
 
 from esco_neo4j_spark.plans import REGISTRY
+from esco_neo4j_spark.plans.registry import resolve_sql
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
@@ -55,7 +56,7 @@ def test_oracle_parity(spark, name):
 
     con = _duck_con(SF_DIR)
     try:
-        res = con.execute(q.sql)
+        res = con.execute(resolve_sql(q, SF_DIR))
         d_cols = [d[0] for d in res.description]
         d_rows = res.fetchall()
     finally:

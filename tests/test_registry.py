@@ -28,18 +28,12 @@ def test_every_query_has_oracle_or_documented_rows_only():
     # query accidentally registered without an oracle should fail here
     rows_only = {n for n, q in REGISTRY.items() if q.sql is None}
     assert rows_only == {
-        # (graph_louvain left this set in r3: integer-gain local moves +
-        # md5 parity made the unrolled-CTE value oracle exact)
-        # HLL estimates are sketch-implementation-specific; bounded against
-        # exact counts in tests/test_sketches.py instead
-        "events_approx_distinct_rollup",
-        # GK quantile sketches are implementation-specific; rank-error
-        # bounded against exact quantiles in tests/test_sketches.py
-        "events_value_quantiles_approx",
+        # (graph_louvain left this set in r3; events_approx_distinct_rollup
+        # left in r5 — the md5-register HLL replays bit-exact in DuckDB;
+        # events_value_quantiles_approx left in r5 — below accuracy rows
+        # the GK summary is lossless and the result is an exact rank pick)
         # no SQL zlib exists; exact plain-Python byte-count golden in
-        # tests/test_textmodel.py
+        # tests/test_textmodel.py — inherently impl-specific, the ONE
+        # honest rows-only survivor
         "udf_compression_ratio",
-        # (graph_msf_boruvka left this set in r3: the nested Boruvka x CC
-        # iteration unrolls to MATERIALIZED CTE rounds, idempotent past
-        # both fixpoints — _msf_unrolled_sql; the Kruskal golden remains)
     }

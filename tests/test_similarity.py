@@ -152,6 +152,69 @@ def test_ivfpq_empty_corpus_is_empty(spark):
     assert out2.count() == 0 and out2.columns == ["vec_id", "score"]
 
 
+def test_derive_lsh_params_scale_adaptive():
+    """Banding parameters must TRACK corpus size (the round-4 audit gap:
+    fixed 16 buckets at any N) while reproducing the historic constants
+    exactly at every driver correctness scale, so recorded oracle hashes
+    are unchanged."""
+    from esco_neo4j_spark.operators.similarity import derive_lsh_params
+
+    # driver scales (N <= 2000): exactly the round-1..4 fixed constants
+    assert derive_lsh_params(500, base_tables=16) == (4, 16)
+    assert derive_lsh_params(2000, base_tables=16) == (4, 16)
+    assert derive_lsh_params(500, base_tables=8) == (4, 8)
+    assert derive_lsh_params(2000, base_tables=8) == (4, 8)
+    # sf1 audit scale: bucket count grows with N
+    assert derive_lsh_params(20_000, base_tables=16) == (8, 24)
+    assert derive_lsh_params(20_000, base_tables=8) == (8, 16)
+    # monotone non-decreasing in N; caps bound the blowup
+    prev = (0, 0)
+    for n in (0, 1, 10, 500, 2_000, 20_000, 10**5, 10**6, 10**9, 10**12):
+        p = derive_lsh_params(n)
+        assert p >= prev, f"not monotone at N={n}: {p} < {prev}"
+        prev = p
+    assert derive_lsh_params(10**12) == (24, 48)
+    # expected bucket occupancy stays ~target once growth engages
+    for n in (10**4, 10**5, 10**6):
+        k, _ = derive_lsh_params(n)
+        assert n / (1 << k) <= 128, "expected bucket exceeds target"
+
+
+def test_derive_semdedup_k_scale_adaptive():
+    import math
+
+    from esco_neo4j_spark.plans.dedup_queries import derive_semdedup_k
+
+    assert derive_semdedup_k(500) == 8   # driver scales: historic k=8
+    assert derive_semdedup_k(2000) == 8
+    assert derive_semdedup_k(20_000) == math.ceil(20_000 / 256)
+    assert derive_semdedup_k(10**8) == math.ceil(10**8 / 256)
+    assert derive_semdedup_k(10**12) == 1 << 20  # max_k backstop
+
+
+def test_adaptive_params_lockstep_with_oracle_builder():
+    """The Spark plan and the per-sf_dir oracle SQL builder must derive
+    from the SAME parquet-metadata row count; at the driver's sf dirs the
+    derived constants equal the historic fixed ones."""
+    import duckdb
+
+    from esco_neo4j_spark.catalog import table_rowcount
+    from esco_neo4j_spark.plans.vector_queries import (
+        _join_params,
+        _knn_params,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.1"):
+        meta_n = table_rowcount(sf_dir, "embeddings")
+        scan_n = duckdb.sql(
+            f"SELECT count(*) FROM '{sf_dir}/embeddings.parquet'"
+        ).fetchone()[0]
+        assert meta_n == scan_n
+    assert _join_params("/root/testdata/sf0.001") == (4, 16)
+    assert _join_params("/root/testdata/sf0.1") == (4, 16)
+    assert _knn_params("/root/testdata/sf0.1") == (4, 8)
+
+
 def test_kmeans_recovers_separated_blobs(spark):
     """Two tight blobs 14 units apart, ids interleaved so the first-2-ids
     init lands one seed in each blob: Lloyd's must separate them exactly

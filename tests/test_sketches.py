@@ -1,12 +1,12 @@
-"""Sketch-operator accuracy bounds (events_approx_distinct_rollup).
+"""Sketch-operator accuracy bounds.
 
-HLL estimates have no cross-engine value oracle (sketch layouts are
-implementation-specific), so the registry entry is rows-only for the
-driver; this test supplies the missing signal by bounding the merged
-daily-sketch estimate against the exact distinct count: lgK=12 gives a
-relative standard error of ~1.6%, so 5% is a >3-sigma bound, and at the
-tiny test cardinalities HLL is exact anyway. Also pins determinism —
-two runs must produce identical estimates (hash-based sketch, no RNG)."""
+Since round 5 the registry's HLL rollup (events_approx_distinct_rollup)
+and GK quantile rollup (events_value_quantiles_approx) are VALUE-oracled
+(md5-register replay / lossless-regime rank pick); these tests keep the
+complementary signal the oracle can't give — error bounds against exact
+answers, determinism, and coverage of Spark's builtin binary-sketch
+hll_sketch_agg (which stays engine-private and therefore can never be
+cross-engine value-checked)."""
 
 from __future__ import annotations
 
@@ -18,6 +18,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 def test_hll_rollup_within_error_bound(spark):
+    """m=16 md5-register HLL: linear-counting stdev at these tiny
+    cardinalities is ~sqrt(m*(e^(n/m)-1-n/m)) ≈ 3 users, so the 3-sigma
+    bound is ~60% relative / 9 absolute — far looser than the native
+    lgK=12 sketch's 5% (see test_native_hll_sketch_agg_rollup), which is
+    the honest price of a 16-row register table. The ESTIMATE itself is
+    value-oracled in the registry; this bounds its usefulness."""
     got = {
         r["event_type"]: r["approx_users"]
         for r in REGISTRY["events_approx_distinct_rollup"].fn(spark, SF_DIR).collect()
@@ -31,8 +37,8 @@ def test_hll_rollup_within_error_bound(spark):
     }
     assert set(got) == set(exact) and len(got) > 0
     for t, est in got.items():
-        assert abs(est - exact[t]) <= max(1, 0.05 * exact[t]), (
-            f"{t}: estimate {est} outside 5% of exact {exact[t]}"
+        assert abs(est - exact[t]) <= max(9, 0.6 * exact[t]), (
+            f"{t}: estimate {est} outside 3-sigma of exact {exact[t]}"
         )
 
 
@@ -41,6 +47,43 @@ def test_hll_rollup_deterministic(spark):
     a = sorted(map(tuple, q.fn(spark, SF_DIR).collect()))
     b = sorted(map(tuple, q.fn(spark, SF_DIR).collect()))
     assert a == b
+
+
+def test_native_hll_sketch_agg_rollup(spark):
+    """Spark's BUILTIN binary HLL sketch (hll_sketch_agg lgK=12 per day,
+    hll_union_agg across days) — the engine-private variant the oracled
+    md5-register query replaced in the registry. Kept exercised here:
+    two-level mergeable rollup, estimate within 5% (>3 sigma at lgK=12;
+    exact at these cardinalities) of the exact distinct count."""
+    from esco_neo4j_spark.catalog import load_tables
+
+    load_tables(spark, SF_DIR, ("events",))
+    got = {
+        r["event_type"]: r["approx_users"]
+        for r in spark.sql(
+            """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS d,
+                     hll_sketch_agg(user_id, 12) AS sk
+              FROM events GROUP BY 1, 2
+            )
+            SELECT event_type,
+                   CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)
+                     AS approx_users
+            FROM daily GROUP BY 1 ORDER BY 1
+            """
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in spark.sql(
+            "SELECT event_type, count(DISTINCT user_id) AS exact "
+            "FROM events GROUP BY 1"
+        ).collect()
+    }
+    assert set(got) == set(exact) and len(got) > 0
+    for t, est in got.items():
+        assert abs(est - exact[t]) <= max(1, 0.05 * exact[t])
 
 
 def test_cms_one_sided_error_and_bound(spark):
@@ -114,10 +157,12 @@ def test_bloom_prune_no_false_negatives(spark):
 
 
 def test_approx_quantiles_within_rank_error(spark):
-    """percentile_approx at accuracy=10000 must land within rank-error
-    eps = n/10000 of the exact quantile: compare each estimate against
+    """percentile_approx at accuracy=1e6 must land within rank-error
+    eps = n/1e6 of the exact quantile: compare each estimate against
     the exact values at ranks floor(q*n) +/- ceil(eps) (plus one slot of
-    slack for interpolation conventions)."""
+    slack for interpolation conventions). Below accuracy rows the sketch
+    is lossless and the registry oracle already pins the exact rank;
+    this bound is the guarantee that must keep holding ABOVE it."""
     import math
 
     from pyspark.sql import functions as F
@@ -139,7 +184,7 @@ def test_approx_quantiles_within_rank_error(spark):
             .select("value")
             .collect()
         )
-        eps = max(2, math.ceil(n / 10_000) + 1)
+        eps = max(2, math.ceil(n / 1_000_000) + 1)
         for q, est in ((0.5, p50), (0.9, p90), (0.99, p99)):
             r0 = int(q * (n - 1))
             lo = vals[max(0, r0 - eps)]
