@@ -474,10 +474,35 @@ def ngram_jaccard_pairs(
     array_intersect over the full shingle sets. Same output, bounded
     join: measured 489s -> seconds at sf1.
 
+    Two further LOSSLESS PPJoin filters (r5) cut the candidate set
+    BEFORE the expensive full-set verify join:
+
+    - length filter at the prefix join: Jaccard >= t forces
+      min(|A|,|B|) >= t * max(|A|,|B|) (overlap <= min, required
+      overlap >= t*max) — prunes short-vs-long collisions for free.
+    - positional filter per pair: both docs rank their shingles by the
+      SAME global (df, g) order, so among common shingles that order is
+      consistent in both — the pair's FIRST common shingle has min rank
+      on both sides simultaneously, and it lies inside both prefixes
+      whenever any common prefix element does. With 1-based first-match
+      positions (i, j), every common shingle is that one or a later one
+      in BOTH docs, so overlap <= 1 + min(|A| - i, |B| - j); Jaccard
+      >= t needs overlap >= t/(1+t) * (|A| + |B|) — pairs whose bound
+      can't reach it are dropped without touching their shingle sets.
+      (Xiao et al. 2008's filter, restated set-at-a-time: the streaming
+      formulation applies it per probe with accumulated overlap; the
+      first-match form is the part that survives a shuffle-join
+      restatement, and it's the dominant prune.)
+
+    Both prune candidates only below the qualifying threshold, so the
+    output — and the brute-force oracle — is unchanged. Epsilon guards
+    keep every float comparison on the KEEP side of integer boundaries.
+
     Shuffle budget at 100 TB: shingle-df agg (content-keyed), per-doc
     rank window (id-keyed), prefix equi-join (content-keyed, pruned),
-    verify join (pair-keyed) — all bounded by data or output size, no
-    posting-list cross products.
+    pair groupBy (pair-keyed, replaces the old distinct — same shuffle
+    count), verify join (pair-keyed) — all bounded by data or output
+    size, no posting-list cross products.
     """
     sh = shingled(df, text_col, id_col, shingle_n)
     sh = sh.withColumn("n", F.size("sh"))
@@ -499,15 +524,44 @@ def ngram_jaccard_pairs(
             Window.partitionBy("id").orderBy(F.asc("df"), F.asc("g"))
         ),
     )
-    prefix = ranked.filter(F.col("rk") <= plen).select("id", "g")
-    cand = (
+    prefix = ranked.filter(F.col("rk") <= plen).select("id", "g", "rk", "n")
+    t = F.lit(float(threshold))
+    eps = F.lit(1e-9)
+    matches = (
         prefix.alias("pa")
         .join(prefix.alias("pb"), "g")
         .filter(F.col("pa.id") < F.col("pb.id"))
-        .select(
-            F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b")
+        # length filter: min size must reach t * max size
+        .filter(
+            F.least(F.col("pa.n"), F.col("pb.n"))
+            >= t * F.greatest(F.col("pa.n"), F.col("pb.n")) - eps
         )
-        .distinct()
+        .select(
+            F.col("pa.id").alias("id_a"),
+            F.col("pb.id").alias("id_b"),
+            F.col("pa.rk").alias("rka"),
+            F.col("pb.rk").alias("rkb"),
+            F.col("pa.n").alias("na"),
+            F.col("pb.n").alias("nb"),
+        )
+    )
+    cand = (
+        matches.groupBy("id_a", "id_b")
+        # first common shingle in the shared global order => min rank on
+        # BOTH sides (common-shingle order is consistent across the pair)
+        .agg(
+            F.min("rka").alias("i"),
+            F.min("rkb").alias("j"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+        # positional filter: best-case overlap from the first match
+        .filter(
+            F.lit(1)
+            + F.least(F.col("na") - F.col("i"), F.col("nb") - F.col("j"))
+            >= (t / (F.lit(1.0) + t)) * (F.col("na") + F.col("nb")) - eps
+        )
+        .select("id_a", "id_b")
     )
     # exact verify on the candidate pairs only
     return (
