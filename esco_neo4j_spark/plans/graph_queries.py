@@ -501,16 +501,30 @@ def graph_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lv.orderBy("id")
 
 
+_BC_EXACT_MAX_VERTICES = 256
+_BC_SAMPLE_K = 64
+
+
 @query(
     "graph_betweenness",
-    # Tree closed-form oracle: on a tree every pair has ONE path, so
-    # bc(v) = [ (N-1)^2 - sum_children (1+nd(c))^2 - (N-1-nd(v))^2 ] / 2
-    # with nd(v) = #descendants (components left when v is removed).
-    # All quantities are integers (the Spark side's float deltas are
-    # integer-valued on a tree, hence exact), so parity is exact. Valid
-    # for the exact-Brandes regime (<= 256 vertices: sf0.001/sf0.01,
-    # i.e. the pytest and driver scales); the sampled path above that is
-    # golden-tested separately (tests/test_graph.py).
+    # Tree closed-form oracle covering BOTH regimes (r5 — formerly the
+    # sampled regime was golden-only). On a tree every pair has ONE path
+    # (sigma = 1 everywhere), so Brandes' per-source dependency is a pure
+    # count: delta_s(v) = #targets t with v interior on path(s, t)
+    #                   = (N - 1) - |comp_v(s)|
+    # where comp_v(s) is the component of T \ {v} containing s — the
+    # child-c subtree (nd(c) + 1 vertices) when s descends from v via c,
+    # else the "up" side (N - 1 - nd(v) vertices). Summed over pivots S:
+    #   bc(v) = scale/2 * [ k_v*(N-1) - SUM_{s in S desc of v}(nd(c_s)+1)
+    #                       - (k_v - #desc pivots)*(N-1-nd(v)) ]
+    # with k_v = |S \ {v}|. Exact regime (N <= 256): S = all vertices,
+    # scale = 1, and the sum telescopes to the r2 closed form
+    # (N-1)^2 - SUM_children (1+nd(c))^2 - (N-1-nd(v))^2. Sampled regime
+    # (N > 256): S = the 64 lowest vertex ids (the operator's
+    # deterministic Brandes-Pich pivots), scale = N/64 — every quantity
+    # is an integer times N/128 (exact in binary floating point), so
+    # parity stays hash-exact, pinned at sf0.1 (N = 1500, sampled) by
+    # tests/test_graph.py::test_betweenness_sampled_oracle_parity.
     sql=f"""
     WITH RECURSIVE edges AS ({_EDGES_SQL}),
     -- explicit DISTINCT wrapper: inside WITH RECURSIVE, DuckDB parses a
@@ -529,17 +543,41 @@ def graph_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM verts v LEFT JOIN nd ON v.id = nd.id
     ),
     n_tot AS (SELECT count(*) AS n FROM verts),
-    child_sq AS (
-      SELECT e.dst AS id, sum((1 + c.nd) * (1 + c.nd)) AS sq
-      FROM edges e JOIN ndv c ON e.src = c.id
+    pivots AS (
+      SELECT r.id FROM (
+        SELECT id, row_number() OVER (ORDER BY id) AS rk FROM verts
+      ) r CROSS JOIN n_tot n
+      WHERE n.n <= {_BC_EXACT_MAX_VERTICES} OR r.rk <= {_BC_SAMPLE_K}
+    ),
+    k_tot AS (SELECT count(*) AS k FROM pivots),
+    -- ancestor-or-self closure: c ranges over the chain from s up
+    aos AS (
+      SELECT d, a FROM anc UNION SELECT id AS d, id AS a FROM verts
+    ),
+    -- per proper ancestor v of pivot s: s's component of T \\ {{v}} is
+    -- subtree(c) where c = the (unique) child of v on s's chain
+    desc_comp AS (
+      SELECT e.dst AS v,
+             sum(cn.nd + 1) AS s_comp, count(*) AS n_desc
+      FROM pivots p
+      JOIN aos ON aos.d = p.id
+      JOIN edges e ON e.src = aos.a
+      JOIN ndv cn ON cn.id = aos.a
       GROUP BY e.dst
     ),
     bc AS (
       SELECT v.id,
-             ((n.n - 1) * (n.n - 1)
-              - coalesce(cs.sq, 0)
-              - (n.n - 1 - v.nd) * (n.n - 1 - v.nd)) / 2.0 AS b
-      FROM ndv v CROSS JOIN n_tot n LEFT JOIN child_sq cs ON v.id = cs.id
+             (CASE WHEN n.n > {_BC_EXACT_MAX_VERTICES}
+                   THEN n.n / {_BC_SAMPLE_K}.0 ELSE 1.0 END) / 2.0 *
+             ((k.k - CASE WHEN pv.id IS NOT NULL THEN 1 ELSE 0 END)
+                * (n.n - 1)
+              - coalesce(dc.s_comp, 0)
+              - ((k.k - CASE WHEN pv.id IS NOT NULL THEN 1 ELSE 0 END)
+                 - coalesce(dc.n_desc, 0)) * (n.n - 1 - v.nd)) AS b
+      FROM ndv v
+      CROSS JOIN n_tot n CROSS JOIN k_tot k
+      LEFT JOIN desc_comp dc ON v.id = dc.v
+      LEFT JOIN pivots pv ON v.id = pv.id
     )
     SELECT id, CAST(round(b, 4) AS DOUBLE) AS betweenness
     FROM bc ORDER BY betweenness DESC, id LIMIT 20
@@ -556,10 +594,6 @@ def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     preserved, golden-tested in tests/test_graph.py)."""
     bc = betweenness_topk(spark)
     return bc
-
-
-_BC_EXACT_MAX_VERTICES = 256
-_BC_SAMPLE_K = 64
 
 
 def betweenness_topk(spark: SparkSession) -> DataFrame:

@@ -151,6 +151,36 @@ def test_betweenness_sampled_preserves_golden_ranking(spark):
     assert got["1"] == 0.0 and got["7"] == 0.0  # endpoints never inner
 
 
+def test_betweenness_sampled_oracle_parity(spark):
+    """The registered query's SAMPLED regime (r5: value-oracled, formerly
+    golden-only) must match the tree closed-form oracle hash-exact at
+    sf0.1, where the events graph has 1500 vertices > the 256-vertex
+    exact cutoff — the one regime the driver window (sf0.01, 150
+    vertices, exact) never exercises. Every score is an integer multiple
+    of N/128 (exact in binary floating point), so equality is exact, not
+    approximate."""
+    import duckdb
+
+    from esco_neo4j_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.1"
+    q = REGISTRY["graph_betweenness"]
+    srows = [(r["id"], r["betweenness"]) for r in q.fn(spark, sf).collect()]
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+        drows = [tuple(r) for r in con.execute(q.sql).fetchall()]
+    finally:
+        con.close()
+    assert len(srows) == 20
+    assert srows == drows
+    # sampled scaling really engaged: exact-regime scores on 1500 vertices
+    # would be bounded by pairs ~ N^2/2; pivot scaling keeps the SAME
+    # magnitude, but a score must be a multiple of N/128 > 10, which the
+    # exact regime (multiples of 0.5) would almost surely violate
+    assert all(b % (1500 / 128.0) == 0.0 for _, b in srows)
+
+
 def test_shortest_path_returns_node_sequence(spark):
     # diamond a-b-d / a-c-d plus tail d-e: two shortest a->e paths exist;
     # the min-predecessor tiebreak must pick the lexicographically smaller

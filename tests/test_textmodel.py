@@ -5,6 +5,10 @@ model drops into the same plumbing unchanged."""
 
 from __future__ import annotations
 
+import importlib.util
+import os
+
+import pytest
 from pyspark.sql import functions as F
 
 from esco_neo4j_spark.operators.textmodel import translate_column
@@ -152,6 +156,40 @@ def test_embed_real_branch_lazy_singleton_and_arrow_batches(spark):
     finally:
         sys.path.remove(fakes)
         sys.modules.pop("sentence_transformers", None)
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_REAL_MODELS") != "1"
+    or importlib.util.find_spec("torch") is None
+    or importlib.util.find_spec("sentence_transformers") is None,
+    reason="opt-in real-weight integration (set SPARK_GRAFT_REAL_MODELS=1 "
+    "with torch + sentence-transformers installed); this container ships "
+    "neither, so the real branch is otherwise covered by the fake-module "
+    "contract tests above",
+)
+def test_embed_real_weights_end_to_end(spark):
+    """OPT-IN integration: run make_embed_udf's real branch with actual
+    all-MiniLM-L6-v2 weights (ref src/embedding_utils.py:7-33) and assert
+    the contract the hash-embedding fallback and the fake-module tests
+    pin — 384-dim float vectors, None embeds like "", deterministic
+    across calls, unit-normalized like the reference's encode output."""
+    from esco_neo4j_spark.operators import textmodel
+
+    udf = textmodel.make_embed_udf(model_name="all-MiniLM-L6-v2")
+    df = spark.createDataFrame(
+        [(1, "software developer"), (2, "software developer"),
+         (3, ""), (4, None)],
+        "id int, text string",
+    )
+    rows = {
+        r["id"]: r["emb"]
+        for r in df.select("id", udf("text").alias("emb")).collect()
+    }
+    assert all(len(v) == 384 for v in rows.values())
+    assert rows[1] == rows[2]  # deterministic encode
+    assert rows[3] == rows[4]  # None -> "" before encode (ref fillna)
+    norm = sum(x * x for x in rows[1]) ** 0.5
+    assert abs(norm - 1.0) < 1e-3  # ST normalizes MiniLM output
 
 
 def test_resilient_translate_retries_then_succeeds():

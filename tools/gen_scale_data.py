@@ -72,12 +72,40 @@ def _mutated_emb(df, i: int):
     out = df.withColumn("vec_id", F.col("vec_id") + F.lit(i * _VEC_STRIDE))
     if i == 0:
         return out
-    # deterministic small per-dim offset; cast back to float to keep schema
+    # Deterministic small PER-VECTOR, PER-DIM noise (r5 fix). The r1-r4
+    # version added the same per-copy offset vector to every row
+    # (x + 0.02*i*((j%5)-2)) — a shared direction across all 2000 rows of
+    # a copy, which made the whole corpus mutually similar (measured:
+    # |mean| grew 0.023 -> 1.01 and pairs at cosine >= 0.45 went from
+    # 144 at sf0.1 to 85M of 200M at sf1, i.e. the audit corpus
+    # manufactured a quadratic TRUE output no banding can be linear
+    # against, directly contradicting this file's own "copies are near
+    # neighbors of their original, not clones" contract). Murmur3-hash
+    # noise keyed on (vec_id, dim, copy) is decorrelated across rows AND
+    # dims (a sinusoid in dim would confine all noise to a 2-D subspace
+    # and re-cluster the corpus): each copy stays a near neighbor of its
+    # ORIGINAL — noise norm grows with i from ~6% (i=1, cosine ~0.998)
+    # to ~55% (i=9, cosine ~0.87) of the signal norm — while cross-
+    # original similarity keeps the sf0.1 distribution. Result: near-dup
+    # pairs grow LINEARLY with corpus size (~10 true neighbors per
+    # vector), the density regime dedup/ANN tooling actually faces.
     return out.withColumn(
         "embedding",
         F.transform(
             "embedding",
-            lambda x, j: (x + 0.02 * i * ((j % 5) - 2)).cast("float"),
+            lambda x, j: (
+                x
+                + 0.04
+                * i
+                * (
+                    (
+                        F.hash(F.col("vec_id"), j, F.lit(i))
+                        .cast("double")
+                        / F.lit(float(1 << 31))
+                    )
+                    / 2.0
+                )
+            ).cast("float"),
         ),
     )
 
