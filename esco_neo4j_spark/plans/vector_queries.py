@@ -190,8 +190,8 @@ def vec_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _join_params(sf_dir: str) -> tuple[int, int]:
     """Scale-adaptive banding for the similarity join: derived from the
     embeddings parquet-metadata row count (identical on both engines).
-    At driver correctness scales (N ≤ 2000) this is exactly the historic
-    (4, 16); at the sf1 audit (N = 20k) it becomes (8, 24)."""
+    (5, 18) at the mirror/driver scales (sf0.001 and sf0.01 both carry
+    N = 500), (7, 22) at sf0.1, (10, 28) at the sf1 audit (N = 20k)."""
     from esco_neo4j_spark.catalog import table_rowcount
     from esco_neo4j_spark.operators.similarity import derive_lsh_params
 
@@ -1266,7 +1266,8 @@ def vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _knn_params(sf_dir: str) -> tuple[int, int]:
     """Scale-adaptive banding for the kNN graph (base 8 tables — the
     no-threshold candidate set is denser, so it runs fewer tables than
-    the thresholded join). (4, 8) at driver scales, (8, 16) at sf1."""
+    the thresholded join). (5, 10) at the mirror/driver scales (N =
+    500), (7, 14) at sf0.1, (10, 20) at the sf1 audit."""
     from esco_neo4j_spark.catalog import table_rowcount
     from esco_neo4j_spark.operators.similarity import derive_lsh_params
 

@@ -154,19 +154,22 @@ def test_ivfpq_empty_corpus_is_empty(spark):
 
 def test_derive_lsh_params_scale_adaptive():
     """Banding parameters must TRACK corpus size (the round-4 audit gap:
-    fixed 16 buckets at any N) while reproducing the historic constants
-    exactly at every driver correctness scale, so recorded oracle hashes
-    are unchanged."""
+    fixed 16 buckets at any N), keeping the historic constants only at
+    the tiny oracle-mirror scale and growing from the driver correctness
+    scale upward (the oracle-SQL builders replay whatever is derived, so
+    Spark/DuckDB stay in lockstep at every N)."""
     from esco_neo4j_spark.operators.similarity import derive_lsh_params
 
-    # driver scales (N <= 2000): exactly the round-1..4 fixed constants
-    assert derive_lsh_params(500, base_tables=16) == (4, 16)
-    assert derive_lsh_params(2000, base_tables=16) == (4, 16)
-    assert derive_lsh_params(500, base_tables=8) == (4, 8)
-    assert derive_lsh_params(2000, base_tables=8) == (4, 8)
-    # sf1 audit scale: bucket count grows with N
-    assert derive_lsh_params(20_000, base_tables=16) == (8, 24)
-    assert derive_lsh_params(20_000, base_tables=8) == (8, 16)
+    # below N=320: the round-1..4 fixed constants
+    assert derive_lsh_params(50, base_tables=16) == (4, 16)
+    assert derive_lsh_params(320, base_tables=8) == (4, 8)
+    # driver/mirror correctness scales (N=500): growth already engaged
+    assert derive_lsh_params(500, base_tables=16) == (5, 18)
+    assert derive_lsh_params(2000, base_tables=16) == (7, 22)
+    assert derive_lsh_params(2000, base_tables=8) == (7, 14)
+    # sf1 audit scale (measured 0.858 join recall, 8.0M candidates)
+    assert derive_lsh_params(20_000, base_tables=16) == (10, 28)
+    assert derive_lsh_params(20_000, base_tables=8) == (10, 20)
     # monotone non-decreasing in N; caps bound the blowup
     prev = (0, 0)
     for n in (0, 1, 10, 500, 2_000, 20_000, 10**5, 10**6, 10**9, 10**12):
@@ -177,7 +180,7 @@ def test_derive_lsh_params_scale_adaptive():
     # expected bucket occupancy stays ~target once growth engages
     for n in (10**4, 10**5, 10**6):
         k, _ = derive_lsh_params(n)
-        assert n / (1 << k) <= 128, "expected bucket exceeds target"
+        assert n / (1 << k) <= 20, "expected bucket exceeds target"
 
 
 def test_derive_semdedup_k_scale_adaptive():
@@ -210,9 +213,9 @@ def test_adaptive_params_lockstep_with_oracle_builder():
             f"SELECT count(*) FROM '{sf_dir}/embeddings.parquet'"
         ).fetchone()[0]
         assert meta_n == scan_n
-    assert _join_params("/root/testdata/sf0.001") == (4, 16)
-    assert _join_params("/root/testdata/sf0.1") == (4, 16)
-    assert _knn_params("/root/testdata/sf0.1") == (4, 8)
+    assert _join_params("/root/testdata/sf0.001") == (5, 18)
+    assert _join_params("/root/testdata/sf0.1") == (7, 22)
+    assert _knn_params("/root/testdata/sf0.1") == (7, 14)
 
 
 def test_kmeans_recovers_separated_blobs(spark):
