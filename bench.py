@@ -99,18 +99,44 @@ def main() -> None:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
 
+    # Scale-tail canary (r5, VERDICT item 8): the frozen headline set is
+    # dominated by sub-1s members, so a 10x-scale regression in the
+    # heavy operators would only surface in SCALE.md prose. Time the 5
+    # heaviest sf1 queries (per the r5 audit) SINGLE-SHOT at the audit
+    # corpus ($SPARK_GRAFT_SCALE_DIR, default /tmp/sf1 — regenerate with
+    # tools/gen_scale_data.py) and report them under separate keys; the
+    # comparable headline total is untouched. Skipped silently when the
+    # audit corpus is absent (fresh container).
+    scale_tail = {}
+    scale_dir = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/sf1")
+    if os.path.isdir(scale_dir):
+        for name in (
+            "vec_lsh_similarity_join",
+            "vec_knn_graph_lsh",
+            "pipeline_training_mix",
+            "dedup_ngram_jaccard",
+            "dedup_semantic_bucketed",
+        ):
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, scale_dir).collect()
+            scale_tail[name] = round(time.perf_counter() - t0, 3)
+            spark.catalog.clearCache()
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if scale_tail:
+        out["scale_tail_total"] = round(sum(scale_tail.values()), 3)
+        out["scale_tail"] = scale_tail
+        out["scale_tail_dir"] = scale_dir
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -504,8 +504,16 @@ def ngram_jaccard_pairs(
     count), verify join (pair-keyed) — all bounded by data or output
     size, no posting-list cross products.
     """
+    from esco_neo4j_spark.operators.graph import _checkpoint
+
     sh = shingled(df, text_col, id_col, shingle_n)
     sh = sh.withColumn("n", F.size("sh"))
+    # materialize ONCE: the shingle frame feeds four consumers (posting
+    # explode -> dfreq, the rank window, and both verify sides) — left
+    # as lineage, the tokenize+shingle subtree re-executes per consumer,
+    # which the r5 sf1 audit measured as ~9x the sum of the stages
+    # themselves (214s vs ~23s with the frame materialized)
+    sh = _checkpoint(sh)
     inv = sh.select("id", "n", F.explode("sh").alias("g"))
     # global rarity order: document frequency per shingle
     dfreq = inv.groupBy("g").agg(F.count("*").alias("df"))
@@ -525,6 +533,9 @@ def ngram_jaccard_pairs(
         ),
     )
     prefix = ranked.filter(F.col("rk") <= plen).select("id", "g", "rk", "n")
+    # both sides of the self-join read this frame: materialize the
+    # df-agg + rank window once instead of twice
+    prefix = _checkpoint(prefix)
     t = F.lit(float(threshold))
     eps = F.lit(1e-9)
     matches = (

@@ -845,9 +845,16 @@ def dedup_semantic_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
       max_bucket guard the MinHash path uses); with adaptive k the
       expected cluster is ~256 rows, so the cap is the skew backstop,
       not the steady-state truncator."""
-    emb = spark.table("embeddings").filter(F.col("embedding").isNotNull())
     from pyspark.sql import Window
 
+    from esco_neo4j_spark.operators.similarity import _pair_cosine_pudf
+
+    emb = spark.table("embeddings").filter(F.col("embedding").isNotNull())
+    pair_cos = _pair_cosine_pudf()  # Arrow twin of the HOF cosine chain
+    # (bit-exact sequential folds — see lsh_self_join); with adaptive k
+    # the assignment is k x N raw-double cosines (1.6M at sf1), which as
+    # interpreted zip_with+aggregate expressions dominated the r5 audit
+    # (111s); Arrow-batched they cost ~2s
     k = _semdedup_k(sf_dir)
     cents = F.broadcast(
         emb.filter(F.col("vec_id") < k).select(
@@ -857,9 +864,7 @@ def dedup_semantic_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = emb.crossJoin(cents).select(
         "vec_id",
         "cid",
-        F.round(
-            cosine_similarity(F.col("embedding"), F.col("cvec")), 6
-        ).alias("s"),
+        F.round(pair_cos(F.col("embedding"), F.col("cvec")), 6).alias("s"),
     )
     wa = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cid"))
     assign = (
@@ -873,27 +878,25 @@ def dedup_semantic_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnc") <= 512)
         .drop("rnc")
     )
-    keyed = emb.join(assign, "vec_id").select(
-        "cluster", "vec_id", "embedding"
-    )
-    x = keyed.alias("x")
-    y = keyed.alias("y")
-    pairs = x.join(
-        y,
-        (F.col("x.cluster") == F.col("y.cluster"))
-        & (F.col("x.vec_id") < F.col("y.vec_id")),
-    ).filter(
-        F.round(
-            cosine_similarity(F.col("x.embedding"), F.col("y.embedding")), 6
-        )
-        >= 0.45
+    # ids-only within-cluster pair join (the lsh_self_join discipline:
+    # width x fanout is what fills shuffles); vectors enter via id-keyed
+    # joins at verify time
+    x = assign.select(F.col("cluster"), F.col("vec_id").alias("id_a"))
+    y = assign.select(F.col("cluster"), F.col("vec_id").alias("id_b"))
+    cand = x.join(y, "cluster").filter(F.col("id_a") < F.col("id_b"))
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .filter(F.round(pair_cos(F.col("va"), F.col("vb")), 6) >= 0.45)
     )
     return (
         pairs.groupBy(
-            F.col("y.vec_id").alias("vec_id"),
-            F.col("x.cluster").cast("int").alias("cluster"),
+            F.col("id_b").alias("vec_id"),
+            F.col("cluster").cast("int").alias("cluster"),
         )
-        .agg(F.min(F.col("x.vec_id")).cast("bigint").alias("canonical_id"))
+        .agg(F.min(F.col("id_a")).cast("bigint").alias("canonical_id"))
         .orderBy("vec_id")
     )
 
