@@ -669,3 +669,86 @@ def embedding_neardup_pairs(
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
+
+
+def symdel_pairs(
+    df: DataFrame,
+    key_col: str,
+    max_len: int = 32,
+) -> DataFrame:
+    """Edit-distance (<= 1) near-duplicate pairs on a short key via the
+    SYMMETRIC-DELETION neighborhood join (the SymSpell principle, Garbe
+    2012) — the edit-distance member of the banded-dedup family, for the
+    short-identifier fields (titles, URLs, entity names, SKU codes) where
+    set-similarity banding is the wrong tool.
+
+    Candidate rule (LOSSLESS for ED <= 1): every key emits itself plus
+    its |key| single-deletion variants; two keys with levenshtein <= 1
+    MUST share a variant (equal keys share self; a deletion of a is b's
+    self and in D1(a); an insertion is the symmetric case; a
+    substitution at i collides on both keys' delete-at-i). The
+    variant-key equi-join therefore finds every qualifying pair — no
+    recall parameter to tune — and the exact ``levenshtein`` verify
+    (same unit-cost definition in Spark and DuckDB, so the oracle
+    replays the whole plan) discards the false candidates.
+
+    Output is KEY-level — (key_a, key_b, ed, n_a, n_b) with occurrence
+    counts — not id-level. This is the load-bearing scale decision: the
+    whole neighborhood machinery runs on DISTINCT keys, so a key
+    duplicated a million times costs ONE variant fan-out and one count,
+    not a million (the r5 sf1 audit caught the id-level formulation at
+    269s: verbatim-replicated names made pre-distinct candidates ~20x
+    the quadratic id-pair output; key-level is 17.3s on the same data).
+    Expanding a key pair to id pairs is a deliberate downstream join —
+    Ω(output) belongs to the caller that wants it; equal-key (ED = 0)
+    duplication is already the exact-dedup operator's job.
+
+    Scale shape at 100 TB: each DISTINCT key emits <= max_len + 1
+    variant rows (bounded fan-out, unlike shingling), the only shuffles
+    are the key-count agg and the variant equi-join on short strings.
+    Variant buckets are intrinsically small (a bucket is the set of
+    distinct keys one deletion away from the same string — bounded by
+    alphabet size x key length, not corpus size); keys are truncated to
+    ``max_len`` so fan-out and string width are capped ingest-side.
+    Generalizing to ED <= k nests deletions (fan-out ~ C(max_len, k));
+    k = 1 covers the typo/near-identifier regime this targets.
+    """
+    keys = (
+        df.select(F.substring(F.col(key_col), 1, max_len).alias("key"))
+        .filter(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.count("*").alias("n"))
+    )
+    variants = keys.select(
+        "key",
+        "n",
+        F.explode(
+            F.array_union(
+                F.array(F.col("key")),
+                F.expr(
+                    "transform(sequence(1, length(key)),"
+                    " i -> concat(substr(key, 1, i - 1),"
+                    " substr(key, i + 1, length(key))))"
+                ),
+            )
+        ).alias("v"),
+    )
+    a = variants.select(
+        F.col("key").alias("key_a"), F.col("n").alias("n_a"), "v"
+    )
+    b = variants.select(
+        F.col("key").alias("key_b"), F.col("n").alias("n_b"), "v"
+    )
+    return (
+        a.join(b, "v")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "n_a", "n_b")
+        .distinct()
+        .withColumn("ed", F.levenshtein("key_a", "key_b").cast("int"))
+        .filter(F.col("ed") <= 1)
+        .select(
+            "key_a", "key_b", "ed",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+        )
+    )

@@ -155,6 +155,69 @@ def test_ngram_jaccard_prefix_filter_lossless(spark):
     assert got == sorted(want) and len(want) > 0
 
 
+def test_symdel_editdist_lossless(spark):
+    """r5: the SymSpell deletion-neighborhood join must return EXACTLY
+    the brute-force levenshtein <= 1 pair set on a fixture covering every
+    edit kind (equal keys, substitution, single insert/delete at head /
+    middle / tail) plus ED = 2 keys that a naive shared-variant check
+    might accidentally admit (the verify must reject them) and keys with
+    nothing nearby."""
+    from esco_neo4j_spark.operators.dedup import symdel_pairs
+
+    keys = [
+        "alpha", "alpha",       # duplicated key -> ONE distinct key, n=2
+        "alphb",                # substitution (tail)
+        "alpa",                 # deletion (middle)
+        "xalpha",               # insertion (head)
+        "alph",                 # deletion (tail)
+        "blpha",                # substitution (head)
+        "alpxx",                # ED 2 from alpha
+        "zzz", "z",             # far away / very short
+        "",                     # empty string edge
+    ]
+    df = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(keys)], "id bigint, key string"
+    )
+    got = sorted(
+        (r["key_a"], r["key_b"], r["ed"], r["n_a"], r["n_b"])
+        for r in symdel_pairs(df, "key").collect()
+    )
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    from collections import Counter
+
+    counts = Counter(keys)
+    dk = sorted(counts)
+    want = sorted(
+        (a, b, lev(a, b), counts[a], counts[b])
+        for i, a in enumerate(dk)
+        for b in dk[i + 1:]
+        if lev(a, b) <= 1
+    )
+    assert got == want and len(want) >= 7
+    assert all(ed <= 1 for _, _, ed, _, _ in got)
+    # duplicated "alpha" surfaces as n=2 on every pair it joins, never
+    # as extra rows (key-level output: cost tracks distinct keys)
+    alpha_rows = [r for r in got if "alpha" in (r[0], r[1])]
+    assert alpha_rows and all(
+        (r[3] if r[0] == "alpha" else r[4]) == 2 for r in alpha_rows
+    )
+    # the ED=2 key must not pair with alpha-family keys it is 2 edits from
+    assert all(
+        not (("alpxx" in (a, b)) and ("alpha" in (a, b)))
+        for a, b, _, _, _ in got
+    )
+
+
 def test_bpe_merge_semantics(spark):
     """BPE trainer invariants on a tiny literal corpus: (1) overlapping
     pair runs merge greedily left-to-right ('aaaa' -> [aa, aa, $], never
