@@ -1,0 +1,150 @@
+"""Streaming vector-index maintenance: incremental IVF ingest + probe.
+
+The batch ANN family (operators/similarity.py) indexes a CORPUS; a
+production embedding pipeline asks the INCREMENTAL form: every arriving
+micro-batch of vectors must join the index without re-indexing the
+world, and probes must see everything accepted so far. This module is
+the Structured Streaming face, the vector twin of streaming/dedup.py:
+
+- centroids are FIXED for the index lifetime (trained offline — here,
+  deterministic first-k rows, same convention as ivf_assign, so tests
+  and oracles can replay them). Per-batch work is ONE narrow
+  literal-centroid assignment map over the batch — no join, no shuffle,
+  no read of the existing index;
+- ``index_dir/assignments`` persists (vec_id, embedding, cell), keyed-
+  upserted per batch (sources/merge.py), so a REPLAYED micro-batch
+  rewrites identical rows — effectively-once on foreachBatch's
+  at-least-once delivery, the upsert_sink recipe;
+- ``index_dir/cells`` (per-cell row counts — the stats a planner needs
+  to pick nprobe) is recomputed from the upserted assignments, which
+  makes it idempotent BY CONSTRUCTION under replay; at 100 TB the
+  assignments table is written partitioned by ``cell`` and the counts
+  roll up with the incremental-agg-merge recipe
+  (events_incremental_agg_merge) instead of a rescan;
+- ``ivf_index_probe`` is the read face: nearest ``nprobe`` centroids to
+  the query are picked driver-side (k tiny), the assignments read is
+  PRUNED to those cells (partition pruning at scale), and candidates
+  re-rank exactly.
+
+Stream == batch contract (pinned in tests/test_streaming.py): after any
+sequence of micro-batches, ``assignments`` equals
+``ivf_assign_with_centroids`` over the union of the batches, and the
+probe equals the batch IVF probe on the same corpus + centroids.
+"""
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from esco_neo4j_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_assign_with_centroids,
+)
+from esco_neo4j_spark.sources.merge import upsert_parquet
+
+
+def _paths(index_dir: str) -> tuple[str, str]:
+    return (
+        os.path.join(index_dir, "assignments"),
+        os.path.join(index_dir, "cells"),
+    )
+
+
+def process_vector_batch(
+    batch_df: DataFrame,
+    index_dir: str,
+    centroids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Ingest ONE micro-batch of vectors into the IVF index; returns the
+    batch's accepted row count. Public so tests and backfills can drive
+    batches without a streaming query (same convention as
+    process_neardup_batch). Null embeddings are dropped at the gate —
+    they can never be probed (NULL cell) and would only occupy index
+    rows."""
+    spark = batch_df.sparkSession
+    assign_path, cells_path = _paths(index_dir)
+    batch = batch_df.dropDuplicates([id_col]).filter(
+        F.col(vec_col).isNotNull()
+    )
+    assigned = ivf_assign_with_centroids(batch, centroids, id_col, vec_col)
+    # materialize before the rename-swap upsert (same hazard as the
+    # dedup gate: a lazy frame re-reads the directory mid-replacement)
+    assigned = assigned.localCheckpoint(eager=True)
+    n = assigned.count()
+    if os.path.exists(assign_path):
+        upsert_parquet(spark, assign_path, assigned, [id_col])
+    else:
+        assigned.write.mode("overwrite").parquet(assign_path)
+    # per-cell stats from the post-upsert table: idempotent under replay
+    counts = (
+        spark.read.parquet(assign_path)
+        .groupBy("cell")
+        .agg(F.count("*").cast("bigint").alias("n_vectors"))
+    )
+    counts.write.mode("overwrite").parquet(cells_path + "_tmp")
+    tmp = spark.read.parquet(cells_path + "_tmp")
+    tmp.write.mode("overwrite").parquet(cells_path)
+    return n
+
+
+def ivf_index_sink(
+    stream_vecs: DataFrame,
+    index_dir: str,
+    checkpoint: str,
+    centroids: list,
+    **kwargs,
+):
+    """foreachBatch wrapper over process_vector_batch. Returns the
+    started StreamingQuery."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        process_vector_batch(batch_df, index_dir, centroids, **kwargs)
+
+    return (
+        stream_vecs.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ivf_index_probe(
+    spark: SparkSession,
+    index_dir: str,
+    centroids: list,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over the maintained index: rank centroids against the query
+    DRIVER-side (len(centroids) rows — bounded), read assignments pruned
+    to the ``nprobe`` nearest cells, re-rank candidates exactly. At
+    100 TB the cell filter is partition pruning on the assignments
+    layout; everything else is the batch ivf_topk plan."""
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na > 0 and nb > 0 else float("-inf")
+
+    ranked = sorted(
+        centroids,
+        key=lambda r: (-cos(query_vec, list(r["cvec"])), r["cid"]),
+    )
+    probe_cells = [r["cid"] for r in ranked[:nprobe]]
+    assign_path, _ = _paths(index_dir)
+    cand = spark.read.parquet(assign_path).filter(
+        F.col("cell").isin(probe_cells)
+    )
+    return brute_force_topk(
+        cand, list(query_vec), k=k, id_col=id_col, vec_col=vec_col
+    )

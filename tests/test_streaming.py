@@ -465,3 +465,128 @@ def test_neardup_gate_stream_equals_incremental_batch(spark, tmp_path):
     process_neardup_batch(b2, index_dir, out_path, **kwargs)
     assert spark.read.parquet(out_path).count() == n_before
     assert {r["doc_id"] for r in spark.read.parquet(out_path).collect()} == want
+
+
+def test_ivf_index_stream_equals_batch(spark, tmp_path):
+    """The streaming IVF index (file stream, one file per trigger) ends
+    up IDENTICAL to the batch assignment over the union of the batches
+    (fixed centroids), the probe equals an independent pure-Python exact
+    rerank within the probed cells, and replaying the last batch is a
+    no-op (effectively-once on at-least-once delivery)."""
+    import math
+    import os
+
+    from pyspark.sql import functions as F
+
+    from esco_neo4j_spark.operators.similarity import (
+        ivf_assign_with_centroids,
+    )
+    from esco_neo4j_spark.streaming.vector import (
+        ivf_index_probe,
+        ivf_index_sink,
+        process_vector_batch,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 300)
+    )
+    centroids = (
+        emb.filter(F.col("embedding").isNotNull())
+        .orderBy("vec_id")
+        .limit(8)
+        .selectExpr("vec_id AS cid", "embedding AS cvec")
+        .collect()
+    )
+    batches = [emb.filter(f"vec_id % 3 = {i}") for i in range(3)]
+    # a null-embedding row must be dropped at the gate, not indexed
+    batches[1] = batches[1].unionByName(
+        spark.createDataFrame(
+            [(999999, None)], "vec_id bigint, embedding array<float>"
+        )
+    )
+    stream_dir = str(tmp_path / "in")
+    os.makedirs(stream_dir)
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage{i}")
+        )
+        src = [
+            f for f in os.listdir(str(tmp_path / f"stage{i}"))
+            if f.endswith(".parquet")
+        ][0]
+        os.rename(
+            str(tmp_path / f"stage{i}" / src),
+            os.path.join(stream_dir, f"{i:03d}.parquet"),
+        )
+
+    index_dir = str(tmp_path / "index")
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = ivf_index_sink(stream, index_dir, str(tmp_path / "ckpt"), centroids)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(index_dir + "/assignments").collect()
+    }
+    want_df = ivf_assign_with_centroids(
+        emb.filter(F.col("embedding").isNotNull()), centroids
+    )
+    want = {(r["vec_id"], r["cell"]) for r in want_df.collect()}
+    assert got == want and len(got) > 0
+    assert not any(v == 999999 for v, _ in got)  # null row gated out
+
+    # cell stats match the assignments exactly
+    cells = {
+        r["cell"]: r["n_vectors"]
+        for r in spark.read.parquet(index_dir + "/cells").collect()
+    }
+    from collections import Counter
+
+    assert cells == dict(Counter(c for _, c in want))
+
+    # probe == independent pure-Python exact rerank within probed cells
+    qrow = emb.filter("vec_id = 42").first()
+    qvec = list(qrow["embedding"])
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    ranked_cents = sorted(
+        centroids, key=lambda r: (-cos(qvec, list(r["cvec"])), r["cid"])
+    )
+    probe_cells = {r["cid"] for r in ranked_cents[:2]}
+    data = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter(F.col("embedding").isNotNull()).collect()
+    }
+    cell_of = dict(want)
+    exp = sorted(
+        (
+            (round(cos(qvec, v) * 1e6) / 1e6, -vid)
+            for vid, v in data.items()
+            if cell_of[vid] in probe_cells
+        ),
+        reverse=True,
+    )[:5]
+    expected_ids = [-i for _, i in exp]
+    hits = ivf_index_probe(
+        spark, index_dir, centroids, qvec, k=5, nprobe=2
+    ).collect()
+    assert [r["vec_id"] for r in hits] == expected_ids
+
+    # replay idempotency: re-run the LAST batch; index unchanged
+    process_vector_batch(batches[2], index_dir, centroids)
+    again = {
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(index_dir + "/assignments").collect()
+    }
+    assert again == got
