@@ -3598,3 +3598,80 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_BOOT_B).cast("int").alias("n_replicates"),
         )
     )
+
+
+# --- deletion propagation (right-to-forget) ---------------------------------
+@query(
+    "pipeline_right_to_forget",
+    sql="""
+    WITH forget AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 13
+    ),
+    kept AS (
+      SELECT e.* FROM events e
+      WHERE NOT EXISTS (SELECT 1 FROM forget f WHERE f.user_id = e.user_id)
+    ),
+    before AS (
+      SELECT event_type, count(*) AS rows_before,
+             count(DISTINCT user_id) AS users_before
+      FROM events GROUP BY 1
+    ),
+    after AS (
+      SELECT event_type, count(*) AS rows_after,
+             count(DISTINCT user_id) AS users_after,
+             sum(CASE WHEN user_id % 97 = 13 THEN 1 ELSE 0 END) AS leaks
+      FROM kept GROUP BY 1
+    )
+    SELECT b.event_type,
+           CAST(b.rows_before AS BIGINT) AS rows_before,
+           CAST(coalesce(a.rows_after, 0) AS BIGINT) AS rows_after,
+           CAST(b.users_before - coalesce(a.users_after, 0) AS BIGINT)
+             AS users_removed,
+           CAST(coalesce(a.leaks, 0) AS BIGINT) AS leaks
+    FROM before b LEFT JOIN after a USING (event_type)
+    ORDER BY event_type
+    """,
+    survey_ops="pipeline-forget(ext),C8,D2",
+    tables=("events",),
+)
+def pipeline_right_to_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion propagation (GDPR right-to-forget) as a verified report:
+    drop every event belonging to a deletion-request user set (here the
+    deterministic pseudo-request list user_id % 97 = 13), and emit the
+    per-event-type accounting a compliance job must produce — rows
+    before/after, users removed, and an IN-QUERY leak witness (count of
+    surviving rows from forgotten users, provably 0 — the
+    pipeline_leakage_safe_split pattern).
+
+    Scale shape at 100 TB: the request list is DISTINCT user ids
+    (bounded by requests, not events) and broadcasts into an anti-join,
+    so the fact table never shuffles; the physical delete under a table
+    format touches only files whose min/max user_id stats overlap the
+    list, and the accounting here is two partial aggregations."""
+    ev = spark.table("events")
+    forget = ev.filter(F.col("user_id") % 97 == 13).select("user_id").distinct()
+    kept = ev.join(F.broadcast(forget), "user_id", "left_anti")
+    before = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("rows_before"),
+        F.count_distinct("user_id").alias("users_before"),
+    )
+    after = kept.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("rows_after"),
+        F.count_distinct("user_id").alias("users_after"),
+        F.sum((F.col("user_id") % 97 == 13).cast("int"))
+        .cast("bigint")
+        .alias("leaks"),
+    )
+    return (
+        before.join(after, "event_type", "left")
+        .select(
+            "event_type",
+            "rows_before",
+            F.coalesce("rows_after", F.lit(0)).cast("bigint").alias("rows_after"),
+            (F.col("users_before") - F.coalesce("users_after", F.lit(0)))
+            .cast("bigint")
+            .alias("users_removed"),
+            F.coalesce("leaks", F.lit(0)).cast("bigint").alias("leaks"),
+        )
+        .orderBy("event_type")
+    )

@@ -644,3 +644,16 @@ def test_bpe_pair_count_is_partial_aggregated(spark):
         assert "partial_sum" in plan
     finally:
         spark.catalog.dropTempView("documents")
+
+
+def test_right_to_forget_broadcasts_anti_join(spark):
+    """The deletion-request list must broadcast into the anti-join — the
+    fact table may never shuffle to honor a forget list (bounded by
+    requests, not events)."""
+    plan = _plan(spark, "pipeline_right_to_forget")
+    assert "BroadcastHashJoin LeftAnti" in plan
+    # the anti-join itself must never be shuffle-based (the remaining
+    # user_id exchanges in the plan are COUNT(DISTINCT)'s partial-agg
+    # shuffles, which are the aggregation's own and unavoidable)
+    assert "SortMergeJoin LeftAnti" not in plan
+    assert "ShuffledHashJoin LeftAnti" not in plan
