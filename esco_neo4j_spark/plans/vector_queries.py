@@ -234,16 +234,25 @@ def vec_lsh_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the hyperplanes are deterministic operator PARAMETERS (seeded), so
     # the oracle embeds the same float literals and replays bucketing,
     # candidate selection, and exact re-rank — full value oracle; recall
-    # floors additionally pytest-asserted in tests/test_similarity.py
-    sql=_lsh_topk_sql(n_planes=4, n_tables=8),
+    # floors additionally pytest-asserted in tests/test_similarity.py.
+    # r5: banding derives from corpus size (the probe reads ~L/2^k of
+    # the data — FIXED k=4 means scanning 8/16 of a 100 TB corpus per
+    # query; derived planes keep the probed fraction shrinking with N
+    # while extra tables hold top-k recall, which concentrates at high
+    # cosine where per-table collision decays slowest)
+    sql=lambda sf_dir: _lsh_topk_sql(
+        n_planes=_knn_params(sf_dir)[0], n_tables=_knn_params(sf_dir)[1]
+    ),
     survey_ops="A7(scale),H1,K7",
     tables=("embeddings",),
 )
 def vec_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k via multi-table hyperplane-LSH bucket pruning."""
+    """ANN top-k via multi-table hyperplane-LSH bucket pruning (banding
+    derived from corpus size — see derive_lsh_params)."""
+    n_planes, n_tables = _knn_params(sf_dir)
     return lsh_topk(
-        spark.table("embeddings"), _anchor_vec(spark), k=10, n_planes=4,
-        n_tables=8,
+        spark.table("embeddings"), _anchor_vec(spark), k=10,
+        n_planes=n_planes, n_tables=n_tables,
     )
 
 
@@ -784,9 +793,10 @@ def vec_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _recall_eval_sql() -> str:
+def _recall_eval_sql(sf_dir: str) -> str:
     cos = _COS.format(anchor=_ANCHOR_SQL)
-    lsh = _lsh_topk_sql(n_planes=4, n_tables=8)
+    n_planes, n_tables = _knn_params(sf_dir)
+    lsh = _lsh_topk_sql(n_planes=n_planes, n_tables=n_tables)
     return f"""
     WITH lsh AS ({lsh}),
     exact AS (
@@ -805,7 +815,7 @@ def _recall_eval_sql() -> str:
 
 @query(
     "vec_lsh_recall_eval",
-    sql=_recall_eval_sql(),
+    sql=_recall_eval_sql,  # per-sf_dir builder: banding derives from N
     survey_ops="A7(scale),ann-eval(ext)",
     tables=("embeddings",),
 )
@@ -825,7 +835,10 @@ def vec_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = spark.table("embeddings")
     anchor = _anchor_vec(spark)
-    lsh = lsh_topk(e, anchor, k=10, n_planes=4, n_tables=8).select("vec_id")
+    n_planes, n_tables = _knn_params(sf_dir)
+    lsh = lsh_topk(
+        e, anchor, k=10, n_planes=n_planes, n_tables=n_tables
+    ).select("vec_id")
     exact = brute_force_topk(e, anchor, k=10).select("vec_id")
     return (
         lsh.join(exact, "vec_id")
