@@ -3675,3 +3675,154 @@ def pipeline_right_to_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- KMV audience overlap (sketch set-intersection) -------------------------
+@query(
+    "events_kmv_audience_overlap",
+    sql="""
+    WITH ev AS (SELECT DISTINCT event_type,
+                       (22853 * user_id + 977) % 2147483647 AS h
+                FROM events),
+    s AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+      FROM ev
+    ),
+    sk AS (SELECT event_type, h FROM s WHERE r <= 64),
+    types AS (SELECT DISTINCT event_type FROM events),
+    prs AS (
+      SELECT a.event_type AS ta, b.event_type AS tb
+      FROM types a JOIN types b ON a.event_type < b.event_type
+    ),
+    tagged AS (
+      SELECT p.ta, p.tb, k.h, 1 AS in_a, 0 AS in_b
+      FROM prs p JOIN sk k ON k.event_type = p.ta
+      UNION ALL
+      SELECT p.ta, p.tb, k.h, 0, 1
+      FROM prs p JOIN sk k ON k.event_type = p.tb
+    ),
+    uni AS (
+      SELECT ta, tb, h, max(in_a) AS in_a, max(in_b) AS in_b
+      FROM tagged GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS r
+      FROM uni
+    ),
+    agg AS (
+      SELECT ta, tb, count(*) AS cnt, max(h) AS hk,
+             sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS c
+      FROM ranked WHERE r <= 64 GROUP BY 1, 2
+    ),
+    du AS (SELECT DISTINCT event_type, user_id FROM events),
+    exact AS (
+      SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS exact_overlap
+      FROM du a JOIN du b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT g.ta AS type_a, g.tb AS type_b,
+           CAST(floor((g.c / CAST(g.cnt AS DOUBLE)) *
+                (CASE WHEN g.cnt < 64 THEN CAST(g.cnt AS DOUBLE)
+                      ELSE 63.0 * 2147483647.0 / g.hk END)) AS BIGINT)
+             AS approx_overlap,
+           CAST(round(g.c / CAST(g.cnt AS DOUBLE), 6) AS DOUBLE)
+             AS jaccard_est,
+           CAST(coalesce(x.exact_overlap, 0) AS BIGINT) AS exact_overlap
+    FROM agg g LEFT JOIN exact x ON g.ta = x.ta AND g.tb = x.tb
+    ORDER BY type_a, type_b
+    """,
+    survey_ops="sketch(ext),D5,C9",
+    tables=("events",),
+)
+def events_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from KMV sketch SET OPERATIONS — the
+    capability that makes KMV the right distinct sketch when questions
+    involve intersections: HLL only unions, but KMV's k-smallest state
+    supports |A ∩ B| ≈ ρ·|A ∪ B| where ρ is the fraction of the UNION
+    sketch's k smallest present in both sides (Bar-Yossef et al.;
+    Beyer et al.'s unbiased KMV estimator for the union size). 'How many
+    users both clicked and purchased' at 100 TB never re-shuffles raw
+    user ids: per-type 64-row sketches are built once (the
+    events_kmv_distinct_rollup state), every pairwise overlap is
+    arithmetic over 128 rows.
+
+    Everything is integer hashing, order statistics, and one double
+    division — identical on both engines, so the ESTIMATES are
+    value-oracled, with exact overlaps joined alongside as the error
+    readout (the exact side is the user-keyed join the sketch exists to
+    avoid; it stays only as this query's quality witness)."""
+    ev = spark.table("events")
+    P = 2_147_483_647
+    hashed = ev.select(
+        "event_type",
+        ((F.lit(22853) * F.col("user_id") + 977) % P).alias("h"),
+    ).distinct()
+    sk = (
+        hashed.withColumn(
+            "r",
+            F.row_number().over(Window.partitionBy("event_type").orderBy("h")),
+        )
+        .filter(F.col("r") <= 64)
+        .select("event_type", "h")
+    )
+    types = ev.select("event_type").distinct()
+    prs = (
+        types.select(F.col("event_type").alias("ta"))
+        .join(types.select(F.col("event_type").alias("tb")))
+        .filter(F.col("ta") < F.col("tb"))
+    )
+    tagged = (
+        prs.join(sk, sk["event_type"] == prs["ta"])
+        .select("ta", "tb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(
+            prs.join(sk, sk["event_type"] == prs["tb"]).select(
+                "ta", "tb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+            )
+        )
+    )
+    uni = tagged.groupBy("ta", "tb", "h").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    ranked = uni.withColumn(
+        "r", F.row_number().over(Window.partitionBy("ta", "tb").orderBy("h"))
+    ).filter(F.col("r") <= 64)
+    agg = ranked.groupBy("ta", "tb").agg(
+        F.count("*").alias("cnt"),
+        F.max("h").alias("hk"),
+        F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("int")).alias("c"),
+    )
+    du = ev.select("event_type", "user_id").distinct()
+    exact = (
+        du.alias("a")
+        .join(
+            du.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
+        )
+        .agg(F.count("*").alias("exact_overlap"))
+    )
+    union_est = F.when(
+        F.col("cnt") < 64, F.col("cnt").cast("double")
+    ).otherwise(F.lit(63.0) * F.lit(2147483647.0) / F.col("hk"))
+    return (
+        agg.join(exact, ["ta", "tb"], "left")
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            F.floor((F.col("c") / F.col("cnt").cast("double")) * union_est)
+            .cast("bigint")
+            .alias("approx_overlap"),
+            F.round(F.col("c") / F.col("cnt").cast("double"), 6).alias(
+                "jaccard_est"
+            ),
+            F.coalesce("exact_overlap", F.lit(0))
+            .cast("bigint")
+            .alias("exact_overlap"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -226,3 +226,43 @@ def test_bootstrap_ci_brackets_mean_and_narrows(spark):
     for r in (small, big):
         assert r["ci_lo"] <= r["mean_value"] <= r["ci_hi"]
     assert (big["ci_hi"] - big["ci_lo"]) < (small["ci_hi"] - small["ci_lo"])
+
+
+def test_kmv_overlap_within_error_bound(spark):
+    """KMV intersection estimator: |est - exact| bounded by the union
+    size times ~3/sqrt(k) (the Jaccard ratio's sampling error at k=64 is
+    ~1/8 per sigma; 3 sigma with slack). Also pins: jaccard_est in
+    [0, 1], estimates deterministic across runs."""
+    q = REGISTRY["events_kmv_audience_overlap"]
+    rows = q.fn(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'"
+        )
+        unions = {
+            (r[0], r[1]): r[2]
+            for r in con.execute("""
+                WITH du AS (SELECT DISTINCT event_type, user_id FROM events)
+                SELECT a.ta, a.tb, count(DISTINCT u.user_id) FROM
+                  (SELECT DISTINCT x.event_type AS ta, y.event_type AS tb
+                   FROM du x JOIN du y ON x.event_type < y.event_type) a
+                JOIN du u ON u.event_type IN (a.ta, a.tb)
+                GROUP BY 1, 2
+            """).fetchall()
+        }
+    finally:
+        con.close()
+    for r in rows:
+        assert 0.0 <= r["jaccard_est"] <= 1.0
+        u = unions[(r["type_a"], r["type_b"])]
+        tol = max(3, 0.4 * u)  # 3-sigma-ish at k=64 with slack
+        assert abs(r["approx_overlap"] - r["exact_overlap"]) <= tol, (
+            r["type_a"], r["type_b"], r["approx_overlap"],
+            r["exact_overlap"], u,
+        )
+    again = q.fn(spark, SF_DIR).collect()
+    assert rows == again
