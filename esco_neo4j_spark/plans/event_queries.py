@@ -542,13 +542,16 @@ def events_approx_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
     sql="""
     WITH h AS (
       SELECT event_type, date_trunc('day', ts) AS d,
-             (22853 * user_id + 977) % 2147483647 AS h
+             md5(CAST(user_id AS VARCHAR)) AS hx
       FROM events
     ),
     rho AS (
-      SELECT event_type, d, h % 16 AS bucket,
-             CASE WHEN h // 16 = 0 THEN 28
-                  ELSE CAST(log2((h // 16) & -(h // 16)) AS INT) + 1
+      SELECT event_type, d,
+             ('0x' || substr(hx, 1, 1))::BIGINT AS bucket,
+             CASE WHEN ('0x' || substr(hx, 2, 12))::BIGINT = 0 THEN 49
+                  ELSE CAST(log2(('0x' || substr(hx, 2, 12))::BIGINT
+                                 & -(('0x' || substr(hx, 2, 12))::BIGINT))
+                            AS INT) + 1
              END AS rho
       FROM h
     ),
@@ -561,14 +564,14 @@ def events_approx_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
       FROM daily GROUP BY 1, 2
     ),
     agg AS (
-      SELECT event_type, sum(pow(2, 32 - rho)) AS psum,
-             count(*) AS nb
+      SELECT event_type,
+             sum(pow(2, 48 - rho)) AS psum, count(*) AS nb
       FROM merged GROUP BY 1
     ),
     est AS (
       SELECT event_type, 16 - nb AS v,
-             0.673 * 16 * 16 * 4294967296.0
-               / (psum + (16 - nb) * 4294967296.0) AS raw
+             0.673 * 16 * 16 * CAST(281474976710656 AS DOUBLE)
+               / (psum + (16 - nb) * CAST(281474976710656 AS DOUBLE)) AS raw
       FROM agg
     ),
     finals AS (
@@ -576,8 +579,8 @@ def events_approx_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
              CAST(floor(CASE WHEN raw <= 40 AND v > 0
                              THEN 16 * ln(16.0 / v) ELSE raw END)
                   AS BIGINT) AS approx_users,
-             CAST(v AS INT) AS empty_registers
-      FROM est
+             CAST(16 - nb AS INT) AS empty_registers
+      FROM est JOIN agg USING (event_type)
     ),
     exact AS (
       SELECT event_type, count(DISTINCT user_id) AS exact_users,
@@ -594,32 +597,37 @@ def events_approx_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
     tables=("events",),
 )
 def events_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog with a FULL value oracle (operators/sketch.py
-    hll_registers/hll_merge/hll_estimate): the arithmetic-hash register
-    sketch replays bit-exactly in DuckDB — registers, merge, harmonic
-    sum, and the floored estimate all match, unlike the built-in
-    hll_sketch_agg variant (events_approx_distinct_rollup) whose binary
-    sketch layout is engine-private and therefore rows-only.
+    """HyperLogLog register rollup with a FULL value oracle and the
+    error readout alongside (operators/sketch.py hll_registers_md5 /
+    hll_merge / hll_estimate_md5): registers, merge, harmonic sum, and
+    the floored estimate all replay bit-exactly in DuckDB.
 
-    Same two-level mergeable-rollup shape as the built-in variant: daily
-    register tables (bounded at m=16 rows per (type, day), built with
-    map-side partial max) merged across days by groupBy-max, estimated
-    once at the end — the build-once / merge-cheap / never-rescan
-    pattern that replaces exact COUNT(DISTINCT) at 100 TB. m=16 is sized
-    so the raw-estimator branch (not linear counting) is exercised at
-    the driver's sf0.01 (150 users/type vs 2.5m=40 threshold); at
+    r5 fix: this query previously hashed with the affine
+    (22853*u+977) % P like the CMS family — but user ids are DENSE
+    integers, and an affine map is monotone below the first wraparound,
+    so register ranks came from an arithmetic progression instead of
+    uniform bits (measured +79% bias at sf0.01: 268 vs 150 exact). The
+    md5 rank source is the same one every other register sketch here
+    uses; the affine variants remain in operators/sketch.py for the
+    merge-property unit tests with the degeneracy documented.
+
+    Two-level mergeable rollup: daily register tables (bounded at m=16
+    rows per (type, day), map-side partial max) merged across days by
+    groupBy-max, estimated once — the build-once / merge-cheap /
+    never-rescan pattern that replaces exact COUNT(DISTINCT) at 100 TB.
+    m=16 exercises the raw-estimator branch at the driver's sf0.01; at
     production lgK=12+ the same code path gives ~1.6% error. The exact
     count rides along to expose the sketch error honestly."""
     from esco_neo4j_spark.operators.sketch import (
-        hll_estimate, hll_merge, hll_registers,
+        hll_estimate_md5, hll_merge, hll_registers_md5,
     )
 
     ev = spark.table("events").select(
         "event_type", F.date_trunc("day", "ts").alias("d"), "user_id"
     )
-    daily = hll_registers(ev, "user_id", ["event_type", "d"])
+    daily = hll_registers_md5(ev, "user_id", ["event_type", "d"])
     merged = hll_merge(daily, ["event_type"])
-    est = hll_estimate(merged, ["event_type"])
+    est = hll_estimate_md5(merged, ["event_type"])
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users"),
         F.countDistinct("d").alias("n_days"),
@@ -2338,7 +2346,7 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ev AS (SELECT * REPLACE (make_timestamp(epoch_ns(ts)//1000) AS ts) FROM events),
     h AS (
       SELECT DISTINCT event_type, CAST(ts AS DATE) AS d,
-             (22853 * user_id + 977) % 2147483647 AS h
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
       FROM ev
     ),
     daily AS (
@@ -2364,7 +2372,8 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT a.event_type,
            CAST(CASE WHEN a.cnt < 64 THEN a.cnt
-                     ELSE floor(63.0 * 2147483647.0 / a.hk) END AS BIGINT)
+                     ELSE floor(63.0 * CAST(1152921504606846976 AS DOUBLE)
+                                / a.hk) END AS BIGINT)
              AS approx_users,
            CAST(x.exact_users AS BIGINT) AS exact_users
     FROM agg a JOIN exact x USING (event_type)
@@ -2385,14 +2394,26 @@ def events_kmv_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     handled by the CASE. Everything is integer hashing plus one double
     division, so the whole estimate — not just its error bound — value-
     matches the oracle. Exact COUNT(DISTINCT) joined alongside for the
-    error readout."""
+    error readout.
+
+    r5 fix: the hash must be md5, NOT the affine (22853*u+977) % P.
+    User ids are dense consecutive integers and an affine map is
+    MONOTONE below its first wraparound, so the "k minimum values" were
+    just the k smallest user ids and h_(k) measured id density, not
+    cardinality — 93,905 vs 150 exact at sf0.01, a 600x error that the
+    value oracle could never catch (both engines replayed the same
+    degenerate arithmetic identically). Order statistics need uniform
+    ranks; tests/test_sketches.py now bounds the estimate at the scale
+    where the estimator regime (not the cnt<k exact regime) engages."""
     ev = spark.table("events")
-    P = 2_147_483_647
     h = (
         ev.select(
             "event_type",
             F.to_date("ts").alias("d"),
-            ((F.lit(22853) * F.col("user_id") + 977) % P).alias("h"),
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                16, 10,
+            ).cast("bigint").alias("h"),
         )
         .distinct()
     )
@@ -2414,7 +2435,10 @@ def events_kmv_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("exact_users")
     )
     approx = F.when(F.col("cnt") < 64, F.col("cnt")).otherwise(
-        F.floor(F.lit(63.0) * F.lit(2147483647.0) / F.col("hk"))
+        F.floor(
+            F.lit(63.0) * F.lit(1152921504606846976).cast("double")
+            / F.col("hk")
+        )
     )
     return (
         agg.join(exact, "event_type")
@@ -3682,7 +3706,7 @@ def pipeline_right_to_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_kmv_audience_overlap",
     sql="""
     WITH ev AS (SELECT DISTINCT event_type,
-                       (22853 * user_id + 977) % 2147483647 AS h
+                       ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
                 FROM events),
     s AS (
       SELECT event_type, h,
@@ -3725,7 +3749,8 @@ def pipeline_right_to_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT g.ta AS type_a, g.tb AS type_b,
            CAST(floor((g.c / CAST(g.cnt AS DOUBLE)) *
                 (CASE WHEN g.cnt < 64 THEN CAST(g.cnt AS DOUBLE)
-                      ELSE 63.0 * 2147483647.0 / g.hk END)) AS BIGINT)
+                      ELSE 63.0 * CAST(1152921504606846976 AS DOUBLE) / g.hk
+                 END)) AS BIGINT)
              AS approx_overlap,
            CAST(round(g.c / CAST(g.cnt AS DOUBLE), 6) AS DOUBLE)
              AS jaccard_est,
@@ -3754,10 +3779,12 @@ def events_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     readout (the exact side is the user-keyed join the sketch exists to
     avoid; it stays only as this query's quality witness)."""
     ev = spark.table("events")
-    P = 2_147_483_647
     hashed = ev.select(
         "event_type",
-        ((F.lit(22853) * F.col("user_id") + 977) % P).alias("h"),
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+            16, 10,
+        ).cast("bigint").alias("h"),
     ).distinct()
     sk = (
         hashed.withColumn(
@@ -3808,7 +3835,9 @@ def events_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     union_est = F.when(
         F.col("cnt") < 64, F.col("cnt").cast("double")
-    ).otherwise(F.lit(63.0) * F.lit(2147483647.0) / F.col("hk"))
+    ).otherwise(
+        F.lit(63.0) * F.lit(1152921504606846976).cast("double") / F.col("hk")
+    )
     return (
         agg.join(exact, ["ta", "tb"], "left")
         .select(

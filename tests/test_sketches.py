@@ -266,3 +266,39 @@ def test_kmv_overlap_within_error_bound(spark):
         )
     again = q.fn(spark, SF_DIR).collect()
     assert rows == again
+
+
+def test_kmv_and_hll_rollups_estimator_regime_accuracy(spark):
+    """r5 regression guard for the degenerate-hash bug: the KMV/HLL
+    rollup ESTIMATOR branches (not the cnt<k exact regime) must land
+    within sketch-theory error at sf0.01 (150 users/type > k=64, so the
+    order-statistic estimator actually engages — the affine-hash bug
+    measured 93,905 vs 150 here and no test ran at this scale)."""
+    sf = "/root/testdata/sf0.01"
+    for name, rse_sigma3 in (
+        # KMV k=64: RSE ~ 1/sqrt(k-2) ~ 12.7%; HLL m=16: ~26%
+        ("events_kmv_distinct_rollup", 0.40),
+        ("events_hll_distinct_rollup", 0.80),
+    ):
+        rows = REGISTRY[name].fn(spark, sf).collect()
+        assert rows, name
+        for r in rows:
+            est, exact = r["approx_users"], r["exact_users"]
+            assert exact > 64, "scale must engage the estimator regime"
+            assert abs(est - exact) <= rse_sigma3 * exact, (
+                name, r["event_type"], est, exact,
+            )
+
+
+def test_kmv_overlap_estimator_regime_accuracy(spark):
+    """Overlap estimates in the ESTIMATOR regime (sf0.01): within
+    jaccard sampling error + union estimator error of exact."""
+    sf = "/root/testdata/sf0.01"
+    rows = REGISTRY["events_kmv_audience_overlap"].fn(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["jaccard_est"] <= 1.0
+        # union here is bounded by total users (<= ~10x exact overlap);
+        # allow 3-sigma of jaccard (3/8 at k=64) times a generous union
+        tol = max(5, 0.5 * max(r["exact_overlap"], 64))
+        assert abs(r["approx_overlap"] - r["exact_overlap"]) <= tol, tuple(r)
