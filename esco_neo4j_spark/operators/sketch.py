@@ -10,18 +10,20 @@ rows. Nothing ever holds per-key state: memory is O(d*w) regardless of
 input cardinality, and the one-sided error bound (est >= true,
 est <= true + eps*N w.h.p., eps = e/w) is the textbook CMS guarantee.
 
-Hashing uses the universal family h_j(x) = ((a_j*x + b_j) mod P) mod w
-with P = 2^31-1 — pure integer arithmetic, so a DuckDB oracle can
-reproduce every bucket (and therefore every estimate) EXACTLY; no
-engine-specific hash is involved. The same family powers hll_registers /
-hll_estimate below: a register-table HyperLogLog whose rank function is
-trailing-zero arithmetic (w & -w, then an exact log2 of a power of two),
-so — unlike Spark's built-in hll_sketch_agg, whose binary sketch layout
-is implementation-specific — every register value AND the final estimate
-replay bit-exactly in DuckDB SQL (see
-plans/event_queries.events_hll_distinct_rollup; the built-in variant
-events_approx_distinct_rollup stays rows-only as the documented
-contrast).
+Hashing (r5): h_j(x) = first 60 bits of md5(j || '-' || x) mod w —
+engine-neutral (md5 is identical everywhere), so a DuckDB oracle can
+reproduce every bucket (and therefore every estimate) EXACTLY. The
+affine family ((a_j*x + b_j) mod P) mod w used in r1-r4 is kept ONLY
+for the hll_registers/hll_estimate merge-property unit tests: on DENSE
+integer keys the affine map never wraps P, degenerating order
+statistics (KMV picked the k smallest KEYS, a measured 600x estimate
+error) and making CMS rows collide identically (bucket = bijection of
+key mod w in every row). The md5 register sketches
+(hll_registers_md5/hll_estimate_md5) power the registered queries; rank
+functions stay trailing-zero arithmetic (w & -w, exact log2 of a power
+of two), so every register value AND the final estimate replay
+bit-exactly in DuckDB SQL (plans/event_queries:
+events_hll_distinct_rollup, events_approx_distinct_rollup).
 
 Reference has no sketch surface (extension per SURVEY.md §2); the CMS /
 heavy-hitter pattern is standard large-scale-pipeline equipment.
@@ -32,19 +34,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-CMS_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
-# (a_j, b_j) per hash row — small odd multipliers, arbitrary fixed offsets;
-# mirrored verbatim in every oracle SQL that checks a CMS query.
-CMS_PARAMS: list[tuple[int, int]] = [
-    (4_967, 11),
-    (7_121, 223),
-    (10_627, 401),
-    (15_289, 607),
-]
+CMS_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime; used by the affine HLL
+# variants kept below for the merge-property unit tests)
+CMS_DEPTH = 4  # hash rows; each row hashes md5(j || '-' || key)
 
 
-def _bucket(a: int, b: int, key_col, width: int):
-    return ((F.lit(a) * key_col + F.lit(b)) % CMS_P) % width
+def _bucket(j: int, key_col, width: int):
+    """Row-j bucket via md5 — NOT the affine (a*u+b) % P % w family the
+    r1-r4 sketches used. r5 lesson (found on KMV, same class here): for
+    DENSE integer keys the affine map never wraps P, so bucket reduces
+    to an affine map mod w — a BIJECTION of (key mod w) in every row,
+    making collisions identical across all d rows and the min-of-rows
+    worthless (two keys congruent mod w collided everywhere). md5 rows
+    keyed by j are independent in the only sense that matters here:
+    structured key sets spread like uniform ones."""
+    hx = F.md5(F.concat_ws("-", F.lit(j), key_col.cast("string")))
+    return F.conv(F.substring(hx, 1, 15), 16, 10).cast("bigint") % width
 
 
 def cms_build(df: DataFrame, key_col: str, width: int = 1024) -> DataFrame:
@@ -56,9 +61,9 @@ def cms_build(df: DataFrame, key_col: str, width: int = 1024) -> DataFrame:
         *[
             F.struct(
                 F.lit(j).alias("sketch_row"),
-                _bucket(a, b, F.col(key_col), width).alias("bucket"),
+                _bucket(j, F.col(key_col), width).alias("bucket"),
             )
-            for j, (a, b) in enumerate(CMS_PARAMS)
+            for j in range(CMS_DEPTH)
         ]
     )
     return (
@@ -95,9 +100,9 @@ def cms_estimate(
                 *[
                     F.struct(
                         F.lit(j).alias("sketch_row"),
-                        _bucket(a, b, F.col(key_col), width).alias("bucket"),
+                        _bucket(j, F.col(key_col), width).alias("bucket"),
                     )
-                    for j, (a, b) in enumerate(CMS_PARAMS)
+                    for j in range(CMS_DEPTH)
                 ]
             )
         ).alias("rb"),
@@ -119,9 +124,9 @@ def bloom_build(df: DataFrame, key_col: str, width: int = 65_536) -> DataFrame:
         *[
             F.struct(
                 F.lit(j).alias("sketch_row"),
-                _bucket(a, b, F.col(key_col), width).alias("bucket"),
+                _bucket(j, F.col(key_col), width).alias("bucket"),
             )
-            for j, (a, b) in enumerate(CMS_PARAMS)
+            for j in range(CMS_DEPTH)
         ]
     )
     return df.select(F.explode(rows).alias("rb")).select(
@@ -145,13 +150,13 @@ def bloom_prune(df: DataFrame, key_col: str, bloom: DataFrame,
     """
     bits = F.broadcast(bloom)
     probe = df
-    for j, (a, b) in enumerate(CMS_PARAMS):
+    for j in range(CMS_DEPTH):
         bj = bits.filter(F.col("sketch_row") == j).select(
             F.col("bucket").alias(f"__b{j}")
         )
         probe = probe.join(
             bj,
-            _bucket(a, b, F.col(key_col), width) == F.col(f"__b{j}"),
+            _bucket(j, F.col(key_col), width) == F.col(f"__b{j}"),
             "left_semi",
         )
     return probe

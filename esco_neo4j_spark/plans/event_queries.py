@@ -648,11 +648,12 @@ def events_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_cms_heavy_hitters",
     sql="""
-    WITH hash_rows(j, a, b) AS (
-      VALUES (0, 4967, 11), (1, 7121, 223), (2, 10627, 401), (3, 15289, 607)
-    ),
+    WITH hash_rows(j) AS (VALUES (0), (1), (2), (3)),
     build AS (
-      SELECT r.j, ((r.a * e.user_id + r.b) % 2147483647) % 64 AS bucket,
+      SELECT r.j,
+             ('0x' || substr(md5(CAST(r.j AS VARCHAR) || '-' ||
+                                 CAST(e.user_id AS VARCHAR)), 1, 15))::BIGINT
+               % 64 AS bucket,
              count(*) AS cnt
       FROM events e CROSS JOIN hash_rows r
       GROUP BY 1, 2
@@ -663,7 +664,9 @@ def events_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM keys k CROSS JOIN hash_rows r
       JOIN build b
         ON b.j = r.j
-       AND b.bucket = ((r.a * k.user_id + r.b) % 2147483647) % 64
+       AND b.bucket = ('0x' || substr(md5(CAST(r.j AS VARCHAR) || '-' ||
+                                          CAST(k.user_id AS VARCHAR)), 1, 15))::BIGINT
+                      % 64
       GROUP BY 1
     ),
     exact AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
@@ -681,9 +684,11 @@ def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     no matter the input size), estimate every candidate key by joining
     the broadcast sketch, rank by ESTIMATE and keep the top 20. The exact
     count rides along to expose the one-sided error (est >= exact always;
-    the deliberately small width forces real collisions). The universal
-    hash family is plain integer arithmetic, so the DuckDB oracle
-    reproduces every bucket — and therefore every estimate — exactly."""
+    the deliberately small width forces real collisions). Hash rows are
+    md5(j || '-' || key) (r5 — the affine family collided identically
+    across rows on dense ids, see operators/sketch.py:_bucket), so the
+    DuckDB oracle reproduces every bucket — and therefore every
+    estimate — exactly."""
     from esco_neo4j_spark.operators.sketch import cms_build, cms_estimate
 
     ev = spark.table("events")
