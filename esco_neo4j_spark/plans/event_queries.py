@@ -3449,21 +3449,22 @@ def events_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ams_f2_sql() -> str:
-    from esco_neo4j_spark.operators.sketch import AMS_PARAMS, CMS_P
+    from esco_neo4j_spark.operators.sketch import AMS_DEPTH
 
     branches = "\n      UNION ALL\n      ".join(
         f"""SELECT {j} AS sketch_row,
-             CAST(sum(1 - 2 * ((({a} * user_id + {b}) % {CMS_P}) % 2))
+             CAST(sum(1 - 2 * (('0x' || substr(md5('{100 + j}-' ||
+                       CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2))
                   AS BIGINT) AS s
       FROM events"""
-        for j, (a, b) in enumerate(AMS_PARAMS)
+        for j in range(AMS_DEPTH)
     )
     return f"""
     WITH pulls AS (
       {branches}
     ),
     est AS (
-      SELECT s * s AS f2 FROM pulls ORDER BY f2 LIMIT 1 OFFSET 4
+      SELECT sum(s * s) // 9 AS f2 FROM pulls
     ),
     exact AS (
       SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact FROM (
@@ -3489,18 +3490,20 @@ def events_ams_f2_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     of user_id from 9 integers of state, the quantity join planners and
     skew triage need (ext_join_cardinality_probe computes it exactly with
     a per-key rollup; this answers from sketch state mergeable across
-    partitions and days). Median of the 9 squared rope sums via an exact
-    ORDER BY/OFFSET pick — every number is an integer, so the estimate
-    itself is value-oracled, and the exact F2 rides along to expose the
-    sketch error honestly. One narrow 9x explode + 9-group partial sum;
-    no shuffle wider than 9 rows."""
+    partitions and days). MEAN of the 9 squared rope sums, floored
+    integer division — unbiased (each S_j^2 has expectation F2), kept
+    integer-exact so the estimate itself is value-oracled; the exact F2
+    rides along to expose the sketch error honestly. (r5: was the
+    median of single squares, which centers on the chi-square(1) median
+    0.455*F2 — a guaranteed ~2x under-read; the classic median-of-MEANS
+    needs more counters than 9 to beat the plain mean.) One narrow 9x
+    explode + 9-group partial sum; no shuffle wider than 9 rows."""
     from esco_neo4j_spark.operators.sketch import ams_f2_terms
 
     ev = spark.table("events")
     terms = ams_f2_terms(ev, "user_id")
-    est = (
-        terms.select((F.col("s") * F.col("s")).alias("f2"))
-        .orderBy("f2").limit(5).orderBy(F.desc("f2")).limit(1)
+    est = terms.agg(
+        F.expr("sum(s * s) div 9").alias("f2")
     )
     exact = (
         ev.groupBy("user_id").agg(F.count("*").alias("c"))

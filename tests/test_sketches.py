@@ -192,27 +192,43 @@ def test_approx_quantiles_within_rank_error(spark):
             assert lo - 1e-9 <= est <= hi + 1e-9, (etype, q, est, lo, hi)
 
 
-def test_ams_f2_median_pick_and_accuracy(spark):
-    """The AMS estimate must be the exact 5th-smallest squared rope sum
-    (verified against a plain-Python replay of the sign hashes) and land
-    within 4x of the true self-join size on a skewed key set — the
-    one-median-of-9 guarantee regime (each S_j^2 is unbiased with
-    variance <= 2*F2^2)."""
-    from esco_neo4j_spark.operators.sketch import AMS_PARAMS, CMS_P, ams_f2_terms
+def test_ams_f2_mean_pick_and_accuracy(spark):
+    """The AMS rope sums must match a plain-Python replay of the md5
+    sign hashes, and the mean-of-9 estimate (each S_j^2 unbiased with
+    variance <= 2*F2^2 => relative std ~0.47 for the mean) must land
+    within 4x of the true self-join size on a skewed key set."""
+    import hashlib
+
+    from esco_neo4j_spark.operators.sketch import AMS_DEPTH, ams_f2_terms
 
     keys = [1] * 50 + [2] * 20 + list(range(3, 40))  # skewed multiset
     df = spark.createDataFrame([(k,) for k in keys], ["user_id"])
     got = {r["sketch_row"]: r["s"] for r in ams_f2_terms(df, "user_id").collect()}
-    want = {}
-    for j, (a, b) in enumerate(AMS_PARAMS):
-        want[j] = sum(1 - 2 * (((a * k + b) % CMS_P) % 2) for k in keys)
+
+    def sign(j, k):
+        hx = hashlib.md5(f"{100 + j}-{k}".encode()).hexdigest()
+        return 1 - 2 * (int(hx[:15], 16) % 2)
+
+    want = {
+        j: sum(sign(j, k) for k in keys) for j in range(AMS_DEPTH)
+    }
     assert got == want
-    f2s = sorted(s * s for s in want.values())
-    est = f2s[4]
+    est = sum(s * s for s in want.values()) // 9
     from collections import Counter
 
     exact = sum(c * c for c in Counter(keys).values())
     assert exact / 4 <= est <= exact * 4
+
+
+def test_ams_f2_estimator_regime_accuracy(spark):
+    """r5 regression guard (same degenerate-affine-hash class as KMV):
+    on the REAL events table — near-uniform counts over dense ids, the
+    case the parity-sign bug collapsed to -98% error — the median-of-9
+    estimate must land within 4x of exact F2."""
+    r = REGISTRY["events_ams_f2_selfjoin"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()[0]
+    assert r["f2_exact"] / 4 <= r["f2_estimate"] <= r["f2_exact"] * 4, tuple(r)
 
 
 def test_bootstrap_ci_brackets_mean_and_narrows(spark):
