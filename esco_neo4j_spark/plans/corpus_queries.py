@@ -503,8 +503,8 @@ def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH keyed AS (
       SELECT doc_id, source, n_chars,
-             ln(((22853 * doc_id + 977) % 2147483647 + 1)
-                / 2147483648.0) / greatest(n_chars, 1) AS k
+             ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                 + 1) / 4503599627370496.0) / greatest(n_chars, 1) AS k
       FROM documents
     ),
     ranked AS (
@@ -532,10 +532,20 @@ def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     unweighted reservoir query. ln is evaluated on identical doubles in
     both engines; ordering (not the key value) is all that's compared, so
     a 1-ulp libm difference cannot flip a rank unless two keys collide to
-    within it, which distinct hashes preclude."""
+    within it, which distinct hashes preclude.
+
+    r5: u comes from 52 md5 bits, NOT the affine (22853*id+977) % P the
+    r1-r4 version used — dense doc_ids never wrap P, so that u was
+    MONOTONE in doc_id and confined to (0, 0.05], turning the 'draw'
+    into a high-id preference (the ln(u) numerator spanned a 7x range
+    by id) instead of a weight-proportional sample. Same degeneracy
+    class as the KMV/CMS/AMS fixes; md5 restores ES's uniform-u
+    premise."""
     d = spark.table("documents")
-    P = 2_147_483_647
-    u = ((F.lit(22853) * F.col("doc_id") + 977) % P + 1) / F.lit(2147483648.0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("bigint") + 1
+    ) / F.lit(4503599627370496.0)
     key = F.log(u) / F.greatest(F.col("n_chars"), F.lit(1))
     w = Window.partitionBy("source").orderBy(F.desc(key), F.asc("doc_id"))
     return (

@@ -260,3 +260,25 @@ def test_bpe_tiebreak_prefers_smaller_pair_string(spark):
         assert (rows[0][1], rows[0][2]) == ("a", "b")
     finally:
         spark.catalog.dropTempView("documents")
+
+
+def test_weighted_sample_is_size_biased(spark):
+    """r5 regression guard (degenerate-affine-hash class): the
+    Efraimidis-Spirakis draw must actually be WEIGHT-proportional — the
+    selected docs' mean length must exceed the corpus mean (the old
+    monotone-in-id u produced a high-id preference instead; with a
+    length-weighted draw of 5x5 docs the size bias is near-certain and,
+    being deterministic, pinned once green)."""
+    from pyspark.sql import functions as F
+
+    from esco_neo4j_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    sel = REGISTRY["text_weighted_sample"].fn(spark, sf)
+    m_sel = sel.agg(F.avg("n_chars")).first()[0]
+    m_all = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .agg(F.avg("n_chars"))
+        .first()[0]
+    )
+    assert m_sel > m_all, (m_sel, m_all)
