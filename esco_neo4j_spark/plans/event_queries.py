@@ -3863,3 +3863,73 @@ def events_kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# --- k-anonymity audit (privacy gate) ----------------------------------------
+@query(
+    "events_k_anonymity",
+    sql="""
+    WITH q AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(floor(value / 100.0) AS BIGINT) AS value_bucket,
+             user_id
+      FROM events
+    ),
+    eq AS (
+      SELECT event_type, d, value_bucket,
+             count(*) AS n_rows, count(DISTINCT user_id) AS n_users
+      FROM q GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(CASE WHEN n_users < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS classes_below_k,
+           CAST(sum(CASE WHEN n_users < 5 THEN n_rows ELSE 0 END) AS BIGINT)
+             AS rows_to_suppress,
+           CAST(min(n_users) AS BIGINT) AS min_class_users
+    FROM eq GROUP BY event_type
+    ORDER BY event_type
+    """,
+    survey_ops="pipeline-privacy(ext),D2,D8",
+    tables=("events",),
+)
+def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple — the privacy gate
+    a dataset must pass before release, and right-to-forget's sibling in
+    the governance family: every equivalence class of
+    (event_type, day, coarse value bucket) must contain >= k = 5
+    distinct users, else its rows need suppression or coarsening. The
+    report gives, per type, the class count, the classes below k, the
+    row mass a suppression pass would drop, and the worst class — the
+    numbers a release decision is actually made on.
+
+    Scale shape: one partial-aggregable groupBy on the quasi-identifier
+    (class count is bounded by the QI domain, far below row count), then
+    a per-type rollup of the bounded class table; nothing user-keyed
+    ever shuffles except inside COUNT(DISTINCT)'s Expand, which stays
+    one scan."""
+    ev = spark.table("events")
+    q = ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("d"),
+        F.floor(F.col("value") / 100.0).cast("bigint").alias("value_bucket"),
+        "user_id",
+    )
+    eq = q.groupBy("event_type", "d", "value_bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+    return (
+        eq.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_classes"),
+            F.sum((F.col("n_users") < 5).cast("int"))
+            .cast("bigint")
+            .alias("classes_below_k"),
+            F.sum(F.when(F.col("n_users") < 5, F.col("n_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_to_suppress"),
+            F.min("n_users").cast("bigint").alias("min_class_users"),
+        )
+        .orderBy("event_type")
+    )
