@@ -675,18 +675,23 @@ def symdel_pairs(
     df: DataFrame,
     key_col: str,
     max_len: int = 32,
+    max_edit: int = 1,
 ) -> DataFrame:
-    """Edit-distance (<= 1) near-duplicate pairs on a short key via the
-    SYMMETRIC-DELETION neighborhood join (the SymSpell principle, Garbe
-    2012) — the edit-distance member of the banded-dedup family, for the
-    short-identifier fields (titles, URLs, entity names, SKU codes) where
-    set-similarity banding is the wrong tool.
+    """Edit-distance (<= ``max_edit``, 1 or 2) near-duplicate pairs on a
+    short key via the SYMMETRIC-DELETION neighborhood join (the SymSpell
+    principle, Garbe 2012) — the edit-distance member of the banded-dedup
+    family, for the short-identifier fields (titles, URLs, entity names,
+    SKU codes) where set-similarity banding is the wrong tool.
 
-    Candidate rule (LOSSLESS for ED <= 1): every key emits itself plus
-    its |key| single-deletion variants; two keys with levenshtein <= 1
-    MUST share a variant (equal keys share self; a deletion of a is b's
+    Candidate rule (LOSSLESS for ED <= k): every key emits its deletion
+    neighborhood of depth k (self, single deletions, and for k = 2 every
+    ordered-position pair deletion); two keys within k edits MUST share
+    a variant — align an optimal edit script and delete, on each side,
+    the positions that script touches on that side (<= k positions
+    each): the leftovers are the aligned matches, the same string. For
+    k = 1 the cases are: equal keys share self; a deletion of a is b's
     self and in D1(a); an insertion is the symmetric case; a
-    substitution at i collides on both keys' delete-at-i). The
+    substitution at i collides on both keys' delete-at-i. The
     variant-key equi-join therefore finds every qualifying pair — no
     recall parameter to tune — and the exact ``levenshtein`` verify
     (same unit-cost definition in Spark and DuckDB, so the oracle
@@ -704,34 +709,51 @@ def symdel_pairs(
     duplication is already the exact-dedup operator's job.
 
     Scale shape at 100 TB: each DISTINCT key emits <= max_len + 1
-    variant rows (bounded fan-out, unlike shingling), the only shuffles
-    are the key-count agg and the variant equi-join on short strings.
-    Variant buckets are intrinsically small (a bucket is the set of
-    distinct keys one deletion away from the same string — bounded by
-    alphabet size x key length, not corpus size); keys are truncated to
-    ``max_len`` so fan-out and string width are capped ingest-side.
-    Generalizing to ED <= k nests deletions (fan-out ~ C(max_len, k));
-    k = 1 covers the typo/near-identifier regime this targets.
+    variant rows at k = 1, ~C(max_len, 2) at k = 2 (bounded fan-out,
+    unlike shingling), the only shuffles are the key-count agg and the
+    variant equi-join on short strings. Variant buckets are
+    intrinsically small (a bucket is the set of distinct keys <= k
+    deletions away from the same string — bounded by alphabet size and
+    key length, not corpus size); keys are truncated to ``max_len`` so
+    fan-out and string width are capped ingest-side. k = 1 covers the
+    typo/near-identifier regime this targets; k = 2 is the fuzzy-match
+    setting at ~C(L, 2)/L times the fan-out.
     """
+    if max_edit not in (1, 2):
+        raise ValueError("symdel_pairs supports max_edit in {1, 2}")
     keys = (
         df.select(F.substring(F.col(key_col), 1, max_len).alias("key"))
         .filter(F.col("key").isNotNull())
         .groupBy("key")
         .agg(F.count("*").alias("n"))
     )
+    one_del = (
+        "transform(sequence(1, length(key)),"
+        " i -> concat(substr(key, 1, i - 1),"
+        " substr(key, i + 1, length(key))))"
+    )
+    neighborhood = F.array_union(F.array(F.col("key")), F.expr(one_del))
+    if max_edit == 2:
+        # ordered position pairs i < j deleted from the ORIGINAL key:
+        # s[1..i-1] + s[i+1..j-1] + s[j+1..] — flatten the nested
+        # transform, then dedup (deleting adjacent equal chars in
+        # different orders collides)
+        two_del = (
+            "flatten(transform(sequence(1, length(key)),"
+            " i -> transform(sequence(least(i + 1, length(key)), length(key)),"
+            "  j -> CASE WHEN j > i THEN"
+            "   concat(substr(key, 1, i - 1), substr(key, i + 1, j - i - 1),"
+            "          substr(key, j + 1, length(key)))"
+            "  ELSE NULL END)))"
+        )
+        neighborhood = F.array_union(
+            neighborhood,
+            F.filter(F.expr(two_del), lambda x: x.isNotNull()),
+        )
     variants = keys.select(
         "key",
         "n",
-        F.explode(
-            F.array_union(
-                F.array(F.col("key")),
-                F.expr(
-                    "transform(sequence(1, length(key)),"
-                    " i -> concat(substr(key, 1, i - 1),"
-                    " substr(key, i + 1, length(key))))"
-                ),
-            )
-        ).alias("v"),
+        F.explode(neighborhood).alias("v"),
     )
     a = variants.select(
         F.col("key").alias("key_a"), F.col("n").alias("n_a"), "v"
@@ -745,7 +767,7 @@ def symdel_pairs(
         .select("key_a", "key_b", "n_a", "n_b")
         .distinct()
         .withColumn("ed", F.levenshtein("key_a", "key_b").cast("int"))
-        .filter(F.col("ed") <= 1)
+        .filter(F.col("ed") <= max_edit)
         .select(
             "key_a", "key_b", "ed",
             F.col("n_a").cast("bigint").alias("n_a"),

@@ -282,3 +282,56 @@ def test_weighted_sample_is_size_biased(spark):
         .first()[0]
     )
     assert m_sel > m_all, (m_sel, m_all)
+
+
+def test_symdel_editdist2_lossless(spark):
+    """ED <= 2 deletion neighborhoods must return EXACTLY the brute-force
+    levenshtein <= 2 pair set — including two-substitution,
+    insert+substitute, delete+delete, and transposition-looking (= two
+    substitutions under plain Levenshtein) pairs — while ED = 3 keys stay
+    excluded."""
+    from esco_neo4j_spark.operators.dedup import symdel_pairs
+
+    keys = [
+        "gamma", "gamma",   # dup key
+        "gxmma",            # 1 sub
+        "gxmmx",            # 2 subs
+        "amma",             # 1 del
+        "mma",              # 2 dels
+        "xgammax",          # 2 ins
+        "gamam",            # swap tail = 2 subs under Levenshtein
+        "gxmxx",            # 3 edits from gamma -> excluded
+        "qqqqq", "",        # far away / empty
+        "ab", "ba",         # short swap (ed 2)
+    ]
+    df = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(keys)], "id bigint, key string"
+    )
+    got = sorted(
+        (r["key_a"], r["key_b"], r["ed"])
+        for r in symdel_pairs(df, "key", max_edit=2).collect()
+    )
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    dk = sorted(set(keys))
+    want = sorted(
+        (a, b, lev(a, b))
+        for i, a in enumerate(dk)
+        for b in dk[i + 1:]
+        if lev(a, b) <= 2
+    )
+    assert got == want and len(want) >= 10
+    assert any(ed == 2 for _, _, ed in got)
+    assert all(
+        not (("gxmxx" in (a, b)) and ("gamma" in (a, b)))
+        for a, b, _ in got
+    )
