@@ -260,3 +260,61 @@ def test_blocked_gemm_exact_join_at_50k_vectors(spark):
     assert want <= got
     # near-exact extras can only come from hash-noise collisions; bound them
     assert len(got) <= len(want) + 5
+
+
+def test_arrow_bucket_and_cosine_udfs_at_1m_vectors(spark):
+    """r5 Arrow hot paths at 1M rows: _all_buckets_pudf must produce
+    n_tables in-range bucket ids per row with a roughly-balanced global
+    histogram (the whole point of derived banding), and the pair-cosine
+    UDF must agree with an exact expression on a sampled slice — the
+    smoke that the Arrow batch shape survives multi-million-row input,
+    not just the 20k audit corpus."""
+    from pyspark.sql import functions as F
+
+    from esco_neo4j_spark.operators.similarity import (
+        _all_buckets_pudf,
+        _pair_cosine_pudf,
+    )
+
+    N, DIM, PLANES, TABLES = 1_000_000, 8, 6, 4
+    vecs = spark.range(0, N, 1, 64).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 7),"
+            " j -> cast(sin(id * 0.37 + j * 1.13) as double))"
+        ).alias("embedding"),
+    )
+    buckets = _all_buckets_pudf(DIM, PLANES, TABLES, seed=42)
+    keyed = vecs.select(
+        "vec_id", F.posexplode(buckets(F.col("embedding"))).alias("t", "b")
+    )
+    hist = keyed.groupBy("t", "b").count()
+    rows = hist.collect()
+    assert len(rows) <= TABLES * (1 << PLANES)
+    per_table = {}
+    for r in rows:
+        assert 0 <= r["b"] < (1 << PLANES) and 0 <= r["t"] < TABLES
+        per_table.setdefault(r["t"], []).append(r["count"])
+    assert set(per_table) == set(range(TABLES))
+    for t, counts in per_table.items():
+        assert sum(counts) == N
+        # no bucket may swallow the corpus: the sinusoid family spreads
+        # across sign patterns, so the hottest bucket stays a minority
+        assert max(counts) < 0.5 * N, (t, max(counts))
+
+    # pair cosine: Arrow result == exact expression on a 1k slice
+    from esco_neo4j_spark.functions.vector import cosine_similarity
+
+    pair_cos = _pair_cosine_pudf()
+    pairs = (
+        vecs.filter(F.col("vec_id") < 1000)
+        .select(
+            "vec_id",
+            F.col("embedding").alias("va"),
+            F.reverse("embedding").alias("vb"),
+        )
+    )
+    diff = pairs.select(
+        (F.abs(pair_cos("va", "vb") - cosine_similarity(F.col("va"), F.col("vb")))).alias("d")
+    ).agg(F.max("d")).first()[0]
+    assert diff == 0.0  # bit-exact, not approximately equal
