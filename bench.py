@@ -108,21 +108,58 @@ def main() -> None:
     # comparable headline total is untouched. Skipped silently when the
     # audit corpus is absent (fresh container).
     scale_tail = {}
+    scale_manifest = None
     scale_dir = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/sf1")
     if os.path.isdir(scale_dir):
-        for name in (
-            "vec_lsh_similarity_join",
-            "vec_knn_graph_lsh",
-            "pipeline_training_mix",
-            "dedup_ngram_jaccard",
-            "dedup_semantic_bucketed",
-        ):
-            t0 = time.perf_counter()
-            REGISTRY[name].fn(spark, scale_dir).collect()
-            scale_tail[name] = round(time.perf_counter() - t0, 3)
-            spark.catalog.clearCache()
-            gc.collect()
-            spark.sparkContext._jvm.System.gc()
+        # Provenance gate (r5 ADVICE): a corpus generated by an older
+        # noise model (quadratic true-pair density) at the same path
+        # would yield non-comparable tail numbers indistinguishable in
+        # the JSON. Require the generator manifest and a matching
+        # version; otherwise skip the tail and say why.
+        from tools.gen_scale_data import GENERATOR_VERSION
+
+        manifest_path = os.path.join(scale_dir, "MANIFEST.json")
+        try:
+            with open(manifest_path) as fh:
+                scale_manifest = json.load(fh)
+        except OSError:
+            scale_manifest = None
+        version_ok = (
+            scale_manifest is not None
+            and scale_manifest.get("generator_version") == GENERATOR_VERSION
+        )
+        if not version_ok:
+            scale_tail = {}
+            scale_manifest = {
+                "skipped": (
+                    f"{manifest_path} missing or generator_version != "
+                    f"{GENERATOR_VERSION}; regenerate with "
+                    "tools/gen_scale_data.py"
+                )
+            }
+        else:
+            for name in (
+                "vec_lsh_similarity_join",
+                "vec_knn_graph_lsh",
+                "pipeline_training_mix",
+                "dedup_ngram_jaccard",
+                "dedup_semantic_bucketed",
+            ):
+                # min-of-2 (r5 VERDICT item 2): single-shot tail numbers
+                # carried ~1.4x host noise (driver 225s vs builder 158s
+                # on the same corpus); a cold+warm pair makes an r6+
+                # regression detectable above that noise while keeping
+                # the tail affordable (~2x one run, vs 3x for headline).
+                best = None
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    REGISTRY[name].fn(spark, scale_dir).collect()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                    spark.catalog.clearCache()
+                    gc.collect()
+                    spark.sparkContext._jvm.System.gc()
+                scale_tail[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -136,6 +173,9 @@ def main() -> None:
         out["scale_tail_total"] = round(sum(scale_tail.values()), 3)
         out["scale_tail"] = scale_tail
         out["scale_tail_dir"] = scale_dir
+        out["scale_tail_method"] = "min-of-2"
+    if scale_manifest is not None:
+        out["scale_tail_manifest"] = scale_manifest
     print(json.dumps(out))
     spark.stop()
 

@@ -76,7 +76,27 @@ def load_tables(
     return out
 
 
-_ROWCOUNT_CACHE: dict[str, int] = {}
+# keyed on (path, mtime_ns, size) — not path alone — so a table
+# regenerated in place within one process (tooling rewriting a scale dir
+# between building a Spark plan and resolving its oracle) invalidates
+# naturally instead of silently desynchronizing the derived LSH/SemDeDup
+# parameters between engines (r5 ADVICE).
+_ROWCOUNT_CACHE: dict[tuple[str, int, int], int] = {}
+
+
+def _path_stamp(path: str) -> tuple[str, int, int]:
+    if os.path.isdir(path):
+        parts = [
+            os.path.join(path, f)
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        ]
+        mtime = max((os.stat(p).st_mtime_ns for p in parts), default=0)
+        size = sum(os.stat(p).st_size for p in parts)
+    else:
+        st = os.stat(path)
+        mtime, size = st.st_mtime_ns, st.st_size
+    return (path, mtime, size)
 
 
 def table_rowcount(sf_dir: str, name: str) -> int:
@@ -94,8 +114,9 @@ def table_rowcount(sf_dir: str, name: str) -> int:
     import pyarrow.parquet as pq
 
     path = table_path(sf_dir, name)
-    if path in _ROWCOUNT_CACHE:
-        return _ROWCOUNT_CACHE[path]
+    stamp = _path_stamp(path)
+    if stamp in _ROWCOUNT_CACHE:
+        return _ROWCOUNT_CACHE[stamp]
     if os.path.isdir(path):
         n = sum(
             pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
@@ -104,5 +125,5 @@ def table_rowcount(sf_dir: str, name: str) -> int:
         )
     else:
         n = pq.ParquetFile(path).metadata.num_rows
-    _ROWCOUNT_CACHE[path] = n
+    _ROWCOUNT_CACHE[stamp] = n
     return n

@@ -766,30 +766,42 @@ _ANCHOR_SQL = f"""
 def esco_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The semantic-search query (src/semantic_search.py:61-71 +
     AQ:511-522): anchor skill found by CONTAINS predicate (B8), cosine
-    against every embedded skill (H1 as a pure column expression — no UDF),
-    threshold + top-k via TakeOrderedAndProject. The anchor row is a
-    1-row broadcast, so the whole query is one scan of the skill table."""
+    against every embedded skill (H1 — scored by the Arrow anchor-cosine
+    fold, bit-exact vs the column-expression chain; the interpreted HOF
+    was the one path Catalyst can't codegen), threshold + top-k via
+    TakeOrderedAndProject. The anchor row is a 1-row broadcast, so the
+    whole query is one scan of the skill table."""
+    from esco_neo4j_spark.operators.similarity import _anchor_cosine_pudf
+
     sk = spark.table("esco_skill")
     nonzero = l2_norm(F.col("embedding")) > 0
-    anchor_uri = (
+    # one driver job fetches (uri, vector) together; min(conceptUri)
+    # among matches == TakeOrdered(1) on conceptUri. The HOF nonzero
+    # filter only runs on the few CONTAINS survivors here.
+    anchor_uri, anchor_vec = (
         sk.filter(F.col("preferredLabel").contains("analyse") & nonzero)
-        .agg(F.min("conceptUri"))
-        .first()[0]
+        .select("conceptUri", "embedding")
+        .orderBy("conceptUri")
+        .first()
     )
-    anchor_vec = (
-        sk.filter(F.col("conceptUri") == anchor_uri).select("embedding").first()[0]
-    )
+    anchor_cos = _anchor_cosine_pudf([float(x) for x in anchor_vec])
+    # the full-scan zero-norm filter is expressed on the Arrow score
+    # instead of re-running the interpreted l2_norm HOF per row: a
+    # zero-norm embedding scores 0/0 = NaN (and ONLY zero-norm does, on
+    # finite inputs), so NOT isnan(score) == l2_norm > 0 — and it must
+    # be explicit because Spark orders NaN above every double, so NaN
+    # rows would otherwise win the top-k.
+    raw = anchor_cos(F.col("embedding"))
     return (
-        sk.filter(F.col("embedding").isNotNull() & nonzero)
-        .filter(F.col("conceptUri") != anchor_uri)
+        sk.filter(
+            F.col("embedding").isNotNull() & (F.col("conceptUri") != anchor_uri)
+        )
         .select(
             F.col("conceptUri").alias("uri"),
             F.col("preferredLabel").alias("label"),
-            F.round(
-                cosine_similarity(F.col("embedding"), [float(x) for x in anchor_vec]),
-                6,
-            ).alias("score"),
+            F.round(raw, 6).alias("score"),
         )
+        .filter(~F.isnan(F.col("score")))
         .orderBy(F.desc("score"), "uri")
         .limit(10)
     )

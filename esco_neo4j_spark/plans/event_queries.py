@@ -908,10 +908,14 @@ def events_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame
     query then returns exactly the ceil(q·n)-th order statistic
     (1-based) — verified empirically across types/quantiles including
     ties — so the estimate itself is value-oracled as an explicit
-    rank pick. accuracy=1e6 keeps the lossless regime through the sf1
-    audit scale; beyond it (true 100 TB groups) the same plan degrades
-    gracefully to rank error n/1e6, bounded by
-    tests/test_sketches.py::test_approx_quantiles_within_rank_error."""
+    rank pick. PRECONDITION: accuracy (1e6) > rows-per-group — the
+    lossless regime holds through the sf1 audit scale; beyond it (true
+    100 TB groups) the same plan degrades gracefully to rank error
+    n/1e6, bounded by
+    tests/test_sketches.py::test_approx_quantiles_within_rank_error.
+    The identity itself (an undocumented Spark internal) is pinned
+    directly in test_gk_lossless_regime_exact_rank_identity so a Spark
+    upgrade fails loudly rather than silently breaking parity."""
     ev = spark.table("events")
     q = F.percentile_approx(
         "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(1_000_000)

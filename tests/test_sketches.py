@@ -318,3 +318,59 @@ def test_kmv_overlap_estimator_regime_accuracy(spark):
         # allow 3-sigma of jaccard (3/8 at k=64) times a generous union
         tol = max(5, 0.5 * max(r["exact_overlap"], 64))
         assert abs(r["approx_overlap"] - r["exact_overlap"]) <= tol, tuple(r)
+
+
+def test_gk_lossless_regime_exact_rank_identity(spark):
+    """The events_value_quantiles_approx ORACLE depends on a Spark
+    internal (r5 ADVICE): when a group has n < accuracy rows, the GK
+    summary in percentile_approx is lossless and the answer is exactly
+    the 1-based ceil(q*n)-th order statistic. That identity is not in
+    Spark's documented contract, so pin it DIRECTLY here — against a
+    synthetic column with ties, negatives and odd/even group sizes —
+    so a Spark upgrade that changes QuantileSummaries query/merge
+    internals fails this test loudly instead of silently breaking
+    oracle parity. Precondition being pinned: accuracy (1e6) > n."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    # group sizes straddling odd/even/tiny; values with heavy ties and
+    # sign changes; deterministic (no RNG — multiplicative hash mod)
+    sizes = [1, 2, 3, 7, 10, 101, 1000, 4096]
+    rows = []
+    for g, size in enumerate(sizes):
+        for i in range(size):
+            v = ((i * 2654435761) % 97) - 48  # ints in [-48, 48], tied
+            rows.append((g, float(v) / 7.0))
+    df = spark.createDataFrame(rows, "g INT, value DOUBLE")
+    qs = [0.5, 0.9, 0.99, 0.01, 1.0]
+    agg = (
+        df.groupBy("g")
+        .agg(
+            F.percentile_approx(
+                "value",
+                F.array(*[F.lit(q) for q in qs]),
+                F.lit(1_000_000),
+            ).alias("est"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    by_g = {}
+    for g, size in enumerate(sizes):
+        by_g[g] = sorted(
+            ((i * 2654435761) % 97 - 48) / 7.0 for i in range(size)
+        )
+    assert len(agg) == len(sizes)
+    for r in agg:
+        vals = by_g[r["g"]]
+        n = r["n"]
+        assert n == len(vals) and n < 1_000_000  # the lossless regime
+        for q, est in zip(qs, r["est"]):
+            rank = max(1, math.ceil(q * n))  # 1-based ceil(q*n)
+            assert est == vals[rank - 1], (
+                f"g={r['g']} q={q}: percentile_approx={est} != exact "
+                f"ceil(q*n)-th order stat {vals[rank - 1]} — Spark's GK "
+                "lossless-regime identity changed; the "
+                "events_value_quantiles_approx oracle must be rewritten"
+            )

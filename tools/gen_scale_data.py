@@ -24,8 +24,16 @@ Usage: python tools/gen_scale_data.py --src /root/testdata/sf0.1 \
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
+
+# Bump when the noise/mutation model changes in a way that alters true-pair
+# density (r5: the shared per-copy embedding offset created a quadratic
+# mutual-similarity blob; Murmur3-keyed per-(vec_id,dim,copy) noise fixed
+# it). bench.py refuses to report scale_tail for a corpus whose manifest
+# generator version doesn't match, so numbers across rounds stay comparable.
+GENERATOR_VERSION = 2
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -152,6 +160,17 @@ def main() -> None:
             os.path.join(args.out, f"{table}.parquet")
         )
         print(f"{table}: x1 (dim)")
+    with open(os.path.join(args.out, "MANIFEST.json"), "w") as fh:
+        json.dump(
+            {
+                "generator": "gen_scale_data",
+                "generator_version": GENERATOR_VERSION,
+                "src": args.src,
+                "copies": args.copies,
+            },
+            fh,
+        )
+    print(f"MANIFEST.json: generator_version={GENERATOR_VERSION}")
     spark.stop()
 
 
