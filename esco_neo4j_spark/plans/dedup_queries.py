@@ -1146,3 +1146,57 @@ def dedup_symdel_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return symdel_pairs(
         spark.table("customer"), "c_name", max_len=32
     ).orderBy("key_a", "key_b")
+
+
+@query(
+    "dedup_symdel_editdist2",
+    sql="""
+    WITH k AS (
+      SELECT substr(c_name, 1, 32) AS key, count(*) AS n
+      FROM customer WHERE c_name IS NOT NULL
+      GROUP BY 1
+    ),
+    vars AS (
+      SELECT key, n,
+             unnest(list_distinct(list_prepend(key,
+               [substr(key, 1, i - 1) || substr(key, i + 1, length(key))
+                for i in range(1, length(key) + 1)]
+               || flatten(
+                 [[substr(key, 1, i - 1) || substr(key, i + 1, j - i - 1)
+                     || substr(key, j + 1, length(key))
+                   for j in range(i + 1, length(key) + 1)]
+                  for i in range(1, length(key) + 1)])
+             ))) AS v
+      FROM k
+    ),
+    p AS (
+      SELECT DISTINCT a.key AS key_a, b.key AS key_b,
+             a.n AS n_a, b.n AS n_b
+      FROM vars a JOIN vars b ON a.v = b.v AND a.key < b.key
+    )
+    SELECT key_a, key_b, CAST(levenshtein(key_a, key_b) AS INT) AS ed,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
+    FROM p WHERE levenshtein(key_a, key_b) <= 2
+    ORDER BY key_a, key_b
+    """,
+    survey_ops="dedup-editdist(ext),C9",
+    tables=("customer",),
+)
+def dedup_symdel_editdist2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ED <= 2 (fuzzy-match) setting of the SymSpell deletion-
+    neighborhood join (operators/dedup.py:symdel_pairs, max_edit=2) —
+    registered separately from the ED <= 1 typo setting so the nested
+    two-deletion neighborhood (depth-2 variants, ~C(L,2) fan-out per
+    distinct key) is oracle-gated, not just fixture-tested: the DuckDB
+    side replays self + single + ordered-pair deletions with nested
+    list comprehensions and the same unit-cost levenshtein verify.
+    Candidate generation stays LOSSLESS at depth 2 (an optimal edit
+    script touches <= 2 positions per side; deleting exactly those
+    positions on each side leaves the same string), so the verified
+    output is exactly the ED <= 2 key pairs and any variant-generation
+    difference between engines is erased by the verify."""
+    from esco_neo4j_spark.operators.dedup import symdel_pairs
+
+    return symdel_pairs(
+        spark.table("customer"), "c_name", max_len=32, max_edit=2
+    ).orderBy("key_a", "key_b")

@@ -108,13 +108,34 @@ def ivf_index_sink(
     index_dir: str,
     checkpoint: str,
     centroids: list,
+    recenter_threshold: float | None = None,
     **kwargs,
 ):
     """foreachBatch wrapper over process_vector_batch. Returns the
-    started StreamingQuery."""
+    started StreamingQuery.
+
+    With ``recenter_threshold`` set, each batch is followed by the
+    cell-mass imbalance check (cell_imbalance); crossing the threshold
+    triggers recenter_index — offline k-means refresh + full index
+    rebuild — and subsequent batches assign against the NEW centroids.
+    ``centroids`` is then mutated IN PLACE so the caller's list always
+    names the live centroid set (the probe must use the same set the
+    index was last built with)."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         process_vector_batch(batch_df, index_dir, centroids, **kwargs)
+        if recenter_threshold is not None:
+            spark = batch_df.sparkSession
+            if cell_imbalance(spark, index_dir, len(centroids)) > (
+                recenter_threshold
+            ):
+                centroids[:] = recenter_index(
+                    spark,
+                    index_dir,
+                    k=len(centroids),
+                    id_col=kwargs.get("id_col", "vec_id"),
+                    vec_col=kwargs.get("vec_col", "embedding"),
+                )
 
     return (
         stream_vecs.writeStream.foreachBatch(_sink)
@@ -122,6 +143,89 @@ def ivf_index_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def cell_imbalance(spark: SparkSession, index_dir: str, k: int) -> float:
+    """Skew signal for the recentering trigger: max cell mass over the
+    MEAN mass across all ``k`` configured cells (empty cells count — a
+    corpus drifting into one of 8 cells must read as 8.0, not 1.0).
+    Reads the bounded ``cells`` stats table (k rows); missing/empty
+    index -> 0.0. At 100 TB drift this is the heuristic that bounds
+    probe cost: a hot cell is exactly the partition a probe can no
+    longer prune, so the trigger fires before the index degenerates to
+    a linear scan of one giant cell."""
+    _, cells_path = _paths(index_dir)
+    if not os.path.exists(cells_path):
+        return 0.0
+    rows = (
+        spark.read.parquet(cells_path)
+        .filter(F.col("cell").isNotNull())
+        .collect()
+    )
+    counts = [r["n_vectors"] for r in rows]
+    total = sum(counts)
+    if total == 0 or k <= 0:
+        return 0.0
+    return max(counts) / (total / k)
+
+
+def recenter_index(
+    spark: SparkSession,
+    index_dir: str,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 3,
+) -> list:
+    """The recenter leg of the maintenance policy: retrain centroids
+    offline (kmeans_train — deterministic Lloyd, first-k seeding) on the
+    CURRENTLY indexed corpus, then rebuild the whole index against the
+    new centroid literals (one narrow assignment map + the same
+    rename-swap writes a normal batch makes). Returns the new centroid
+    rows (cid = dense 0..k-1 ints, castable to the id column's type).
+
+    The rebuild is what keeps the stream == batch contract honest across
+    a recenter: after it, ``assignments`` equals
+    ivf_assign_with_centroids(corpus, new_centroids) exactly — vectors
+    indexed before the drift move cells along with everything else."""
+    import shutil
+
+    from esco_neo4j_spark.operators.similarity import kmeans_train
+
+    assign_path, cells_path = _paths(index_dir)
+    # pin the corpus before overwriting the directory it reads from
+    corpus = (
+        spark.read.parquet(assign_path)
+        .select(id_col, vec_col)
+        .localCheckpoint(eager=True)
+    )
+    trained = kmeans_train(
+        corpus, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col
+    )
+    new_cents = [{"cid": j, "cvec": cvec} for j, cvec in trained]
+    assigned = ivf_assign_with_centroids(
+        corpus, new_cents, id_col, vec_col
+    ).localCheckpoint(eager=True)
+
+    def _swap(path: str, df: DataFrame) -> None:
+        tmp, old = path + "__merging", path + "__old"
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+    _swap(assign_path, assigned)
+    counts = (
+        spark.read.parquet(assign_path)
+        .groupBy("cell")
+        .agg(F.count("*").cast("bigint").alias("n_vectors"))
+    )
+    _swap(cells_path, counts)
+    return new_cents
 
 
 def ivf_index_probe(

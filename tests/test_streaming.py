@@ -590,3 +590,141 @@ def test_ivf_index_stream_equals_batch(spark, tmp_path):
         for r in spark.read.parquet(index_dir + "/assignments").collect()
     }
     assert again == got
+
+
+def test_ivf_recenter_preserves_stream_batch_parity(spark, tmp_path):
+    """The recentering policy (r5 VERDICT item 7): a drifted stream
+    crosses the cell-imbalance threshold, the sink retrains centroids
+    offline and rebuilds the index — and the stream == batch contract
+    holds ACROSS the recenter: final assignments equal the batch
+    assignment of the full corpus against the FINAL centroid set,
+    cells stay exact, replay of the last batch is still a no-op, and
+    the probe agrees with a pure-Python rerank on the new centroids."""
+    import math
+    import os
+
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from esco_neo4j_spark.operators.similarity import (
+        ivf_assign_with_centroids,
+    )
+    from esco_neo4j_spark.streaming.vector import (
+        cell_imbalance,
+        ivf_index_probe,
+        ivf_index_sink,
+        process_vector_batch,
+    )
+
+    # group A (54 rows) hugs [1,0,0,0]; group B (6 rows) hugs [0,1,0,0];
+    # ids 0 and 1 are one of each so kmeans' first-k seeding separates
+    # the groups when the recenter retrains
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    rows += [
+        (i, [1.0, 0.001 * (i % 7), 0.0, 0.0002 * i]) for i in range(2, 54)
+    ]
+    rows += [(i, [0.0002 * i, 1.0, 0.001 * (i % 5), 0.0]) for i in range(54, 60)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    # DEGENERATE initial centroids (two copies of the A direction):
+    # every row lands in cell 900 -> imbalance 2.0 -> trigger
+    centroids = [
+        {"cid": 900, "cvec": [1.0, 0.0, 0.0, 0.0]},
+        {"cid": 901, "cvec": [1.0, 0.0, 0.0, 0.0]},
+    ]
+
+    batches = [emb.filter(f"vec_id % 3 = {i}") for i in range(3)]
+    stream_dir = str(tmp_path / "in")
+    os.makedirs(stream_dir)
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"s{i}"))
+        src = [
+            f
+            for f in os.listdir(str(tmp_path / f"s{i}"))
+            if f.endswith(".parquet")
+        ][0]
+        os.rename(
+            str(tmp_path / f"s{i}" / src),
+            os.path.join(stream_dir, f"{i:03d}.parquet"),
+        )
+
+    index_dir = str(tmp_path / "index")
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = ivf_index_sink(
+        stream,
+        index_dir,
+        str(tmp_path / "ckpt"),
+        centroids,
+        recenter_threshold=1.5,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # the recenter fired and replaced the degenerate centroid set
+    assert {c["cid"] for c in centroids} == {0, 1}
+
+    got = {
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(index_dir + "/assignments").collect()
+    }
+    want = {
+        (r["vec_id"], r["cell"])
+        for r in ivf_assign_with_centroids(emb, centroids).collect()
+    }
+    assert got == want and len(got) == 60
+    # the rebuilt index actually split the groups (not still one cell)
+    assert len({c for _, c in got}) == 2
+
+    cells = {
+        r["cell"]: r["n_vectors"]
+        for r in spark.read.parquet(index_dir + "/cells").collect()
+    }
+    assert cells == dict(Counter(c for _, c in want))
+    # the metric reads the rebuilt table: max cell over mean of k=2
+    want_imb = max(cells.values()) / (sum(cells.values()) / 2)
+    assert abs(cell_imbalance(spark, index_dir, 2) - want_imb) < 1e-9
+    assert want_imb < 2.0  # no longer the degenerate one-cell index
+
+    # replay idempotency survives the recenter: re-run the last batch
+    # against the LIVE (mutated) centroid list
+    process_vector_batch(batches[2], index_dir, centroids)
+    again = {
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(index_dir + "/assignments").collect()
+    }
+    assert again == got
+
+    # probe parity on the NEW centroids
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    qvec = [0.0, 1.0, 0.0, 0.0]
+    data = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    cell_of = dict(want)
+    probe_cells = {
+        c["cid"]
+        for c in sorted(
+            centroids, key=lambda c: (-cos(qvec, list(c["cvec"])), c["cid"])
+        )[:1]
+    }
+    exp = sorted(
+        (
+            (round(cos(qvec, v) * 1e6) / 1e6, -vid)
+            for vid, v in data.items()
+            if cell_of[vid] in probe_cells
+        ),
+        reverse=True,
+    )[:5]
+    expected_ids = [-i for _, i in exp]
+    hits = ivf_index_probe(
+        spark, index_dir, centroids, qvec, k=5, nprobe=1
+    ).collect()
+    assert [r["vec_id"] for r in hits] == expected_ids
