@@ -25,6 +25,9 @@ Scale design:
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve via
+# module globals under `from __future__ import annotations`
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -773,4 +776,109 @@ def symdel_pairs(
             F.col("n_a").cast("bigint").alias("n_a"),
             F.col("n_b").cast("bigint").alias("n_b"),
         )
+    )
+
+
+def cdc_chunk_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    window: int = 8,
+    divisor: int = 32,
+) -> DataFrame:
+    """Content-defined-chunking dedup stats — the STORAGE-side dedup
+    family member (FastCDC/LBFS lineage): cut every document into
+    variable-size chunks at content-determined boundaries, then measure
+    how many chunk instances are duplicates. Unlike fixed-size blocks,
+    content-defined boundaries survive insertions/deletions (a one-word
+    edit shifts every fixed block but only the chunk it lands in), which
+    is why 100 TB snapshot stores and training-corpus delta pipelines
+    chunk this way before hashing.
+
+    Boundary rule (engine-neutral by construction): cut after character
+    position i (1-based, i >= window) when the first 48 bits of
+    md5(window ending at i) are divisible by ``divisor`` — expected
+    chunk length ~= divisor chars. md5-per-window is the cross-engine
+    REPLAY form (the DuckDB oracle recomputes identical boundaries with
+    list comprehensions); a production deployment swaps in a Karp-Rabin
+    rolling hash for O(1) per position with the same cut semantics —
+    the seam is this function, nothing downstream changes.
+
+    Spark shape: one Arrow-batched pandas UDF maps each doc to its
+    [(chunk_md5, chunk_len)] list (narrow, rides the corpus scan), one
+    explode, then two partial-aggregable groupBys whose outputs are
+    bounded by (groups) and (groups x distinct chunks). Returns per-group
+    rows: n_chunks, distinct_chunks, total_chars, distinct_chars,
+    dedup_ratio (= distinct/total chars — the storage win).
+    """
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<struct<h: string, l: int>>")
+    def chunks_of(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None or len(t) == 0:
+                out.append([])
+                continue
+            n = len(t)
+            cuts = [
+                i
+                for i in range(window, n + 1)
+                if int(
+                    hashlib.md5(
+                        t[i - window : i].encode("utf-8")
+                    ).hexdigest()[:12],
+                    16,
+                )
+                % divisor
+                == 0
+            ]
+            bounds = sorted(set([0] + cuts + [n]))
+            out.append(
+                [
+                    (
+                        hashlib.md5(t[a:b].encode("utf-8")).hexdigest(),
+                        b - a,
+                    )
+                    for a, b in zip(bounds, bounds[1:])
+                ]
+            )
+        return pd.Series(out)
+
+    per = (
+        df.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
+        .select(group_col, F.explode(chunks_of(F.col(text_col))).alias("c"))
+        .select(group_col, F.col("c.h").alias("h"), F.col("c.l").alias("l"))
+    )
+    totals = per.groupBy(group_col).agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum("l").cast("bigint").alias("total_chars"),
+    )
+    distinct = (
+        per.groupBy(group_col, "h")
+        .agg(F.max("l").alias("l"))
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("bigint").alias("distinct_chunks"),
+            F.sum("l").cast("bigint").alias("distinct_chars"),
+        )
+    )
+    return (
+        totals.join(distinct, group_col)
+        .select(
+            group_col,
+            "n_chunks",
+            "distinct_chunks",
+            "total_chars",
+            "distinct_chars",
+            F.round(
+                F.col("distinct_chars").cast("double")
+                / F.col("total_chars"),
+                6,
+            ).alias("dedup_ratio"),
+        )
+        .orderBy(group_col)
     )

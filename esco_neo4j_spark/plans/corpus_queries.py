@@ -613,3 +613,128 @@ def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rrf_nano"), F.asc("doc_id"))
     )
+
+
+@query(
+    "pipeline_dsir_select",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_TOKENS} AS toks FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, source, unnest(
+        toks || [toks[i] || ' ' || toks[i + 1]
+                 for i in range(1, len(toks))]
+      ) AS feat
+      FROM t
+    ),
+    hashed AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(feat), 1, 12))::BIGINT % 1024 AS b
+      FROM feats
+    ),
+    tgt AS (
+      SELECT b, count(*) AS c FROM hashed WHERE source = 'src0' GROUP BY b
+    ),
+    raw AS (SELECT b, count(*) AS c FROM hashed GROUP BY b),
+    totals AS (
+      SELECT (SELECT count(*) FROM hashed WHERE source = 'src0') AS nt,
+             (SELECT count(*) FROM hashed) AS nr
+    ),
+    score AS (
+      SELECT raw.b,
+             CAST(round(ln(
+               ((coalesce(tgt.c, 0) + 1)::DOUBLE / (totals.nt + 1024))
+               / ((raw.c + 1)::DOUBLE / (totals.nr + 1024))
+             ) * 1000000) AS BIGINT) AS micro_nats
+      FROM raw LEFT JOIN tgt USING (b) CROSS JOIN totals
+    )
+    SELECT h.doc_id, max(h.source) AS source,
+           CAST(count(*) AS INT) AS n_feats,
+           CAST(sum(s.micro_nats) AS BIGINT) AS dsir_micro_nats
+    FROM hashed h JOIN score s ON h.b = s.b
+    GROUP BY h.doc_id
+    ORDER BY dsir_micro_nats DESC, h.doc_id LIMIT 100
+    """,
+    survey_ops="corpus-importance-resampling(ext),D3,C1",
+    tables=("documents",),
+)
+def pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023 —
+    the raw-corpus curation step production LLM pipelines run before
+    training): score every document by the log importance ratio of a
+    TARGET domain's hashed-n-gram distribution over the RAW corpus
+    distribution, then keep the top slice. Target here = the 'src0'
+    source (a stand-in for 'looks like Wikipedia'); features are
+    unigrams + adjacent bigrams hashed into 1024 buckets
+    (engine-neutral md5, same recipe as the sketch family), both
+    distributions add-1 smoothed.
+
+    Determinism: per-bucket log-ratios are quantized to INTEGER
+    micro-nats BEFORE the per-doc sum (text_unigram_logprob's trick), so
+    the doc score is an exact integer in any summation order and the
+    top-100 cut has a total order (score desc, doc_id).
+
+    Scale shape at 100 TB: the bucket-score table is 1024 rows built
+    from one partial-aggregable count pass; scoring is a broadcast join
+    onto the token stream; the only corpus-sized shuffle is the per-doc
+    regroup. No vocabulary blow-up (hashing bounds the feature space),
+    no driver-side state beyond the broadcast table."""
+    d = spark.table("documents")
+    # tokenize ONCE into a named column — inlining the tokenizer into
+    # each HOF lambda re-evaluates it per reference (perf trap)
+    tk = d.select(
+        "doc_id", "source", word_tokens(F.col("text")).alias("t")
+    )
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.zip_with(
+            F.slice(F.col("t"), F.lit(1), F.size("t") - 1),
+            F.slice(F.col("t"), F.lit(2), F.size("t") - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = tk.select(
+        "doc_id",
+        "source",
+        F.explode(F.concat(F.col("t"), bigrams)).alias("feat"),
+    )
+    hashed = feats.select(
+        "doc_id",
+        "source",
+        (F.conv(F.substring(F.md5("feat"), 1, 12), 16, 10).cast("bigint") % 1024).alias("b"),
+    )
+    tgt = (
+        hashed.filter(F.col("source") == "src0")
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
+    )
+    raw = hashed.groupBy("b").agg(F.count("*").alias("cr"))
+    nt = hashed.filter(F.col("source") == "src0").count()
+    nr = hashed.count()
+    score = (
+        raw.join(tgt, "b", "left")
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    ((F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double") / F.lit(float(nt + 1024)))
+                    / ((F.col("cr") + 1).cast("double") / F.lit(float(nr + 1024)))
+                )
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("micro_nats"),
+        )
+    )
+    return (
+        hashed.join(F.broadcast(score), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.max("source").alias("source"),
+            F.count("*").cast("int").alias("n_feats"),
+            F.sum("micro_nats").cast("bigint").alias("dsir_micro_nats"),
+        )
+        .orderBy(F.desc("dsir_micro_nats"), "doc_id")
+        .limit(100)
+    )

@@ -1200,3 +1200,65 @@ def dedup_symdel_editdist2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return symdel_pairs(
         spark.table("customer"), "c_name", max_len=32, max_edit=2
     ).orderBy("key_a", "key_b")
+
+
+@query(
+    "dedup_cdc_chunks",
+    sql="""
+    WITH cuts AS (
+      SELECT doc_id, source, text, length(text) AS L,
+             list_distinct(list_filter(
+               [CASE WHEN ('0x' || substr(md5(substr(text, i - 7, 8)),
+                           1, 12))::BIGINT % 32 = 0 THEN i END
+                for i in range(8, length(text) + 1)],
+               x -> x IS NOT NULL)) AS cutpos
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ),
+    bounds AS (
+      SELECT doc_id, source, text,
+             list_sort(list_distinct([0] || cutpos || [L])) AS b
+      FROM cuts
+    ),
+    per AS (
+      SELECT source, md5(chunk) AS h, length(chunk) AS l
+      FROM (
+        SELECT doc_id, source,
+               unnest([substr(text, b[k] + 1, b[k + 1] - b[k])
+                       for k in range(1, len(b))]) AS chunk
+        FROM bounds
+      )
+    ),
+    agg1 AS (
+      SELECT source, count(*) AS n_chunks, sum(l) AS total_chars
+      FROM per GROUP BY source
+    ),
+    agg2 AS (
+      SELECT source, count(*) AS distinct_chunks, sum(l) AS distinct_chars
+      FROM (SELECT source, h, max(l) AS l FROM per GROUP BY source, h)
+      GROUP BY source
+    )
+    SELECT a1.source,
+           CAST(n_chunks AS BIGINT) AS n_chunks,
+           CAST(distinct_chunks AS BIGINT) AS distinct_chunks,
+           CAST(total_chars AS BIGINT) AS total_chars,
+           CAST(distinct_chars AS BIGINT) AS distinct_chars,
+           CAST(round(distinct_chars::DOUBLE / total_chars, 6) AS DOUBLE)
+             AS dedup_ratio
+    FROM agg1 a1 JOIN agg2 USING (source)
+    ORDER BY a1.source
+    """,
+    survey_ops="dedup-cdc(ext),I1",
+    tables=("documents",),
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup stats per source
+    (operators/dedup.py:cdc_chunk_stats): variable-size chunks cut at
+    md5-window boundaries (FastCDC lineage — boundaries survive edits,
+    fixed blocks don't), chunk-hash dedup ratio = the storage/transfer
+    win a snapshotting corpus store gets. The oracle replays the exact
+    boundary rule and chunking with DuckDB list comprehensions, so the
+    whole pipeline (boundaries, chunk hashes, per-source rollup) is
+    value-checked, not just row-counted."""
+    from esco_neo4j_spark.operators.dedup import cdc_chunk_stats
+
+    return cdc_chunk_stats(spark.table("documents"))

@@ -335,3 +335,56 @@ def test_symdel_editdist2_lossless(spark):
         not (("gxmxx" in (a, b)) and ("gamma" in (a, b)))
         for a, b, _ in got
     )
+
+
+def test_cdc_chunks_invariants(spark):
+    """Content-defined chunking: chunks partition each doc exactly (no
+    char lost or duplicated), boundaries are content-determined (an
+    insertion near the END of a doc leaves the early chunks' hashes
+    unchanged — the property fixed-size blocks lack), and short docs
+    (< window) come through as a single chunk."""
+    from esco_neo4j_spark.operators.dedup import cdc_chunk_stats
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    edited = base + "EXTRA TAIL TEXT"  # tail edit
+    rows = [
+        (1, base, "g"),
+        (2, edited, "g"),
+        (3, "short", "g"),  # < window: single chunk, no cuts possible
+        (4, "", "g"),  # empty: filtered at the gate
+        (5, None, "g"),  # null: filtered at the gate
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = cdc_chunk_stats(df, group_col="source").collect()
+    assert len(out) == 1
+    r = out[0]
+    # exact partition: total chars == sum of the surviving docs' lengths
+    assert r["total_chars"] == len(base) + len(edited) + len("short")
+    # docs 1 and 2 share every pre-edit chunk, so dedup must bite:
+    # distinct chars strictly below total, and by at least len(base)'s
+    # shared prefix minus one boundary-spanning chunk
+    assert r["distinct_chars"] < r["total_chars"]
+    assert 0.0 < r["dedup_ratio"] < 1.0
+
+    # chunk-level check via the UDF-free reference implementation
+    import hashlib
+
+    def ref_chunks(t, window=8, divisor=32):
+        n = len(t)
+        cuts = [
+            i
+            for i in range(window, n + 1)
+            if int(hashlib.md5(t[i - window:i].encode()).hexdigest()[:12], 16)
+            % divisor
+            == 0
+        ]
+        b = sorted(set([0] + cuts + [n]))
+        return [t[x:y] for x, y in zip(b, b[1:])]
+
+    cb, ce = ref_chunks(base), ref_chunks(edited)
+    assert "".join(cb) == base and "".join(ce) == edited
+    # content-defined: every chunk of base except possibly the LAST is
+    # also a chunk of the edited doc (the tail edit only perturbs the
+    # final chunk's boundary)
+    assert set(cb[:-1]) <= set(ce)
+    assert ref_chunks("short") == ["short"]
