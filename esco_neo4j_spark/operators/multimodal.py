@@ -535,3 +535,78 @@ def audio_loudness(media: DataFrame) -> DataFrame:
             rows = []
 
     return media.mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
+# --- pHash: 8x8 integer-DCT perceptual hash over REAL decoded pixels -------
+PHASH_SCHEMA = "doc_id bigint, phash bigint, n_bits int"
+
+
+def phash_q_matrix() -> list[list[int]]:
+    """Quantized orthonormal DCT-II basis: Q[u][x] =
+    round(s_u * cos(pi*(2x+1)*u/16) * 1e4), s_0 = sqrt(1/8), else
+    sqrt(2/8). Quantizing the basis to INTEGERS (|Q| <= 5000) makes the
+    whole transform exact int64 arithmetic — coefficient magnitudes cap
+    at 255 * 5000 * 5000 * 64 ~= 4.1e11, far inside int64 — so the
+    pHash is bit-identical across engines by construction: the same
+    list literals feed the numpy matmul AND the generated oracle SQL.
+    A float DCT would hash-match only up to libm ulp luck."""
+    import math
+
+    out = []
+    for u in range(8):
+        s = math.sqrt(1 / 8) if u == 0 else math.sqrt(2 / 8)
+        out.append(
+            [
+                round(s * math.cos(math.pi * (2 * x + 1) * u / 16) * 10000)
+                for x in range(8)
+            ]
+        )
+    return out
+
+
+def phash64(media: DataFrame, decoder_fn=None) -> DataFrame:
+    """64-bit perceptual hash (pHash, DCT family — the robust standard
+    aHash approximates): decode the payload, grayscale via exact integer
+    luma ((299R + 587G + 114B) // 1000), nearest-sample an 8x8 grid
+    (px = (gx*w)//8 — integer, so any w x h replays exactly), 2-D
+    integer DCT (Q @ luma @ Q^T with the quantized basis above), then
+    bit k = (AC coefficient k > lower-median of the 63 ACs). DC is
+    excluded as in the reference algorithm; 63 bits, row-major.
+
+    This is the multimodal near-dup fingerprint that survives what
+    byte-level hashing can't (re-encoding, brightness shifts move few
+    DCT signs); downstream it bands exactly like simhash/ahash. One
+    narrow mapInPandas over the payload column — rides the corpus scan,
+    no shuffle; at 100 TB the decode is the cost and this adds ~4k
+    integer multiplies per image on top."""
+    import numpy as np
+
+    fn = decoder_fn or decode_image_pixels
+    q = np.array(phash_q_matrix(), dtype=np.int64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = fn(bytes(payload))
+                lm = np.zeros((8, 8), dtype=np.int64)
+                for gx in range(8):
+                    for gy in range(8):
+                        idx = (((gy * h) // 8) * w + (gx * w) // 8) * 3
+                        lm[gx, gy] = (
+                            299 * int(px[idx])
+                            + 587 * int(px[idx + 1])
+                            + 114 * int(px[idx + 2])
+                        ) // 1000
+                coef = q @ lm @ q.T
+                ac = [int(coef[c // 8, c % 8]) for c in range(1, 64)]
+                med = sorted(ac)[31]
+                ph, nb = 0, 0
+                for k, v in enumerate(ac):
+                    if v > med:
+                        ph |= 1 << k
+                        nb += 1
+                rows.append((int(doc_id), ph, nb))
+            yield pd.DataFrame(rows, columns=["doc_id", "phash", "n_bits"])
+
+    return media.mapInPandas(run, schema=PHASH_SCHEMA)

@@ -443,3 +443,78 @@ def mm_audio_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = attach_wav_payload(spark.table("documents"))
     return audio_loudness(media).orderBy("doc_id")
+
+
+# --- pHash: 8x8 integer-DCT perceptual hash over real decoded pixels ------
+# The quantized DCT basis is computed ONCE here and feeds BOTH engines:
+# the numpy matmul in operators/multimodal.py:phash64 and the literal
+# lists in the generated oracle SQL below — all-integer arithmetic, so
+# hash parity is by construction, not libm luck.
+from esco_neo4j_spark.operators.multimodal import phash64, phash_q_matrix  # noqa: E402
+
+_QF = [v for row in phash_q_matrix() for v in row]  # row-major u*8+x
+_P2 = [1 << k for k in range(63)]
+_QF_SQL = "[" + ",".join(str(v) for v in _QF) + "]"
+_P2_SQL = "[" + ",".join(str(v) for v in _P2) + "]"
+
+
+@query(
+    "mm_phash_dct",
+    sql=f"""
+    WITH d AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+      FROM documents WHERE doc_id < 512
+    ),
+    lm AS (
+      SELECT doc_id,
+        [ (299 * ((doc_id * 31 + ((((p % 8) * h) // 8) * w
+                                  + ((p // 8) * w) // 8) * 3 * 7) % 256)
+         + 587 * ((doc_id * 31 + (((((p % 8) * h) // 8) * w
+                                  + ((p // 8) * w) // 8) * 3 + 1) * 7) % 256)
+         + 114 * ((doc_id * 31 + (((((p % 8) * h) // 8) * w
+                                  + ((p // 8) * w) // 8) * 3 + 2) * 7) % 256)
+          ) // 1000
+          for p in range(64) ] AS g
+      FROM d
+    ),
+    cf AS (
+      SELECT doc_id,
+        [ list_sum([ {_QF_SQL}[(c // 8) * 8 + (p // 8) + 1]
+                   * {_QF_SQL}[(c % 8) * 8 + (p % 8) + 1]
+                   * g[p + 1]
+                     for p in range(64) ])
+          for c in range(64) ] AS coefs
+      FROM lm
+    ),
+    med AS (
+      SELECT doc_id, coefs[2:] AS ac, list_sort(coefs[2:])[32] AS m
+      FROM cf
+    )
+    SELECT doc_id,
+           CAST(list_sum([CASE WHEN ac[k] > m THEN {_P2_SQL}[k]
+                               ELSE 0 END for k in range(1, 64)])
+                AS BIGINT) AS phash,
+           CAST(list_sum([CASE WHEN ac[k] > m THEN 1
+                               ELSE 0 END for k in range(1, 64)])
+                AS INT) AS n_bits
+    FROM med ORDER BY doc_id
+    """,
+    survey_ops="multimodal-phash(ext),I1",
+    tables=("documents",),
+)
+def mm_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT perceptual hash (pHash proper — the robust member whose
+    DCT-free siblings aHash/simhash already band in this repo) computed
+    over REAL decoded pixels: JVM-built binary PPM payloads, pure-Python
+    decode in executors, integer luma, 8x8 nearest-sample grid, exact
+    int64 DCT with the quantized basis (operators/multimodal.py:
+    phash_q_matrix), AC-median sign bits. The oracle recomputes the
+    same 64-bit hashes from the deterministic pixel scheme with DuckDB
+    list comprehensions and the identical basis literals — the hash
+    VALUES are parity-checked, not just counted. Bounded window
+    (doc_id < 512) keeps the row set constant at any SF; banding for a
+    corpus sweep is mm_ahash_hamming_hist's contract, unchanged."""
+    media = attach_ppm_payload(
+        spark.table("documents").filter(F.col("doc_id") < 512)
+    ).select("doc_id", "payload")
+    return phash64(media).orderBy("doc_id")
