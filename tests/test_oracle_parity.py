@@ -77,10 +77,10 @@ def test_oracle_parity(spark, name):
     )
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
-def test_rows_only_queries_run(spark, name):
-    q = REGISTRY[name]
-    sdf = q.fn(spark, SF_DIR)
-    rows = sdf.collect()
-    assert rows is not None
-    assert len(sdf.columns) > 0
+def test_no_rows_only_queries_remain():
+    """Since r6 every registered query carries a value oracle (the zlib
+    compression ratio was the last rows-only survivor — its builder now
+    embeds plain-Python byte counts as a VALUES literal). This pin keeps
+    the invariant: a new rows-only registration must be a deliberate,
+    documented decision, not an accident."""
+    assert ROWS_ONLY_QUERIES == []
