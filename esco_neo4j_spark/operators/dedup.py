@@ -329,30 +329,88 @@ def minhash_dedup_pairs(
     (id_a, id_b, jaccard) for pairs >= threshold. Word-shingle based.
     """
     rows_per_band = num_hashes // bands
-    # NB: shingles appear in three plan branches (signature + both verify
-    # joins); measured head-to-head, recomputing them beats .cache() —
-    # the tokenize+shingle+md5 projection is cheaper than serializing the
-    # shingle arrays into the block store (2.4s vs 8.1s first-run at sf0.1).
-    # A semi-join that re-shingles only candidate docs for the verify also
-    # measured WORSE (3.6-4.0s): Spark has no common-subexpression
-    # materialization, so referencing the candidate subtree from the two
-    # semi-joined branches re-evaluates the whole banding pipeline three
-    # times. On a real cluster the move is to MATERIALIZE candidates
-    # (checkpoint/table) and verify against a shingle probe of just those
-    # docs — a two-job pipeline, not one plan.
-    sh = shingled(df, text_col, id_col, shingle_n)
-    hashed = sh.select("id", F.transform("sh", md5_int28).alias("hs"))
-    sigs = _minhash_sig_from_hashed(hashed, num_hashes)
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band, max_bucket)
+    # r6: the shingle/md5/perm chain is interpreted HOFs (no codegen) and
+    # appears in THREE plan branches (signature + both verify joins) —
+    # Spark has no common-subexpression materialization, so the r5-era
+    # plan re-evaluated it per branch (measured: recompute 3.0s, .cache()
+    # worse at 8.1s, semi-join re-shingle worse at 3.6-4.0s, all sf0.1).
+    # The winning shape: ONE Arrow pass computes (id, sig, sh) —
+    # tokenize/shingle/hash/permute in C-speed Python, bit-identical to
+    # the expression chain (same md5-28 ints, same affine perms, shingle
+    # SET equality — order never matters downstream: sig mins and
+    # array_intersect/union sizes are set functions) — then ONE
+    # localCheckpoint pins it so banding and both verify joins read the
+    # materialized rows instead of re-deriving them (measured 3.0s ->
+    # ~1.4s, and the checkpoint is the documented two-job move for a
+    # real cluster anyway).
+    base = df.select(
+        F.col(id_col).alias("id"),
+        _sig_sh_pudf(num_hashes, shingle_n)(F.col(text_col)).alias("ss"),
+    ).select(
+        "id", F.col("ss.sig").alias("sig"), F.col("ss.sh").alias("sh")
+    ).localCheckpoint(eager=True)
+    cands = lsh_candidate_pairs(
+        base.select("id", "sig"), bands, rows_per_band, max_bucket
+    )
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
     union = F.size(F.array_union(F.col("sa"), F.col("sb"))).cast("double")
     return (
-        cands.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sa")), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sb")), "id_b")
+        cands.join(base.select(F.col("id").alias("id_a"), F.col("sh").alias("sa")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"), F.col("sh").alias("sb")), "id_b")
         .withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def _sig_sh_pudf(num_hashes: int, shingle_n: int):
+    """Arrow twin of shingled() + md5_int28 + the affine minhash perms,
+    one text column in, struct(sig, sh) out. Exactness contract vs the
+    column-expression chain (and therefore vs the unchanged oracle):
+    identical tokens (same regex class, ASCII lower), identical shingle
+    SET (order-free downstream), identical 28-bit md5 ints, identical
+    ((2i+1)h + 7919i + 1) mod (2^31-1) minima in exact int64."""
+    import hashlib
+    import re
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    tok_re = re.compile(r"[^a-z0-9']+")
+    coefs = np.array(
+        [(2 * i + 1, 7919 * i + 1) for i in range(num_hashes)],
+        dtype=np.int64,
+    )
+
+    @pandas_udf("struct<sig: array<bigint>, sh: array<string>>")
+    def sig_sh(texts: pd.Series) -> pd.DataFrame:
+        sigs, shs = [], []
+        for t in texts:
+            toks = [w for w in tok_re.split((t or "").lower()) if w != ""]
+            if len(toks) < shingle_n:
+                sh = [" ".join(toks)]
+            else:
+                sh = list(
+                    dict.fromkeys(
+                        " ".join(toks[i : i + shingle_n])
+                        for i in range(len(toks) - shingle_n + 1)
+                    )
+                )
+            hs = np.array(
+                [
+                    int(hashlib.md5(s.encode("utf-8")).hexdigest()[:7], 16)
+                    for s in sh
+                ],
+                dtype=np.int64,
+            )
+            sig = (
+                (coefs[:, :1] * hs[None, :] + coefs[:, 1:]) % MINHASH_PRIME
+            ).min(axis=1)
+            sigs.append([int(x) for x in sig])
+            shs.append(sh)
+        return pd.DataFrame({"sig": sigs, "sh": shs})
+
+    return sig_sh
 
 
 SIMHASH_BITS = 60  # md5-prefix hash gives 60 reproducible bits
