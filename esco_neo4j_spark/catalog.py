@@ -64,13 +64,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES
 ) -> dict[str, DataFrame]:
-    """Load tables as DataFrames and register them as temp views."""
+    """Load tables as DataFrames and register them as temp views.
+
+    Stamp-validated per-session DataFrame cache (r6): every registered
+    query's wrapper calls this, and re-deriving the full TPC-H set costs
+    ~1.1s of driver-side parquet-footer reads + relation analysis PER
+    CALL — a hidden fixed tax on every query invocation. The DataFrame
+    is reused only when the file stamp (path, mtime, size — the
+    rowcount cache's identity) is unchanged, so switching sf dirs or
+    rewriting a table in place (tools/gen_scale_data.py) re-derives
+    correctly. The temp VIEW is re-registered every call regardless —
+    registration is a cheap catalog-map update, and tests legitimately
+    shadow/drop these names around fixtures."""
+    cache = getattr(spark, "_sf_view_cache", None)
+    if cache is None:
+        cache = spark._sf_view_cache = {}
     out: dict[str, DataFrame] = {}
     for name in names:
         path = table_path(sf_dir, name)
         if not os.path.exists(path):
             continue
-        df = load_table(spark, sf_dir, name)
+        stamp = _path_stamp(path)
+        hit = cache.get(name)
+        if hit is not None and hit[0] == stamp:
+            df = hit[1]
+        else:
+            df = load_table(spark, sf_dir, name)
+            cache[name] = (stamp, df)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

@@ -59,6 +59,9 @@ def cmd_ingest(args) -> int:
     wh = args.warehouse or DEFAULT_WAREHOUSE
     if args.force and os.path.exists(wh):
         shutil.rmtree(wh)  # A5 delete-all (reference src/esco_ingest.py:48-65)
+        from esco_neo4j_spark.sources.esco import invalidate_graph_views
+
+        invalidate_graph_views(spark)  # cached views point at dead files
     ensure_warehouse(spark, wh)
     counts = validate(spark, wh)  # A6 constraints as validation job
     print(json.dumps({"warehouse": wh, "counts": counts}, indent=2))

@@ -247,6 +247,9 @@ def ingest(
     counts = validate(spark, warehouse_dir)
     with open(os.path.join(warehouse_dir, "_SUCCESS_INGEST"), "w") as f:
         f.write("\n".join(f"{k}={v}" for k, v in sorted(counts.items())))
+    # the warehouse was rewritten in place: any cached load_graph views
+    # in this session now point at stale file listings
+    invalidate_graph_views(spark)
     return counts
 
 
@@ -292,7 +295,22 @@ def load_graph(
     spark: SparkSession, warehouse_dir: str = DEFAULT_WAREHOUSE
 ) -> dict[str, DataFrame]:
     """Register warehouse views: esco_skill / esco_occupation /
-    esco_isco_group / esco_edges (+ esco_nodes union view, B2)."""
+    esco_isco_group / esco_edges (+ esco_nodes union view, B2).
+
+    Idempotent-fast: every registered query's wrapper calls this, and
+    re-deriving the five relations costs ~0.7s of driver-side parquet
+    reads + plan analysis per call (r6 measured — ~3.4s of the 16-query
+    bench headline was re-derivation). The DataFrames are cached per
+    session+dir; the temp views are still RE-REGISTERED every call
+    (cheap catalog-map updates), so a shadowed/dropped view name heals.
+    Paths that rewrite the warehouse in place must call
+    invalidate_graph_views (ingest does)."""
+    cache = getattr(spark, "_esco_graph_views", None)
+    if cache is not None and cache.get("dir") == warehouse_dir:
+        views = cache["views"]
+        for name, df in views.items():
+            df.createOrReplaceTempView(name)
+        return views
     out: dict[str, DataFrame] = {}
     for name, view in (
         ("nodes_skill", "esco_skill"),
@@ -319,4 +337,13 @@ def load_graph(
     )
     nodes.createOrReplaceTempView("esco_nodes")
     out["esco_nodes"] = nodes
+    spark._esco_graph_views = {"dir": warehouse_dir, "views": out}
     return out
+
+
+def invalidate_graph_views(spark: SparkSession) -> None:
+    """Drop the session's load_graph cache so the next call re-reads the
+    warehouse — REQUIRED after any in-place warehouse rewrite (ingest,
+    delete-all, constraint rebuild)."""
+    if hasattr(spark, "_esco_graph_views"):
+        del spark._esco_graph_views
