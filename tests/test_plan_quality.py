@@ -657,3 +657,39 @@ def test_right_to_forget_broadcasts_anti_join(spark):
     # shuffles, which are the aggregation's own and unavoidable)
     assert "SortMergeJoin LeftAnti" not in plan
     assert "ShuffledHashJoin LeftAnti" not in plan
+
+
+def test_cdc_chunks_is_one_narrow_pass(spark):
+    """The chunker must ride the corpus scan: exactly one Python eval
+    node (the Arrow chunk UDF) feeding a partial-aggregable groupBy; the
+    only exchanges are the two bounded aggregations' — never a shuffle
+    of raw text or chunk strings keyed by doc."""
+    plan = _plan(spark, "dedup_cdc_chunks")
+    assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") >= 1
+    # partial aggregation before each exchange (map-side combine)
+    assert "partial_count" in plan or "partial_sum" in plan
+    # text reaches only the UDF: the scan reads just the 2 needed cols
+    sched = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" in sched and "source" in sched
+    assert "lang" not in sched and "n_chars" not in sched
+
+
+def test_dsir_score_join_broadcasts(spark):
+    """The 1024-row bucket-score table must broadcast onto the token
+    stream — a shuffle join here would move the whole corpus's exploded
+    features by bucket id."""
+    plan = _plan(spark, "pipeline_dsir_select")
+    assert "BroadcastHashJoin" in plan
+    # top-100 must be a top-k, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_phash_is_single_map_no_shuffle(spark):
+    """pHash must be one mapInPandas over the payload projection with no
+    exchange before the final orderBy — decode+DCT rides the scan."""
+    plan = _plan(spark, "mm_phash_dct")
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    pre = plan.split("Sort")[0] if "Sort" in plan else plan
+    assert "Exchange" not in pre.split("MapInPandas")[0], (
+        "no shuffle may precede the decode map"
+    )
