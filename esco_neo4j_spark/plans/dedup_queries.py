@@ -1152,8 +1152,8 @@ def dedup_symdel_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_symdel_editdist2",
     sql="""
     WITH k AS (
-      SELECT substr(c_name, 1, 32) AS key, count(*) AS n
-      FROM customer WHERE c_name IS NOT NULL
+      SELECT substr(p_name, 1, 32) AS key, count(*) AS n
+      FROM part WHERE p_name IS NOT NULL
       GROUP BY 1
     ),
     vars AS (
@@ -1180,7 +1180,7 @@ def dedup_symdel_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY key_a, key_b
     """,
     survey_ops="dedup-editdist(ext),C9",
-    tables=("customer",),
+    tables=("part",),
 )
 def dedup_symdel_editdist2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ED <= 2 (fuzzy-match) setting of the SymSpell deletion-
@@ -1194,11 +1194,20 @@ def dedup_symdel_editdist2(spark: SparkSession, sf_dir: str) -> DataFrame:
     script touches <= 2 positions per side; deleting exactly those
     positions on each side leaves the same string), so the verified
     output is exactly the ED <= 2 key pairs and any variant-generation
-    difference between engines is erased by the verify."""
+    difference between engines is erased by the verify.
+
+    Column choice is load-bearing (r6 sf1 audit): ED <= 2 over the
+    SERIAL zero-padded customer names is adversarial by construction —
+    nearly every id is within two digit-substitutions of thousands of
+    others (measured 204k true pairs at sf0.01, 4.08M at sf1, 260s of
+    pure Ω(output)). Word-y part names are the regime fuzzy matching is
+    FOR (titles/descriptions), with bounded true-pair density (24 pairs,
+    0.5s at sf1). The dense serial-id regime stays covered by the ED<=1
+    typo query on c_name, which is linear there."""
     from esco_neo4j_spark.operators.dedup import symdel_pairs
 
     return symdel_pairs(
-        spark.table("customer"), "c_name", max_len=32, max_edit=2
+        spark.table("part"), "p_name", max_len=32, max_edit=2
     ).orderBy("key_a", "key_b")
 
 
