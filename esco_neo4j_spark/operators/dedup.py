@@ -421,28 +421,62 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     bit b of the fingerprint = 1 iff sum over tokens of
     (+1 if bit b of md5_60(token) else -1) > 0.
-    Expressed as explode -> 60 conditional sums -> bit reassembly; every
-    step is an integer op reproducible in the DuckDB oracle.
+
+    r6: computed per document in ONE Arrow pass — a narrow map that
+    rides the corpus scan with NO shuffle. The prior formulation
+    (explode distinct tokens -> 60 conditional sums -> groupBy id)
+    shuffled the whole exploded token stream (sf1: 6.5M rows x 60
+    aggregates, the bulk of dedup_simhash_banded's 23s); every quantity
+    here is integer arithmetic over the distinct-token SET, so the UDF
+    is bit-identical to that chain and to the DuckDB oracle that still
+    replays the explode/group formulation.
     """
-    toks = df.select(
+    # token-less docs had NO row under the explode formulation (explode
+    # of an empty array drops the id) — the UDF returns NULL for them
+    # and the filter preserves that contract exactly
+    return df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_tokens(F.col(text_col)))).alias("tok"),
-    ).withColumn("h", md5_long(F.col("tok")))
-    bit_sums = toks.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{b}")
-            for b in range(SIMHASH_BITS)
-        ]
-    )
-    fp = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        fp = term if fp is None else fp + term
-    return bit_sums.select("id", fp.alias("simhash"))
+        _simhash_pudf()(F.col(text_col)).alias("simhash"),
+    ).filter(F.col("simhash").isNotNull())
+
+
+def _simhash_pudf():
+    """Arrow twin of the explode/group SimHash chain: same tokens (the
+    word_tokens regex class, ASCII lower), same distinct-token set, same
+    60-bit md5 prefix ints, same ±1 bit sums — exact int64 everywhere."""
+    import hashlib
+    import re
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    tok_re = re.compile(r"[^a-z0-9']+")
+    bits = np.arange(SIMHASH_BITS, dtype=np.int64)
+    weights = (np.int64(1) << bits).astype(np.int64)
+
+    @pandas_udf("bigint")
+    def sh(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=object)
+        for j, t in enumerate(texts):
+            toks = {w for w in tok_re.split((t or "").lower()) if w != ""}
+            if not toks:
+                out[j] = None  # explode-of-empty dropped the row
+                continue
+            hs = np.array(
+                [
+                    int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+                    for w in toks
+                ],
+                dtype=np.int64,
+            )
+            # (n_tokens x 60) sign matrix: +1 where bit set, else -1
+            signs = (((hs[:, None] >> bits[None, :]) & 1) * 2 - 1).astype(
+                np.int64
+            )
+            out[j] = int(weights[signs.sum(axis=0) > 0].sum())
+        return pd.Series(out)
+
+    return sh
 
 
 def simhash_pairs(
@@ -470,7 +504,10 @@ def simhash_pairs_banded(
     pair within hamming distance 3 collides on >= 1 band (pigeonhole), so an
     equi-join on (band_id, band_bits) generates candidates without a cross
     join, then exact hamming verifies."""
-    fps = simhash(df, text_col, id_col)
+    # pin the fingerprints: both self-join sides reference this subtree,
+    # and re-running the Arrow fingerprint pass per side doubles the
+    # decode cost (same rationale as minhash_dedup_pairs)
+    fps = simhash(df, text_col, id_col).localCheckpoint(eager=True)
     banded = fps.select(
         "id",
         "simhash",
