@@ -318,3 +318,69 @@ def test_arrow_bucket_and_cosine_udfs_at_1m_vectors(spark):
         (F.abs(pair_cos("va", "vb") - cosine_similarity(F.col("va"), F.col("vb")))).alias("d")
     ).agg(F.max("d")).first()[0]
     assert diff == 0.0  # bit-exact, not approximately equal
+
+
+def test_arrow_simhash_matches_expression_chain_at_200k_docs(spark):
+    """The r6 Arrow SimHash (one narrow pass) must be BIT-IDENTICAL to
+    the explode -> 60-conditional-sums -> reassemble expression chain it
+    replaced, at a scale where every partition genuinely works. Synthetic
+    texts cycle a 997-word vocabulary so token sets repeat and collide
+    realistically; also pins the empty-document dropped-row contract."""
+    from esco_neo4j_spark.functions.text import word_tokens
+    from esco_neo4j_spark.operators.dedup import (
+        SIMHASH_BITS,
+        md5_long,
+        simhash,
+    )
+
+    n = 200_000
+    docs = spark.range(0, n, 1, 64).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 997 == 0, F.lit("")).otherwise(
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit(f"w{k}_"), ((F.col("id") + k) % 997))
+                    for k in range(12)
+                ],
+            )
+        ).alias("text"),
+    )
+    got = simhash(docs, "text", "doc_id")
+
+    # reference: the old expression-chain formulation, inline
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array_distinct(word_tokens(F.col("text")))).alias("tok"),
+    ).withColumn("h", md5_long(F.col("tok")))
+    bit_sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    fp = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(
+            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)
+        ).otherwise(F.lit(0).cast("bigint"))
+        fp = term if fp is None else fp + term
+    want = bit_sums.select("id", fp.alias("simhash"))
+
+    diff = (
+        got.withColumnRenamed("simhash", "a")
+        .join(want.withColumnRenamed("simhash", "b"), "id", "full")
+        .filter(
+            F.col("a").isNull()
+            | F.col("b").isNull()
+            | (F.col("a") != F.col("b"))
+        )
+        .count()
+    )
+    assert diff == 0
+    # 997 empty docs dropped on BOTH sides
+    assert got.count() == n - (n + 996) // 997
