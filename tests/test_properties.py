@@ -164,3 +164,91 @@ def test_prefix_filtered_jaccard_equals_brute_force(spark, texts):
             if j >= 0.6:
                 want.append((a, b, j))
     assert got == sorted(want)
+
+
+@SLOW
+@given(
+    words=st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=6),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_symdel_ed2_is_lossless_vs_brute_force(spark, words):
+    """SymSpell's depth-2 deletion-neighborhood candidate rule must find
+    EVERY key pair within levenshtein distance 2 — the losslessness
+    argument (an optimal edit script touches <= 2 positions per side)
+    checked against brute-force distance over adversarial short strings
+    from a tiny alphabet (maximal collision pressure)."""
+    from pyspark.sql import functions as F
+
+    from esco_neo4j_spark.operators.dedup import symdel_pairs
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "id bigint, key string"
+    )
+    got = {
+        (r["key_a"], r["key_b"])
+        for r in symdel_pairs(df, "key", max_len=32, max_edit=2).collect()
+    }
+    # brute force over distinct keys
+    def ed(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    uniq = sorted(set(words))
+    want = {
+        (a, b)
+        for i, a in enumerate(uniq)
+        for b in uniq[i + 1 :]
+        if a < b and ed(a, b) <= 2
+    }
+    assert got == want
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="abc xyz",  # spaces make multi-chunk docs likely
+            min_size=0,
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_cdc_chunks_partition_exactly(spark, texts):
+    """Content-defined chunking must PARTITION every surviving document:
+    per-group total_chars equals the sum of nonempty doc lengths, chunk
+    counts are >= doc count, and the dedup ratio stays in (0, 1]."""
+    from esco_neo4j_spark.operators.dedup import cdc_chunk_stats
+
+    df = spark.createDataFrame(
+        [(i, t, "g") for i, t in enumerate(texts)],
+        "doc_id bigint, text string, source string",
+    )
+    rows = cdc_chunk_stats(df, group_col="source").collect()
+    alive = [t for t in texts if t]
+    if not alive:
+        assert rows == []
+        return
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["total_chars"] == sum(len(t) for t in alive)
+    assert r["n_chunks"] >= len(alive)
+    assert r["distinct_chunks"] <= r["n_chunks"]
+    assert 0.0 < r["dedup_ratio"] <= 1.0
