@@ -1850,3 +1850,139 @@ def vec_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("z2_nano"), F.asc("vec_id"))
         .limit(20)
     )
+
+
+def _lsh_cross_sql(
+    threshold: float, n_planes: int, n_tables: int, dim: int = 64,
+    max_bucket: int = 1024, probe_mod: int = 17,
+) -> str:
+    """Oracle builder for vec_lsh_contamination: replays the TWO-TABLE
+    banding join — eval side (vec_id % probe_mod == 0) vs train side —
+    with the same plane literals, per-side hot-bucket caps, exact
+    verify, and the per-eval aggregation."""
+    from esco_neo4j_spark.operators.similarity import _hyperplanes
+
+    all_planes = _hyperplanes(dim, n_planes * n_tables, 42)
+
+    def keyed(src: str, idc: str) -> str:
+        arms = []
+        for t in range(n_tables):
+            planes = all_planes[t * n_planes:(t + 1) * n_planes]
+            arms.append(
+                f"SELECT vec_id AS {idc}, {t} AS t,"
+                f" {_lsh_bucket_sql('embedding', planes)} AS bucket"
+                f" FROM {src}"
+            )
+        return "\n      UNION ALL\n      ".join(arms)
+
+    pair_cos = (
+        "list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),"
+        " CAST(eb.embedding AS DOUBLE[]))"
+    )
+    return f"""
+    WITH ev AS (SELECT * FROM embeddings WHERE vec_id % {probe_mod} = 0),
+    tr AS (SELECT * FROM embeddings WHERE vec_id % {probe_mod} <> 0),
+    keyed_e AS (
+      {keyed('ev', 'id_l')}
+    ),
+    keyed_t AS (
+      {keyed('tr', 'id_r')}
+    ),
+    cap_e AS (
+      SELECT id_l, t, bucket FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY t, bucket ORDER BY id_l) AS rb FROM keyed_e)
+      WHERE rb <= {max_bucket}
+    ),
+    cap_t AS (
+      SELECT id_r, t, bucket FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY t, bucket ORDER BY id_r) AS rb FROM keyed_t)
+      WHERE rb <= {max_bucket}
+    ),
+    cand AS (
+      SELECT DISTINCT x.id_l, y.id_r
+      FROM cap_e x JOIN cap_t y ON x.t = y.t AND x.bucket = y.bucket
+    ),
+    hits AS (
+      SELECT c.id_l, c.id_r,
+             CAST(round({pair_cos}, 6) AS DOUBLE) AS score
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.id_l
+      JOIN embeddings eb ON eb.vec_id = c.id_r
+      WHERE round({pair_cos}, 6) >= {threshold}
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY id_l ORDER BY score DESC, id_r) AS rk
+      FROM hits
+    )
+    SELECT id_l AS eval_id,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(max(CASE WHEN rk = 1 THEN id_r END) AS BIGINT)
+             AS top_train_id,
+           CAST(max(CASE WHEN rk = 1 THEN score END) AS DOUBLE)
+             AS top_score
+    FROM ranked GROUP BY id_l
+    ORDER BY eval_id
+    """
+
+
+@query(
+    "vec_lsh_contamination",
+    # per-sf_dir builder: the banding derives from the corpus row count
+    # exactly like vec_lsh_similarity_join, and the oracle replays the
+    # two-table join + per-eval aggregation with the same literals.
+    sql=lambda sf_dir: _lsh_cross_sql(
+        threshold=0.45,
+        n_planes=_join_params(sf_dir)[0],
+        n_tables=_join_params(sf_dir)[1],
+    ),
+    survey_ops="C9,A7(scale),corpus-contamination(ext)",
+    tables=("embeddings",),
+)
+def vec_lsh_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level eval-contamination sweep — the TWO-TABLE LSH join
+    (operators/similarity.py:lsh_cross_join) the self-join can't
+    express: a held-out eval slice (vec_id % 17 == 0, the leakage-safe-
+    split convention) probes the remaining train corpus for semantic
+    near-dups, and each eval item reports its match count plus its
+    strongest train-side leak. This is the embedding sibling of
+    text_contamination_overlap (n-gram level): n-grams catch verbatim
+    leakage, the cosine probe catches paraphrase-level leakage that
+    token overlap misses.
+
+    Scale shape: both sides bucket with the shared hyperplanes (narrow
+    Arrow maps), the only corpus-sized shuffle is the ids-only
+    (table, bucket) exchange, hot buckets cap per side, verify is
+    Arrow-batched on deduped candidates — at 100 TB the eval side is
+    tiny and the train side's bucket exchange is the cost, exactly the
+    self-join's proven plan."""
+    from pyspark.sql import Window
+
+    from esco_neo4j_spark.operators.similarity import lsh_cross_join
+
+    n_planes, n_tables = _join_params(sf_dir)
+    e = spark.table("embeddings")
+    hits = lsh_cross_join(
+        e.filter(F.col("vec_id") % 17 == 0),
+        e.filter(F.col("vec_id") % 17 != 0),
+        threshold=0.45,
+        n_planes=n_planes,
+        n_tables=n_tables,
+    )
+    w = Window.partitionBy("id_l").orderBy(F.desc("score"), F.asc("id_r"))
+    return (
+        hits.withColumn("rk", F.row_number().over(w))
+        .groupBy(F.col("id_l").alias("eval_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_matches"),
+            F.max(F.when(F.col("rk") == 1, F.col("id_r")))
+            .cast("bigint")
+            .alias("top_train_id"),
+            F.max(F.when(F.col("rk") == 1, F.col("score")))
+            .cast("double")
+            .alias("top_score"),
+        )
+        .orderBy("eval_id")
+    )
