@@ -405,3 +405,42 @@ def test_covariance_matrix_matches_numpy(spark):
         assert abs(r["cov"] - want[i, j] / 1e12) < 2e-9
         if i == j:
             assert r["cov"] >= 0
+
+
+def test_lsh_cross_join_subset_and_recall(emb):
+    """Two-table banding: every hit must appear in the exact cross
+    join with an identical score (LSH prunes, never invents or
+    rescores), and multi-table OR-of-AND holds the recall floor."""
+    from pyspark.sql import functions as F
+
+    from esco_neo4j_spark.operators.similarity import lsh_cross_join
+
+    left = emb.filter(F.col("vec_id") % 5 == 0)
+    right = emb.filter(F.col("vec_id") % 5 != 0)
+    lp = left.select(
+        F.col("vec_id").alias("id_l"), F.col("embedding").alias("vl")
+    )
+    rp = right.select(
+        F.col("vec_id").alias("id_r"), F.col("embedding").alias("vr")
+    )
+    from esco_neo4j_spark.functions.vector import cosine_similarity
+
+    exact = {
+        (r["id_l"], r["id_r"], r["score"])
+        for r in lp.crossJoin(rp)
+        .withColumn(
+            "score",
+            F.round(cosine_similarity(F.col("vl"), F.col("vr")), 6),
+        )
+        .filter(F.col("score") >= 0.45)
+        .select("id_l", "id_r", "score")
+        .collect()
+    }
+    approx = {
+        (r["id_l"], r["id_r"], r["score"])
+        for r in lsh_cross_join(
+            left, right, threshold=0.45, n_planes=4, n_tables=16
+        ).collect()
+    }
+    assert approx <= exact, "cross-join LSH may prune, never invent"
+    assert len(approx) >= 0.8 * len(exact), "multi-table recall floor"
