@@ -693,3 +693,17 @@ def test_phash_is_single_map_no_shuffle(spark):
     assert "Exchange" not in pre.split("MapInPandas")[0], (
         "no shuffle may precede the decode map"
     )
+
+
+def test_lsh_cross_join_exchanges_ids_not_vectors(spark):
+    """The two-table banding join inherits the self-join's r3 scale
+    guard: bucket-keyed exchanges carry ids only, vectors enter via
+    id-keyed joins after candidate dedup, and no cartesian forms."""
+    import re
+
+    plan = _plan(spark, "vec_lsh_contamination")
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        args = m.group(1)
+        if "bucket" in args:
+            assert "embedding" not in args and "vl" not in args, args
+    assert "CartesianProduct" not in plan
