@@ -343,12 +343,17 @@ def minhash_dedup_pairs(
     # materialized rows instead of re-deriving them (measured 3.0s ->
     # ~1.4s, and the checkpoint is the documented two-job move for a
     # real cluster anyway).
+    # NULL-text docs carry a NULL sig/sh (see _sig_sh_pudf) and are dropped
+    # HERE, before banding: concat_ws skips NULLs, so a NULL sig would
+    # otherwise band on "" and pair every NULL-text doc — the expression
+    # chain this replaced (shingled(NULL) -> NULL array -> explode drops
+    # the row) and the DuckDB oracle never emit such pairs.
     base = df.select(
         F.col(id_col).alias("id"),
         _sig_sh_pudf(num_hashes, shingle_n)(F.col(text_col)).alias("ss"),
     ).select(
         "id", F.col("ss.sig").alias("sig"), F.col("ss.sh").alias("sh")
-    ).localCheckpoint(eager=True)
+    ).filter(F.col("sig").isNotNull()).localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(
         base.select("id", "sig"), bands, rows_per_band, max_bucket
     )
@@ -386,7 +391,14 @@ def _sig_sh_pudf(num_hashes: int, shingle_n: int):
     def sig_sh(texts: pd.Series) -> pd.DataFrame:
         sigs, shs = [], []
         for t in texts:
-            toks = [w for w in tok_re.split((t or "").lower()) if w != ""]
+            if t is None:
+                # NULL text -> NULL sig/sh; the caller filters these rows
+                # out, matching the old shingled(NULL)->NULL-array chain
+                # (empty string keeps its real [""] shingle below).
+                sigs.append(None)
+                shs.append(None)
+                continue
+            toks = [w for w in tok_re.split(t.lower()) if w != ""]
             if len(toks) < shingle_n:
                 sh = [" ".join(toks)]
             else:

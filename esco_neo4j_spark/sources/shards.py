@@ -54,36 +54,50 @@ def write_token_shards(
         "n_shards": len(shards),
         "total_docs": sum(v["docs"] for v in shards.values()),
         "total_tokens": sum(v["tokens"] for v in shards.values()),
+        # column names ride in the manifest so verify_shards checks the
+        # corpus as written, whatever names the writer used
+        "shard_col": shard_col,
+        "tokens_col": tokens_col,
     }
     with open(os.path.join(out_dir, MANIFEST_NAME), "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
     return manifest
 
 
-def read_shard(spark: SparkSession, out_dir: str, shard_id: int) -> DataFrame:
+def read_shard(
+    spark: SparkSession,
+    out_dir: str,
+    shard_id: int,
+    shard_col: str = "shard_id",
+) -> DataFrame:
     """One shard, via partition pruning — the data-loader read path."""
     return spark.read.parquet(out_dir).filter(
-        F.col("shard_id") == shard_id
+        F.col(shard_col) == shard_id
     )
 
 
 def verify_shards(spark: SparkSession, out_dir: str) -> dict:
     """Re-derive the landed counts and diff them against the manifest —
     the integrity check a training job runs before consuming a corpus.
-    Returns {'ok': bool, 'mismatches': [...]}."""
+    Column names come FROM the manifest (write_token_shards records
+    them), so a corpus written with non-default shard/token columns
+    verifies against the same columns it was sharded on. Returns
+    {'ok': bool, 'mismatches': [...]}."""
     with open(os.path.join(out_dir, MANIFEST_NAME)) as fh:
         manifest = json.load(fh)
+    shard_col = manifest.get("shard_col", "shard_id")
+    tokens_col = manifest.get("tokens_col", "n_tokens")
     landed = spark.read.parquet(out_dir)
     rows = (
-        landed.groupBy("shard_id")
+        landed.groupBy(shard_col)
         .agg(
             F.count("*").cast("bigint").alias("docs"),
-            F.sum("n_tokens").cast("bigint").alias("tokens"),
+            F.sum(tokens_col).cast("bigint").alias("tokens"),
         )
         .collect()
     )
     got = {
-        str(int(r["shard_id"])): {"docs": r["docs"], "tokens": r["tokens"]}
+        str(int(r[shard_col])): {"docs": r["docs"], "tokens": r["tokens"]}
         for r in rows
     }
     mismatches = [

@@ -53,6 +53,32 @@ def _paths(index_dir: str) -> tuple[str, str]:
     )
 
 
+def _recover_swap(path: str) -> None:
+    """Complete or roll back an interrupted rename-swap on ``path``.
+
+    The swap's one unsafe window is between ``os.rename(path, old)`` and
+    ``os.rename(tmp, path)``: the table is absent while ``tmp`` (the
+    fully-written new table — the write always completes before the
+    first rename) and ``old`` (the previous table) still exist. If an
+    ingest then ran, the missing-directory branch would silently replace
+    the whole index with one batch — so every entry point that reads or
+    writes a swapped table calls this first: roll FORWARD to ``tmp``
+    when present, else roll BACK to ``old``; once the table exists,
+    leftover scratch directories are stale and removed."""
+    import shutil
+
+    tmp, old = path + "__merging", path + "__old"
+    if not os.path.exists(path):
+        if os.path.exists(tmp):
+            os.rename(tmp, path)  # roll forward: tmp was fully written
+        elif os.path.exists(old):
+            os.rename(old, path)  # roll back to the previous table
+    if os.path.exists(path):
+        for d in (tmp, old):
+            if os.path.exists(d):
+                shutil.rmtree(d)
+
+
 def process_vector_batch(
     batch_df: DataFrame,
     index_dir: str,
@@ -68,6 +94,10 @@ def process_vector_batch(
     rows."""
     spark = batch_df.sparkSession
     assign_path, cells_path = _paths(index_dir)
+    # a crash mid-swap (recenter or cells rewrite) must not read as a
+    # fresh index — finish or undo the interrupted rename first
+    _recover_swap(assign_path)
+    _recover_swap(cells_path)
     batch = batch_df.dropDuplicates([id_col]).filter(
         F.col(vec_col).isNotNull()
     )
@@ -155,6 +185,7 @@ def cell_imbalance(spark: SparkSession, index_dir: str, k: int) -> float:
     longer prune, so the trigger fires before the index degenerates to
     a linear scan of one giant cell."""
     _, cells_path = _paths(index_dir)
+    _recover_swap(cells_path)
     if not os.path.exists(cells_path):
         return 0.0
     rows = (
@@ -193,6 +224,8 @@ def recenter_index(
     from esco_neo4j_spark.operators.similarity import kmeans_train
 
     assign_path, cells_path = _paths(index_dir)
+    _recover_swap(assign_path)
+    _recover_swap(cells_path)
     # pin the corpus before overwriting the directory it reads from
     corpus = (
         spark.read.parquet(assign_path)
@@ -257,6 +290,7 @@ def ivf_index_probe(
     )
     probe_cells = [r["cid"] for r in ranked[:nprobe]]
     assign_path, _ = _paths(index_dir)
+    _recover_swap(assign_path)
     cand = spark.read.parquet(assign_path).filter(
         F.col("cell").isin(probe_cells)
     )

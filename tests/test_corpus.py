@@ -388,3 +388,30 @@ def test_cdc_chunks_invariants(spark):
     # final chunk's boundary)
     assert set(cb[:-1]) <= set(ce)
     assert ref_chunks("short") == ["short"]
+
+
+def test_minhash_null_text_never_pairs(spark):
+    """r7 ADVICE (medium): NULL-text docs must drop before banding — the
+    expression chain this Arrow pass replaced (shingled(NULL) -> NULL
+    array -> explode drops the row) and the DuckDB oracle never pair
+    them. Empty-STRING docs keep their real [""] shingle and still pair
+    with each other at jaccard 1.0."""
+    from esco_neo4j_spark.operators.dedup import minhash_dedup_pairs
+
+    rows = [
+        (0, None),
+        (1, None),
+        (2, ""),
+        (3, ""),
+        (4, "the quick brown fox jumps over the lazy dog tonight"),
+        (5, "the quick brown fox jumps over the lazy dog tonight"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup_pairs(
+            df, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert not any(0 in p or 1 in p for p in got), "NULL text paired"
+    assert (2, 3) in got and (4, 5) in got

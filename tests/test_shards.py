@@ -67,3 +67,19 @@ def test_verify_detects_tampering(spark, tmp_path):
         json.dump(m, fh)
     res = verify_shards(spark, out)
     assert not res["ok"] and res["mismatches"] == ["0"]
+
+
+def test_verify_uses_manifest_column_names(spark, tmp_path):
+    """r7 ADVICE: a corpus sharded on non-default column names must pass
+    its own integrity check — verify_shards reads shard_col/tokens_col
+    back from the manifest instead of hardcoding them."""
+    docs = (
+        _sharded_docs(spark)
+        .withColumnRenamed("shard_id", "bucket")
+        .withColumnRenamed("n_tokens", "tok_count")
+    )
+    out = str(tmp_path / "shards_custom")
+    m = write_token_shards(docs, out, shard_col="bucket", tokens_col="tok_count")
+    assert m["shard_col"] == "bucket" and m["tokens_col"] == "tok_count"
+    res = verify_shards(spark, out)
+    assert res["ok"] and res["mismatches"] == []

@@ -728,3 +728,52 @@ def test_ivf_recenter_preserves_stream_batch_parity(spark, tmp_path):
         spark, index_dir, centroids, qvec, k=5, nprobe=1
     ).collect()
     assert [r["vec_id"] for r in hits] == expected_ids
+
+
+def test_interrupted_recenter_swap_is_recovered(spark, tmp_path):
+    """r7 ADVICE: a crash between `rename(path, old)` and
+    `rename(tmp, path)` leaves the assignments table absent; the next
+    batch must restore/complete the swap instead of silently rebuilding
+    the index from that one batch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from esco_neo4j_spark.streaming.vector import (
+        _paths,
+        process_vector_batch,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 120)
+    )
+    centroids = (
+        emb.filter(F.col("embedding").isNotNull())
+        .orderBy("vec_id")
+        .limit(4)
+        .selectExpr("vec_id AS cid", "embedding AS cvec")
+        .collect()
+    )
+    index_dir = str(tmp_path / "index")
+    first = emb.filter("vec_id < 100")
+    process_vector_batch(first, index_dir, centroids)
+    assign_path, _ = _paths(index_dir)
+    n_first = spark.read.parquet(assign_path).count()
+    assert n_first > 0
+
+    # simulate the mid-swap crash: the new table sits fully written in
+    # __merging, the live table was renamed to __old, path is ABSENT
+    os.rename(assign_path, assign_path + "__old")
+    spark.read.parquet(assign_path + "__old").write.parquet(
+        assign_path + "__merging"
+    )
+
+    process_vector_batch(emb.filter("vec_id >= 100"), index_dir, centroids)
+    landed = spark.read.parquet(assign_path)
+    assert landed.count() == emb.filter(
+        F.col("embedding").isNotNull()
+    ).count(), "mid-swap crash lost the pre-crash index"
+    assert not os.path.exists(assign_path + "__old")
+    assert not os.path.exists(assign_path + "__merging")
