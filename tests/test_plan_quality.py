@@ -707,3 +707,17 @@ def test_lsh_cross_join_exchanges_ids_not_vectors(spark):
         if "bucket" in args:
             assert "embedding" not in args and "vl" not in args, args
     assert "CartesianProduct" not in plan
+
+
+def test_knn_graph_exchanges_ids_not_vectors(spark):
+    """r7: the kNN-graph bucket join and the per-src candidate-cap
+    window must both run on IDS ONLY — embeddings enter via id-keyed
+    joins only after the capped pool is fixed."""
+    plan = _plan(spark, "vec_knn_graph_lsh")
+    import re
+
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        args = m.group(1)
+        if "bucket" in args or "src" in args:
+            assert "embedding" not in args and "vs" not in args, args
+    assert "CartesianProduct" not in plan

@@ -444,3 +444,76 @@ def test_lsh_cross_join_subset_and_recall(emb):
     }
     assert approx <= exact, "cross-join LSH may prune, never invent"
     assert len(approx) >= 0.8 * len(exact), "multi-table recall floor"
+
+
+def test_brute_force_topk_null_element_embedding_dropped(spark):
+    """r7 ADVICE: a NULL *element* inside an embedding reaches numpy as
+    NaN through Arrow; the score must come back NULL (row dropped by the
+    threshold filter / sorted last), never a NaN that Spark sorts ABOVE
+    every real double and passes through `score > threshold`."""
+    import math
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [1.0, None, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = brute_force_topk(df, [1.0, 0.0, 0.0], k=10, threshold=0.0).collect()
+    ids = [r["vec_id"] for r in got]
+    assert 2 not in ids and ids[0] == 0
+    assert all(not math.isnan(r["score"]) for r in got)
+
+
+def test_lsh_cross_join_empty_probe_side(spark, emb):
+    """r7 ADVICE: an empty (or all-NULL-embedding) probe side is a legal
+    contamination-sweep input — empty result, stable schema, no
+    TypeError from the dim probe."""
+    from esco_neo4j_spark.operators.similarity import lsh_cross_join
+
+    left = emb.filter("vec_id < 0")
+    out = lsh_cross_join(left, emb, threshold=0.4)
+    assert out.columns == ["id_l", "id_r", "score"]
+    assert out.count() == 0
+
+
+def test_knn_graph_cap_recall_floor(spark, emb):
+    """r7 (r6 verdict item 1): the per-src bucket-agreement candidate cap
+    ahead of the exact-cosine verify must preserve nearly all edges the
+    uncapped full-verify formulation produced, and every edge it emits
+    must carry the exact score."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from esco_neo4j_spark.operators.similarity import lsh_knn_graph
+
+    # uncapped reference == the r6 formulation: full verify, then rank
+    pairs = lsh_self_join(emb, threshold=-1.0, n_planes=5, n_tables=10)
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("nbr"), "score"
+    ).union(
+        pairs.select(
+            F.col("id_b").alias("src"), F.col("id_a").alias("nbr"), "score"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("nbr"))
+    ref = {
+        (r["src"], r["nbr"], r["score"])
+        for r in sym.withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 3")
+        .collect()
+    }
+    got = {
+        (r["src"], r["nbr"], r["score"])
+        for r in lsh_knn_graph(
+            emb, k=3, cand_cap=16, n_planes=5, n_tables=10
+        ).collect()
+    }
+    assert len(got & ref) >= 0.97 * len(ref), (
+        f"cap lost {len(ref) - len(got & ref)} of {len(ref)} edges"
+    )
+    # scores on shared (src, nbr) edges are the same exact cosine
+    ref_scores = {(s, n): sc for s, n, sc in ref}
+    assert all(
+        ref_scores.get((s, n), sc) == sc for s, n, sc in got
+    )
