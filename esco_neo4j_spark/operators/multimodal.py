@@ -610,3 +610,71 @@ def phash64(media: DataFrame, decoder_fn=None) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "phash", "n_bits"])
 
     return media.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+IMG_EMBED_DIM = 8
+
+
+def embed_pixels(
+    media: DataFrame,
+    dim: int = IMG_EMBED_DIM,
+    model_fn=None,
+    decoder_fn=None,
+) -> DataFrame:
+    """Image-encoder seam for the CLIP-shape alignment pipeline (the
+    image-side twin of textmodel.make_embed_udf): decode pixels in the
+    executor, then embed each image.
+
+    ``model_fn``: picklable ``list[uint8 sample arrays] -> list of
+    float vectors`` — the REAL encoder branch (a vision tower in
+    production; tests drive it with a deterministic fake the way
+    tests/fakes drives the sentence-transformers branch). When absent,
+    the documented fallback is a deterministic INTEGER folding
+    embedding, ``e_k = sum over samples i with i % dim == k of
+    (px_i - 128)`` — pure integer arithmetic over the decoded raster,
+    so a SQL oracle replays the embedding (and everything downstream)
+    exactly, the same contract the hash text embedding gives I1.
+
+    One narrow ``mapInPandas`` over the payload column — no shuffle; at
+    100 TB this rides the media scan exactly like decode_pixels.
+    """
+    import numpy as np
+
+    fn = decoder_fn or decode_image_pixels
+
+    if model_fn is not None:
+
+        def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ids, pixels = [], []
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                    _, _, px = fn(bytes(payload))
+                    ids.append(int(doc_id))
+                    pixels.append(px)
+                vecs = model_fn(pixels)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "iemb": [[float(x) for x in v] for v in vecs],
+                    }
+                )
+
+        return media.mapInPandas(
+            run_real, schema="doc_id bigint, iemb array<double>"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, px = fn(bytes(payload))
+                v = px.astype(np.int64) - 128
+                rows.append(
+                    (
+                        int(doc_id),
+                        [int(v[k::dim].sum()) for k in range(dim)],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "iemb"])
+
+    return media.mapInPandas(run, schema="doc_id bigint, iemb array<bigint>")

@@ -518,3 +518,196 @@ def mm_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("documents").filter(F.col("doc_id") < 512)
     ).select("doc_id", "payload")
     return phash64(media).orderBy("doc_id")
+
+
+# --- CLIP-shape image-text alignment capstone ------------------------------
+# Both modality encoders are the deterministic fallbacks (hash text
+# embedding, pixel-fold image embedding), the text side lands in the
+# image space through an integer sign projection, and the cross-modal
+# cosine is exact ints into IEEE sqrt/divide — so the WHOLE pipeline
+# (decode -> embed x2 -> project -> cosine -> report) is value-oracled.
+
+
+def _align_signs() -> list[list[int]]:
+    """Integer ±1 projection matrix (IMG_EMBED_DIM rows of
+    HASH_EMBED_DIM signs) shared verbatim by the Spark plan and the
+    oracle SQL — the stand-in for CLIP's learned text projection head."""
+    from esco_neo4j_spark.operators.similarity import _hyperplanes
+    from esco_neo4j_spark.operators.textmodel import HASH_EMBED_DIM
+    from esco_neo4j_spark.operators.multimodal import IMG_EMBED_DIM
+
+    planes = _hyperplanes(HASH_EMBED_DIM, IMG_EMBED_DIM, seed=13)
+    return [[1 if x >= 0 else -1 for x in p] for p in planes]
+
+
+def _image_text_align_sql() -> str:
+    from esco_neo4j_spark.operators.multimodal import IMG_EMBED_DIM
+    from esco_neo4j_spark.plans.udf_queries import _TOKENS_ALL
+    from esco_neo4j_spark.operators.textmodel import HASH_EMBED_DIM
+
+    signs = _align_signs()
+    K = IMG_EMBED_DIM
+    proj_cols = []
+    for j, row in enumerate(signs):
+        arms = " ".join(
+            f"WHEN {i} THEN {row[i]}" for i in range(HASH_EMBED_DIM)
+        )
+        proj_cols.append(
+            f"COALESCE(CAST(sum(val * CASE bucket {arms} END) AS BIGINT), 0)"
+            f" AS p{j}"
+        )
+    e_cols = ", ".join(
+        f"CAST(sum(CASE WHEN k = {j} THEN v ELSE 0 END) AS BIGINT) AS e{j}"
+        for j in range(K)
+    )
+    dot = " + ".join(f"p{j} * e{j}" for j in range(K))
+    tn2 = " + ".join(f"p{j} * p{j}" for j in range(K))
+    in2 = " + ".join(f"e{j} * e{j}" for j in range(K))
+    return f"""
+    WITH imgs AS (
+      SELECT doc_id, source, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    px AS (
+      SELECT doc_id, i % {K} AS k,
+             (doc_id * 31 + i * 7) % 256 - 128 AS v
+      FROM imgs, LATERAL (SELECT unnest(range(0, w * h * 3)) AS i) u
+    ),
+    iw AS (SELECT doc_id, {e_cols} FROM px GROUP BY doc_id),
+    tok AS (
+      SELECT doc_id, unnest({_TOKENS_ALL}) AS t
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(t), 1, 7))::BIGINT AS h FROM tok
+    ),
+    contrib AS (
+      SELECT doc_id, h % {HASH_EMBED_DIM} AS bucket,
+             CASE WHEN (h >> 27) & 1 = 1 THEN 1 ELSE -1 END AS sgn
+      FROM hashed
+    ),
+    buckets AS (
+      SELECT doc_id, bucket, CAST(sum(sgn) AS INT) AS val
+      FROM contrib GROUP BY doc_id, bucket
+    ),
+    proj AS (
+      SELECT d.doc_id, {", ".join(proj_cols)}
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+      LEFT JOIN buckets b USING (doc_id)
+      GROUP BY d.doc_id
+    ),
+    scored AS (
+      SELECT source,
+             CASE WHEN tn2 = 0 OR in2 = 0 THEN 0.0
+                  ELSE round(CAST(dot AS DOUBLE)
+                             / (sqrt(CAST(tn2 AS DOUBLE))
+                                * sqrt(CAST(in2 AS DOUBLE))), 6)
+             END AS s
+      FROM (
+        SELECT i.source, ({dot}) AS dot, ({tn2}) AS tn2, ({in2}) AS in2
+        FROM imgs i JOIN proj USING (doc_id) JOIN iw USING (doc_id)
+      )
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(round(CAST(sum(q6) AS BIGINT) / count(*) / 1e6, 6)
+                AS DOUBLE) AS avg_align,
+           CAST(min(s) AS DOUBLE) AS min_align,
+           CAST(max(s) AS DOUBLE) AS max_align,
+           CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_misaligned
+    FROM (SELECT source, s, CAST(round(s * 1e6) AS BIGINT) AS q6
+          FROM scored)
+    GROUP BY source ORDER BY source
+    """
+
+
+@query(
+    "pipeline_image_text_align",
+    sql=_image_text_align_sql(),
+    survey_ops="I1,multimodal-embed(ext),H1,D2,C1",
+    tables=("documents",),
+)
+def pipeline_image_text_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-shape multimodal capstone (r6 verdict item 4): every third
+    document carries an image (the genuine binary PPM payload); decode
+    its pixels in executors, embed them (embed_pixels — model_fn seam
+    with the deterministic integer fallback), hash-embed the caption
+    text and project it into the image space with an integer sign
+    matrix, score each (image, caption) pair with the exact cross-modal
+    cosine, and report per-source alignment (mean via exact integer
+    1e-6 quantization, min/max, anti-correlated count) — the filter
+    stage a multimodal training pipeline runs before admitting pairs.
+
+    Scale shape: both embeddings ride narrow maps on the documents
+    scan; the image-embedding relation (K small ints per image) is the
+    SMALLER modality side and is broadcast into the caption side —
+    plan-pinned, no shuffle of the caption corpus; the report is a
+    per-source partial agg. Reference anchor: src/embedding_utils.py
+    :7-33 generalized to a second modality."""
+    from esco_neo4j_spark.operators.multimodal import (
+        IMG_EMBED_DIM,
+        embed_pixels,
+    )
+    from esco_neo4j_spark.operators.textmodel import embed_column
+
+    K = IMG_EMBED_DIM
+    docs = spark.table("documents").filter(F.col("doc_id") % 3 == 0)
+    iemb = embed_pixels(
+        attach_ppm_payload(docs).select("doc_id", "payload")
+    )
+    t = embed_column(docs.select("doc_id", "source", "text"), "text")
+    proj = [
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array(*[F.lit(s) for s in row]),
+                lambda a, b: a.cast("long") * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias(f"p{j}")
+        for j, row in enumerate(_align_signs())
+    ]
+    tp = t.select("doc_id", "source", *proj)
+    pairs = tp.join(F.broadcast(iemb), "doc_id")
+    dot = sum(
+        F.col(f"p{j}") * F.element_at("iemb", j + 1) for j in range(K)
+    )
+    tn2 = sum(F.col(f"p{j}") * F.col(f"p{j}") for j in range(K))
+    in2 = sum(
+        F.element_at("iemb", j + 1) * F.element_at("iemb", j + 1)
+        for j in range(K)
+    )
+    score = F.when((tn2 == 0) | (in2 == 0), F.lit(0.0)).otherwise(
+        F.round(
+            dot.cast("double")
+            / (F.sqrt(tn2.cast("double")) * F.sqrt(in2.cast("double"))),
+            6,
+        )
+    )
+    q6 = F.round(score * 1e6).cast("bigint")
+    return (
+        pairs.select("source", score.alias("s"), q6.alias("q6"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("q6").cast("bigint").alias("sq6"),
+            F.min("s").alias("min_align"),
+            F.max("s").alias("max_align"),
+            F.sum(F.when(F.col("s") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_misaligned"),
+        )
+        .select(
+            "source",
+            "n_pairs",
+            F.round(F.col("sq6") / F.col("n_pairs") / 1e6, 6).alias(
+                "avg_align"
+            ),
+            "min_align",
+            "max_align",
+            "n_misaligned",
+        )
+        .orderBy("source")
+    )

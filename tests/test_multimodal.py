@@ -247,3 +247,72 @@ def test_wav_payload_builder_matches_decoder(spark):
     )
     assert rate == 8000 and row["n_samples"] == n
     assert np.array_equal(s.astype("int64"), want)
+
+
+def test_embed_pixels_fallback_matches_formula(spark):
+    """The deterministic image embedding folds the decoded raster:
+    e_k = sum over samples i % dim == k of (px_i - 128), computed from
+    GENUINE bytes through the genuine PPM decoder."""
+    import numpy as np
+
+    from esco_neo4j_spark.operators.multimodal import (
+        attach_ppm_payload, embed_pixels,
+    )
+
+    docs = spark.createDataFrame(
+        [(6, "x", "en", "s", 1), (12, "y", "en", "s", 1)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    media = attach_ppm_payload(docs).select("doc_id", "payload")
+    got = {r["doc_id"]: list(r["iemb"]) for r in embed_pixels(media).collect()}
+    for d in (6, 12):
+        w, h = 8 + d % 9, 6 + d % 7
+        px = np.array([(d * 31 + i * 7) % 256 for i in range(w * h * 3)])
+        v = px - 128
+        want = [int(v[k::8].sum()) for k in range(8)]
+        assert got[d] == want
+
+
+def test_embed_pixels_real_branch_uses_injected_model(spark):
+    """The model_fn seam (the vision-tower REAL branch): an injected
+    encoder receives the decoded uint8 rasters and its outputs become
+    the embeddings verbatim — the image twin of the fake
+    sentence-transformers REAL-branch test."""
+    from esco_neo4j_spark.operators.multimodal import (
+        attach_ppm_payload, embed_pixels,
+    )
+
+    def fake_vision_tower(pixel_arrays):
+        # deterministic: [n_samples, first_sample] per image
+        return [[float(px.size), float(px[0])] for px in pixel_arrays]
+
+    docs = spark.createDataFrame(
+        [(3, "x", "en", "s", 1)], ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    media = attach_ppm_payload(docs).select("doc_id", "payload")
+    rows = embed_pixels(media, model_fn=fake_vision_tower).collect()
+    assert len(rows) == 1
+    w, h = 8 + 3 % 9, 6 + 3 % 7
+    assert rows[0]["iemb"] == [float(w * h * 3), float((3 * 31) % 256)]
+
+
+def test_image_text_align_broadcasts_image_side(spark):
+    """Plan pin (r6 verdict item 4): the cross-modal join must broadcast
+    the smaller (image-embedding) side — the caption corpus never
+    shuffles on the join key."""
+    import contextlib
+    import io
+    import os
+
+    from esco_neo4j_spark.catalog import load_tables
+    from esco_neo4j_spark.plans.registry import REGISTRY
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    load_tables(spark, sf, ("documents",))
+    df = REGISTRY["pipeline_image_text_align"].fn(spark, sf)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
