@@ -86,3 +86,27 @@ def upsert_parquet(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return spark.read.parquet(path).count()
+
+
+def recover_swap(path: str) -> None:
+    """Complete or roll back an interrupted rename-swap on ``path``.
+
+    The swap's one unsafe window is between ``os.rename(path, old)`` and
+    ``os.rename(tmp, path)``: the table is absent while ``tmp`` (fully
+    written — the write always completes before the first rename) and
+    ``old`` (the previous table) still exist. Every reader/ingester of a
+    swapped table calls this first, otherwise a crash in that window
+    reads as "no table" and a fresh write silently replaces the corpus
+    with one batch. Roll FORWARD to ``tmp`` when present, else roll BACK
+    to ``old``; once the table exists, leftover scratch dirs are stale
+    and removed."""
+    tmp, old = path + "__merging", path + "__old"
+    if not os.path.exists(path):
+        if os.path.exists(tmp):
+            os.rename(tmp, path)
+        elif os.path.exists(old):
+            os.rename(old, path)
+    if os.path.exists(path):
+        for d in (tmp, old):
+            if os.path.exists(d):
+                shutil.rmtree(d)

@@ -54,29 +54,11 @@ def _paths(index_dir: str) -> tuple[str, str]:
 
 
 def _recover_swap(path: str) -> None:
-    """Complete or roll back an interrupted rename-swap on ``path``.
+    """Finish or undo an interrupted rename-swap (see
+    sources/merge.recover_swap — shared with the shard sink)."""
+    from esco_neo4j_spark.sources.merge import recover_swap
 
-    The swap's one unsafe window is between ``os.rename(path, old)`` and
-    ``os.rename(tmp, path)``: the table is absent while ``tmp`` (the
-    fully-written new table — the write always completes before the
-    first rename) and ``old`` (the previous table) still exist. If an
-    ingest then ran, the missing-directory branch would silently replace
-    the whole index with one batch — so every entry point that reads or
-    writes a swapped table calls this first: roll FORWARD to ``tmp``
-    when present, else roll BACK to ``old``; once the table exists,
-    leftover scratch directories are stale and removed."""
-    import shutil
-
-    tmp, old = path + "__merging", path + "__old"
-    if not os.path.exists(path):
-        if os.path.exists(tmp):
-            os.rename(tmp, path)  # roll forward: tmp was fully written
-        elif os.path.exists(old):
-            os.rename(old, path)  # roll back to the previous table
-    if os.path.exists(path):
-        for d in (tmp, old):
-            if os.path.exists(d):
-                shutil.rmtree(d)
+    recover_swap(path)
 
 
 def process_vector_batch(
