@@ -517,3 +517,22 @@ def test_knn_graph_cap_recall_floor(spark, emb):
     assert all(
         ref_scores.get((s, n), sc) == sc for s, n, sc in got
     )
+
+
+def test_knn_descent_round_improves_recall(spark, emb):
+    """r7 (r6 verdict item 6): one neighbor-of-neighbor expansion +
+    exact re-rank must not lose recall@3 vs the base kNN graph, and on
+    this corpus it strictly improves it (measured 0.593 -> 0.685)."""
+    import os
+
+    from esco_neo4j_spark.catalog import load_tables
+    from esco_neo4j_spark.plans.registry import REGISTRY
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    load_tables(spark, sf, ("embeddings",))
+    rows = {
+        r["variant"]: r["recall"]
+        for r in REGISTRY["vec_knn_descent_round"].fn(spark, sf).collect()
+    }
+    assert rows["refined"] > rows["base"]
+    assert rows["refined"] >= 0.6
