@@ -948,3 +948,70 @@ def esco_related_occupations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(15)
         .select("occupation", "n_shared", "connecting_skills")
     )
+
+
+# --------------------------------------------------------------------------
+# Catalog front door (r6 verdict item 8): the same queries through
+# metastore-registered EXTERNAL tables instead of wrapper temp views.
+# --------------------------------------------------------------------------
+@query(
+    "esco_label_counts_catalog",
+    sql=f"""
+    WITH nodes AS (
+      SELECT array_to_string(labels, ':') AS label FROM {_SK}
+      UNION ALL SELECT array_to_string(labels, ':') FROM {_OCC}
+      UNION ALL SELECT array_to_string(labels, ':') FROM {_ISCO}
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n
+    FROM nodes GROUP BY label ORDER BY n DESC, label
+    """,
+    survey_ops="D1,D2,H2,G1,catalog-front-door(ext)",
+    esco=True,
+)
+def esco_label_counts_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQ:9-12 node counts per label, through the CATALOG front door:
+    the plan names metastore-registered external parquet tables
+    (``esco.nodes_*`` — sources/esco.register_catalog_tables), no
+    wrapper-registered temp views, the way any SQL client on a
+    metastore deployment would write it. Same oracle as
+    esco_label_counts; physical-plan equivalence with the view variant
+    is pinned in tests/test_plan_quality.py."""
+    from esco_neo4j_spark.sources.esco import register_catalog_tables
+
+    register_catalog_tables(spark)
+    return spark.sql(
+        """
+        WITH nodes AS (
+          SELECT array_join(labels, ':') AS label FROM esco.nodes_skill
+          UNION ALL SELECT array_join(labels, ':') FROM esco.nodes_occupation
+          UNION ALL SELECT array_join(labels, ':') FROM esco.nodes_isco_group
+        )
+        SELECT label, count(*) AS n
+        FROM nodes GROUP BY label ORDER BY n DESC, label
+        """
+    )
+
+
+@query(
+    "esco_rel_counts_catalog",
+    sql=f"""
+    SELECT rel_type, CAST(count(*) AS BIGINT) AS n
+    FROM {_EDGES} GROUP BY rel_type ORDER BY n DESC, rel_type
+    """,
+    survey_ops="D2,H3,catalog-front-door(ext)",
+    esco=True,
+)
+def esco_rel_counts_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQ:18-20 edge counts per type through the catalog front door —
+    ``esco.edges`` is the hive-partitioned external table with
+    metastore-recovered partitions, so a rel_type filter prunes at the
+    catalog level (no directory listing of other types)."""
+    from esco_neo4j_spark.sources.esco import register_catalog_tables
+
+    register_catalog_tables(spark)
+    return spark.sql(
+        """
+        SELECT rel_type, count(*) AS n
+        FROM esco.edges GROUP BY rel_type ORDER BY n DESC, rel_type
+        """
+    )

@@ -129,11 +129,21 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", required=True)
     ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated subset to generate (default: all) — e.g. "
+        "'embeddings' for a deep-scale ANN-only probe where the full "
+        "corpus would not fit",
+    )
     args = ap.parse_args()
+    only = set(args.tables.split(",")) if args.tables else None
     os.makedirs(args.out, exist_ok=True)
     spark = get_spark("gen_scale_data")
 
     def replicate(table: str, mutate) -> None:
+        if only is not None and table not in only:
+            return
         src = spark.read.parquet(os.path.join(args.src, f"{table}.parquet"))
         parts = [mutate(src, i) for i in range(args.copies)]
         df = parts[0]
@@ -154,6 +164,8 @@ def main() -> None:
             return df
         replicate(table, tpch_mutate)
     for table in ("nation", "region"):
+        if only is not None and table not in only:
+            continue
         spark.read.parquet(
             os.path.join(args.src, f"{table}.parquet")
         ).write.mode("overwrite").parquet(
