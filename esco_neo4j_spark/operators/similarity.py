@@ -1473,6 +1473,7 @@ def lsh_cross_join(
     vec_col: str = "embedding",
     seed: int = 42,
     max_bucket: int = 1024,
+    dim: int | None = None,
 ) -> DataFrame:
     """TWO-TABLE LSH similarity join (left=probe set, right=corpus) —
     the cross-corpus shape lsh_self_join cannot express: eval-vs-train
@@ -1489,23 +1490,28 @@ def lsh_cross_join(
     product at cap^2. Returns (id_l, id_r, score >= threshold) — ids
     may coincide across sides if the sets overlap; disjointness is the
     caller's contract (a contamination check wants it)."""
-    # dim probe: one-row job on the non-null probe side. An empty probe
-    # set (or all-NULL embeddings) is a legal input — a contamination
-    # sweep whose filter matched nothing — and returns an empty result
-    # with the output schema rather than a TypeError on first()[0].
-    probe = left.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
-    if probe is None:
-        from pyspark.sql.types import DoubleType, StructField, StructType
-
-        schema = StructType(
-            [
-                StructField("id_l", left.schema[id_col].dataType),
-                StructField("id_r", right.schema[id_col].dataType),
-                StructField("score", DoubleType()),
-            ]
+    # dim rides in as a parameter when the caller knows it (like
+    # n_planes); otherwise a one-row probe job on the non-null probe
+    # side derives it. An empty probe set (or all-NULL embeddings) is a
+    # legal input — a contamination sweep whose filter matched nothing —
+    # and returns an empty result with the output schema rather than a
+    # TypeError on first()[0].
+    if dim is None:
+        probe = (
+            left.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
         )
-        return left.sparkSession.createDataFrame([], schema=schema)
-    dim = len(probe[0])
+        if probe is None:
+            from pyspark.sql.types import DoubleType, StructField, StructType
+
+            schema = StructType(
+                [
+                    StructField("id_l", left.schema[id_col].dataType),
+                    StructField("id_r", right.schema[id_col].dataType),
+                    StructField("score", DoubleType()),
+                ]
+            )
+            return left.sparkSession.createDataFrame([], schema=schema)
+        dim = len(probe[0])
     all_buckets = _all_buckets_pudf(dim, n_planes, n_tables, seed)
 
     def keyed(df: DataFrame, out_id: str) -> DataFrame:

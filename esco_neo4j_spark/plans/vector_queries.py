@@ -2034,6 +2034,7 @@ def vec_lsh_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.45,
         n_planes=n_planes,
         n_tables=n_tables,
+        dim=64,  # known from the table contract — skips the probe job
     )
     w = Window.partitionBy("id_l").orderBy(F.desc("score"), F.asc("id_r"))
     return (
