@@ -536,3 +536,56 @@ def test_knn_descent_round_improves_recall(spark, emb):
     }
     assert rows["refined"] > rows["base"]
     assert rows["refined"] >= 0.6
+
+
+def test_interval_screen_is_lossless(spark, emb):
+    """r7: the SQ8 interval screen ahead of the exact verify must not
+    change the result set — the threshold=-1 path (screen disabled,
+    every candidate exact-verified) filtered post-hoc is the ground
+    truth for the screened threshold join over the same banding."""
+    unscreened = {
+        (r.id_a, r.id_b, r.score)
+        for r in lsh_self_join(
+            emb, threshold=-1.0, n_planes=5, n_tables=18
+        ).collect()
+        if r.score >= 0.45
+    }
+    screened = {
+        (r.id_a, r.id_b, r.score)
+        for r in lsh_self_join(
+            emb, threshold=0.45, n_planes=5, n_tables=18
+        ).collect()
+    }
+    assert screened == unscreened and len(screened) > 0
+
+
+def test_interval_screen_lossless_adversarial_inputs(spark):
+    """Screen soundness on the nasty cases: zero vectors (degenerate
+    lower-bound norm), constant dimensions (zero quantization range),
+    mixed scales, anti-correlated pairs under a NEGATIVE threshold
+    (exercises the negative-numerator branch of the bound)."""
+    rows = [
+        (0, [1.0, 2.0, 0.5, 7.0]),
+        (1, [1.0, 2.0, 0.5, 7.001]),     # near-dup of 0
+        (2, [-1.0, -2.0, 0.5, -7.0]),    # anti-correlated with 0
+        (3, [0.0, 0.0, 0.5, 0.0]),       # tiny norm
+        (4, [100.0, -50.0, 0.5, 3.0]),   # big scale
+        (5, [0.001, 0.002, 0.5, 0.003]),
+        (6, [1.0, 2.0, 0.5, 7.0]),       # exact clone of 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    for thr in (0.9, 0.45, 0.0, -0.5):
+        want = {
+            (r.id_a, r.id_b, r.score)
+            for r in lsh_self_join(
+                df, threshold=-1.0, n_planes=2, n_tables=4, max_bucket=None
+            ).collect()
+            if r.score >= thr
+        }
+        got = {
+            (r.id_a, r.id_b, r.score)
+            for r in lsh_self_join(
+                df, threshold=thr, n_planes=2, n_tables=4, max_bucket=None
+            ).collect()
+        }
+        assert got == want, (thr, got ^ want)
