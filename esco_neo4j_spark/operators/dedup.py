@@ -344,16 +344,20 @@ def minhash_dedup_pairs(
     # ~1.4s, and the checkpoint is the documented two-job move for a
     # real cluster anyway).
     # NULL-text docs carry a NULL sig/sh (see _sig_sh_pudf) and are dropped
-    # HERE, before banding: concat_ws skips NULLs, so a NULL sig would
+    # before banding: concat_ws skips NULLs, so a NULL sig would
     # otherwise band on "" and pair every NULL-text doc — the expression
     # chain this replaced (shingled(NULL) -> NULL array -> explode drops
-    # the row) and the DuckDB oracle never emit such pairs.
+    # the row) and the DuckDB oracle never emit such pairs. The filter
+    # sits AFTER the checkpoint: a filter on the UDF-derived column
+    # makes Catalyst evaluate the Arrow pass twice (once for the
+    # predicate, once for the projection — measured +50% on the whole
+    # query); on the materialized rows it is a free narrow scan.
     base = df.select(
         F.col(id_col).alias("id"),
         _sig_sh_pudf(num_hashes, shingle_n)(F.col(text_col)).alias("ss"),
     ).select(
         "id", F.col("ss.sig").alias("sig"), F.col("ss.sh").alias("sh")
-    ).filter(F.col("sig").isNotNull()).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True).filter(F.col("sig").isNotNull())
     cands = lsh_candidate_pairs(
         base.select("id", "sig"), bands, rows_per_band, max_bucket
     )
@@ -444,12 +448,19 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     replays the explode/group formulation.
     """
     # token-less docs had NO row under the explode formulation (explode
-    # of an empty array drops the id) — the UDF returns NULL for them
-    # and the filter preserves that contract exactly
-    return df.select(
+    # of an empty array drops the id). The UDF returns NULL for them,
+    # but filtering on the UDF OUTPUT makes Catalyst evaluate the Arrow
+    # pass TWICE (once for the predicate, once for the projection —
+    # measured r7, the same trap fixed in minhash_dedup_pairs), so the
+    # gate is the equivalent JVM-side INPUT predicate: the token set is
+    # empty iff the text holds no [a-zA-Z0-9'] character (tokens come
+    # from lower(text) split on the complement class).
+    return df.filter(
+        F.col(text_col).isNotNull() & F.col(text_col).rlike("[a-zA-Z0-9']")
+    ).select(
         F.col(id_col).alias("id"),
         _simhash_pudf()(F.col(text_col)).alias("simhash"),
-    ).filter(F.col("simhash").isNotNull())
+    )
 
 
 def _simhash_pudf():
