@@ -631,7 +631,9 @@ def _sq_interval_screen(
                 F.col("aa"), F.col("ab"), F.col("na"), F.col("nb"),
             )
         )
-        .select(lkey, rkey)
+        # drop (not select) so caller passthrough columns — e.g. the
+        # cluster key in the SemDeDup path — survive the screen
+        .drop("qa", "la", "aa", "na", "qb", "lb", "ab", "nb")
     )
 
 

@@ -884,6 +884,15 @@ def dedup_semantic_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = assign.select(F.col("cluster"), F.col("vec_id").alias("id_a"))
     y = assign.select(F.col("cluster"), F.col("vec_id").alias("id_b"))
     cand = x.join(y, "cluster").filter(F.col("id_a") < F.col("id_b"))
+    # r7: the same LOSSLESS interval screen the LSH joins run — pairs
+    # provably below the threshold never fetch vectors or reach the
+    # Arrow cosine; results exactly unchanged, oracle untouched (the
+    # cluster passthrough column survives the screen)
+    from esco_neo4j_spark.operators.similarity import _sq_interval_screen
+
+    cand = _sq_interval_screen(
+        cand, emb, emb, 0.45, 64, "id_a", "id_b", "vec_id", "embedding"
+    )
     ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     pairs = (
