@@ -869,3 +869,76 @@ def test_shard_sink_stream_equals_batch(spark, tmp_path):
         json.dump(m, fh)
     res = verify_shards(spark, out_dir)
     assert not res["ok"] and res["mismatches"] == ["0"]
+
+
+def test_knn_graph_stream_equals_batch(spark, tmp_path):
+    """Incremental kNN-graph maintenance (r7): after a sequence of
+    micro-batches the maintained edges equal the UNCAPPED batch graph
+    over the union of the batches (candidate sets only grow and top-k
+    is monotone under insertion), and a replayed batch is a no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from esco_neo4j_spark.operators.similarity import lsh_knn_graph
+    from esco_neo4j_spark.streaming.knn import (
+        knn_index_sink,
+        process_knn_batch,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 200)
+    )
+    batches = [emb.filter(f"vec_id % 3 = {i}") for i in range(3)]
+    stream_dir = str(tmp_path / "in")
+    os.makedirs(stream_dir)
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage{i}")
+        )
+        src = [
+            f for f in os.listdir(str(tmp_path / f"stage{i}"))
+            if f.endswith(".parquet")
+        ][0]
+        os.rename(
+            str(tmp_path / f"stage{i}" / src),
+            os.path.join(stream_dir, f"{i:03d}.parquet"),
+        )
+
+    index_dir = str(tmp_path / "knn")
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = knn_index_sink(
+        stream, index_dir, str(tmp_path / "ckpt"), dim=64,
+        k=3, n_planes=5, n_tables=10,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["src"], r["nbr"], r["score"], r["rk"])
+        for r in spark.read.parquet(index_dir + "/edges").collect()
+    }
+    want = {
+        (r["src"], r["nbr"], r["score"], r["rk"])
+        for r in lsh_knn_graph(
+            emb, k=3, cand_cap=10**6, n_planes=5, n_tables=10,
+            max_bucket=None,
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # replay the LAST batch: edges unchanged (effectively-once)
+    process_knn_batch(
+        batches[2], index_dir, dim=64, k=3, n_planes=5, n_tables=10
+    )
+    again = {
+        (r["src"], r["nbr"], r["score"], r["rk"])
+        for r in spark.read.parquet(index_dir + "/edges").collect()
+    }
+    assert again == got
