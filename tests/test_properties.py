@@ -252,3 +252,45 @@ def test_cdc_chunks_partition_exactly(spark, texts):
     assert r["n_chunks"] >= len(alive)
     assert r["distinct_chunks"] <= r["n_chunks"]
     assert 0.0 < r["dedup_ratio"] <= 1.0
+
+
+@SLOW
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-50, max_value=50,
+                allow_nan=False, allow_infinity=False,
+            ),
+            min_size=4, max_size=4,
+        ),
+        min_size=4, max_size=24,
+    ),
+    thr=st.sampled_from([0.9, 0.5, 0.0, -0.4]),
+)
+def test_interval_screen_never_drops_qualifying_pairs(spark, vecs, thr):
+    """r7 screen soundness as a PROPERTY: for random corpora (any
+    scale, any sign, duplicate rows, near-zero rows) and thresholds on
+    both sides of zero, the screened LSH self-join equals the
+    unscreened (threshold=-1) join filtered post-hoc — the interval
+    bound may never drop a qualifying pair."""
+    from esco_neo4j_spark.operators.similarity import lsh_self_join
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    want = {
+        (r.id_a, r.id_b, r.score)
+        for r in lsh_self_join(
+            df, threshold=-1.0, n_planes=2, n_tables=3, max_bucket=None
+        ).collect()
+        if r.score is not None and r.score >= thr
+    }
+    got = {
+        (r.id_a, r.id_b, r.score)
+        for r in lsh_self_join(
+            df, threshold=thr, n_planes=2, n_tables=3, max_bucket=None
+        ).collect()
+    }
+    assert got == want
