@@ -1714,3 +1714,94 @@ def pipeline_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _temperature_mix_sql() -> str:
+    return """
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents WHERE lang IS NOT NULL GROUP BY lang
+    ),
+    nmin AS (SELECT min(n_docs) AS n_min FROM counts),
+    rates AS (
+      SELECT lang, n_docs,
+             CAST(floor(1000000.0
+                        * sqrt(CAST(n_min AS DOUBLE) / n_docs))
+                  AS BIGINT) AS rate_ppm
+      FROM counts CROSS JOIN nmin
+    ),
+    kept AS (
+      SELECT d.lang
+      FROM documents d JOIN rates r USING (lang)
+      WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT
+            % 1000000 < r.rate_ppm
+    )
+    SELECT r.lang, r.n_docs, r.rate_ppm,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM rates r
+    LEFT JOIN (SELECT lang, count(*) AS n_kept FROM kept GROUP BY lang) k
+      USING (lang)
+    ORDER BY r.lang
+    """
+
+
+@query(
+    "pipeline_temperature_mix",
+    sql=_temperature_mix_sql(),
+    survey_ops="pipeline-mixing(ext),D2",
+    tables=("documents",),
+)
+def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual sampling (the mBERT/XLM-R mixing
+    recipe, alpha = 0.5) over the corpus language tags: sample each
+    language at a rate proportional to p^(alpha-1), normalized so the
+    RAREST language keeps everything — r_lang = sqrt(n_min / n_lang),
+    with N cancelling so the rate is a pure ratio of exact integer
+    counts. The per-ppm rate floors to an integer (identical IEEE
+    sqrt/divide/floor on both engines) and the keep decision is the
+    md5-bucket coin the stratified mixer uses, so the whole pipeline —
+    counts, DATA-DERIVED rates, sampling, rollup — is value-oracled
+    (the third mixing family next to fixed-rate stratification and
+    DoReMi reweighting; on this corpus the head language samples at
+    ~54% and the tail languages at 93-100%).
+
+    Scale shape: the rate table is (languages)-sized and broadcast back
+    onto the scan; sampling is a filter; the only shuffles are two
+    language-keyed partial aggs."""
+    d = spark.table("documents").filter(F.col("lang").isNotNull()).select(
+        "doc_id", "lang"
+    )
+    counts = d.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    nmin = counts.agg(F.min("n_docs").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        "lang",
+        "n_docs",
+        F.floor(
+            F.lit(1000000.0)
+            * F.sqrt(F.col("n_min").cast("double") / F.col("n_docs"))
+        ).cast("bigint").alias("rate_ppm"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10
+        ).cast("bigint")
+        % 1000000
+    )
+    kept = d.join(F.broadcast(rates), "lang").filter(
+        bucket < F.col("rate_ppm")
+    )
+    kc = kept.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_kept"))
+    return (
+        rates.join(kc, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "rate_ppm",
+            F.coalesce(F.col("n_kept"), F.lit(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
