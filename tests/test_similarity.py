@@ -589,3 +589,28 @@ def test_interval_screen_lossless_adversarial_inputs(spark):
             ).collect()
         }
         assert got == want, (thr, got ^ want)
+
+
+def test_graph_search_recall_floor(spark, emb):
+    """r7: the beam walk over the kNN graph must keep its measured
+    adversarial-regime recall floor (near-random vectors — see the
+    query docstring; real corpora cluster and navigate far better)."""
+    import os
+
+    from esco_neo4j_spark.catalog import load_tables
+    from esco_neo4j_spark.plans.registry import REGISTRY
+    from esco_neo4j_spark.plans.vector_queries import _anchor_vec
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    load_tables(spark, sf, ("embeddings",))
+    hits = {
+        r["vec_id"]
+        for r in REGISTRY["vec_graph_search"].fn(spark, sf).collect()
+    }
+    exact = {
+        r.vec_id
+        for r in brute_force_topk(
+            spark.table("embeddings"), _anchor_vec(spark), k=10
+        ).collect()
+    }
+    assert len(hits & exact) >= 5, f"recall@10 {len(hits & exact)/10}"
