@@ -77,3 +77,29 @@ def test_partitioned_sweep_compacts_each_partition(spark, tmp_path):
     assert all(v["compacted"] for v in res.values())
     after = {tuple(r) for r in spark.read.parquet(root).collect()}
     assert after == before
+
+
+def test_compaction_composes_with_streamed_shards(spark, tmp_path):
+    """Maintenance story end-to-end: a streamed shard store accretes
+    per-batch files; the partitioned compaction sweep rewrites each
+    shard directory, and the landed-file manifest still verifies (the
+    manifest certifies CONTENT, which compaction must not change)."""
+    from esco_neo4j_spark.sources.shards import verify_shards
+    from esco_neo4j_spark.streaming.shards import process_shard_batch
+
+    docs = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+            (F.col("doc_id") % 3).cast("int").alias("shard_id"),
+        )
+        .filter("doc_id < 300")
+    )
+    out = str(tmp_path / "shards")
+    for i in range(4):  # four micro-batches -> many small files
+        process_shard_batch(docs.filter(f"doc_id % 4 = {i}"), out)
+    assert verify_shards(spark, out)["ok"]
+    res = compact_partitioned(spark, out, target_bytes=64 * 1024 * 1024)
+    assert set(res) == {"shard_id=0", "shard_id=1", "shard_id=2"}
+    assert verify_shards(spark, out)["ok"], "compaction broke the manifest"
