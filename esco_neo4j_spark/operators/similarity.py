@@ -1736,3 +1736,63 @@ def lsh_cross_join(
         .filter(F.col("score") >= threshold)
         .select("id_l", "id_r", "score")
     )
+
+
+def graph_beam_search(
+    edges: DataFrame,
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_entries: int = 4,
+    beam: int = 12,
+    rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy beam walk over a kNN graph (the HNSW/NSG search pattern on
+    one layer): start from the ``n_entries`` lowest-id vectors, per
+    round expand the top-``beam`` visited vectors' graph neighbors and
+    exact-score newcomers against the query, return the top-k of
+    everything visited as (vec_id, score, rk). Works on ANY (src, nbr)
+    edge relation — the batch graph (lsh_knn_graph), the streaming-
+    maintained one (streaming/knn.py), or an NN-descent-refined one —
+    which is what makes the graph a substrate rather than a query
+    artifact. Search cost is O(entries + rounds * beam * degree)
+    regardless of corpus size."""
+    e = embeddings.filter(F.col(vec_col).isNotNull())
+    score_of = _anchor_cosine_pudf(query_vec)
+
+    def scored(ids: DataFrame) -> DataFrame:
+        return ids.join(
+            e.select(F.col(id_col).alias("vec_id"), F.col(vec_col)), "vec_id"
+        ).select(
+            "vec_id", F.round(score_of(F.col(vec_col)), 6).alias("score")
+        )
+
+    g = edges.select("src", "nbr")
+    visited = scored(
+        e.select(F.col(id_col).alias("vec_id"))
+        .orderBy("vec_id")
+        .limit(n_entries)
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        frontier = visited.orderBy(F.desc("score"), F.asc("vec_id")).limit(
+            beam
+        )
+        nbrs = (
+            frontier.select(F.col("vec_id").alias("src"))
+            .join(g, "src")
+            .select(F.col("nbr").alias("vec_id"))
+            .distinct()
+        )
+        new = nbrs.join(visited.select("vec_id"), "vec_id", "left_anti")
+        visited = visited.unionByName(scored(new)).localCheckpoint(
+            eager=True
+        )
+    w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        visited.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("vec_id", "score", F.col("rk").cast("int").alias("rk"))
+        .orderBy("rk")
+    )

@@ -2313,10 +2313,8 @@ def vec_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     HNSW-family search work; the floor pinned in pytest (>= 0.5) is the
     adversarial-regime number, and the query's primary contract is the
     exact, oracle-replayed WALK mechanics."""
-    from pyspark.sql import Window
-
     from esco_neo4j_spark.operators.similarity import (
-        _anchor_cosine_pudf,
+        graph_beam_search,
         lsh_knn_graph,
     )
 
@@ -2329,36 +2327,7 @@ def vec_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "nbr")
         .localCheckpoint(eager=True)
     )
-    e = spark.table("embeddings").filter(F.col("embedding").isNotNull())
-    score_of = _anchor_cosine_pudf(_anchor_vec(spark))
-
-    def scored(ids: DataFrame) -> DataFrame:
-        return ids.join(e, "vec_id").select(
-            "vec_id",
-            F.round(score_of(F.col("embedding")), 6).alias("score"),
-        )
-
-    visited = scored(
-        e.orderBy("vec_id").limit(_GS_ENTRIES).select("vec_id")
-    ).localCheckpoint(eager=True)
-    for _ in range(_GS_ROUNDS):
-        frontier = visited.orderBy(
-            F.desc("score"), F.asc("vec_id")
-        ).limit(_GS_BEAM)
-        nbrs = (
-            frontier.select(F.col("vec_id").alias("src"))
-            .join(g, "src")
-            .select(F.col("nbr").alias("vec_id"))
-            .distinct()
-        )
-        new = nbrs.join(visited.select("vec_id"), "vec_id", "left_anti")
-        visited = visited.unionByName(scored(new)).localCheckpoint(
-            eager=True
-        )
-    w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
-    return (
-        visited.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _GS_K)
-        .select("vec_id", "score", F.col("rk").cast("int").alias("rk"))
-        .orderBy("rk")
+    return graph_beam_search(
+        g, spark.table("embeddings"), _anchor_vec(spark),
+        k=_GS_K, n_entries=_GS_ENTRIES, beam=_GS_BEAM, rounds=_GS_ROUNDS,
     )

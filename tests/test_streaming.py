@@ -942,3 +942,43 @@ def test_knn_graph_stream_equals_batch(spark, tmp_path):
         for r in spark.read.parquet(index_dir + "/edges").collect()
     }
     assert again == got
+
+
+def test_beam_search_over_streamed_graph(spark, tmp_path):
+    """Substrate composition (r7): the beam walk runs unchanged over the
+    STREAM-MAINTAINED edges and — because the maintained graph equals
+    the uncapped batch graph — returns exactly the hits of the same walk
+    over a batch-built graph on the same corpus."""
+    from pyspark.sql import functions as F
+
+    from esco_neo4j_spark.operators.similarity import (
+        graph_beam_search,
+        lsh_knn_graph,
+    )
+    from esco_neo4j_spark.streaming.knn import process_knn_batch
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 200)
+    )
+    index_dir = str(tmp_path / "knn")
+    for i in range(3):
+        process_knn_batch(
+            emb.filter(f"vec_id % 3 = {i}"), index_dir, dim=64,
+            k=3, n_planes=5, n_tables=10,
+        )
+    streamed_edges = spark.read.parquet(index_dir + "/edges")
+    batch_edges = lsh_knn_graph(
+        emb, k=3, cand_cap=10**6, n_planes=5, n_tables=10, max_bucket=None
+    )
+    anchor = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    got = [
+        tuple(r)
+        for r in graph_beam_search(streamed_edges, emb, anchor).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in graph_beam_search(batch_edges, emb, anchor).collect()
+    ]
+    assert got == want and len(got) == 10
