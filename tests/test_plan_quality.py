@@ -761,3 +761,26 @@ def test_catalog_front_door_plan_equivalence(spark):
     assert "PartitionFilters" in p or "CatalogFileIndex" in p or (
         "rel_type" in p
     )
+
+
+def test_temperature_mix_broadcasts_rates(spark):
+    """r7: the (languages)-sized rate table must broadcast back onto the
+    corpus — the sampling filter never shuffles the documents scan."""
+    plan = _plan(spark, "pipeline_temperature_mix")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        assert "doc_id" not in m.group(1), (
+            "documents shuffled on the sampling path: " + m.group(1)
+        )
+
+
+def test_graph_search_no_cartesian_and_bounded_joins(spark):
+    """r7: every stage of the beam walk is an equi-join or a bounded
+    top-k — no cartesian/nested-loop anywhere despite the iterative
+    construction."""
+    plan = _plan(spark, "vec_graph_search")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
