@@ -1805,3 +1805,73 @@ def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "pipeline_length_buckets",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(lower(text),
+                 '[^a-z0-9'']+'), x -> x <> '')) AS n
+      FROM documents WHERE text IS NOT NULL
+    ),
+    b AS (
+      SELECT doc_id, n,
+             CASE WHEN n <= 1 THEN 0
+                  ELSE CAST(ceil(log2(CAST(n AS DOUBLE))) AS INT)
+             END AS bucket
+      FROM toks
+    ),
+    agg AS (
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(max(n) AS BIGINT) AS max_len,
+             CAST(sum(n) AS BIGINT) AS sum_tokens
+      FROM b GROUP BY bucket
+    )
+    SELECT bucket, n_docs, max_len, sum_tokens,
+           CAST(n_docs * max_len - sum_tokens AS BIGINT) AS padding_waste,
+           CAST(round(CAST(n_docs * max_len - sum_tokens AS DOUBLE)
+                      / (n_docs * max_len), 6) AS DOUBLE) AS waste_ratio
+    FROM agg ORDER BY bucket
+    """,
+    survey_ops="pipeline-batching(ext),D2",
+    tables=("documents",),
+)
+def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching report — the padding-efficiency pass a
+    training pipeline runs before building batches: bucket documents by
+    power-of-two token-length bands (pad-to-bucket-max is the standard
+    batching contract) and report each bucket's document count, padded
+    length, real tokens, and padding waste. Everything is exact integer
+    arithmetic off the token counts, so the whole report is
+    value-oracled; the waste_ratio column is what justifies (or not)
+    adding more buckets. One groupBy with map-side partials — the
+    report is O(log(max_len)) rows at any corpus size."""
+    toks = spark.table("documents").filter(F.col("text").isNotNull()).select(
+        "doc_id", F.size(word_tokens(F.col("text"))).alias("n")
+    )
+    bucket = F.when(F.col("n") <= 1, F.lit(0)).otherwise(
+        F.ceil(F.log2(F.col("n").cast("double"))).cast("int")
+    )
+    agg = (
+        toks.select(bucket.alias("bucket"), "n")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.max("n").cast("bigint").alias("max_len"),
+            F.sum("n").cast("bigint").alias("sum_tokens"),
+        )
+    )
+    waste = F.col("n_docs") * F.col("max_len") - F.col("sum_tokens")
+    return agg.select(
+        "bucket",
+        "n_docs",
+        "max_len",
+        "sum_tokens",
+        waste.cast("bigint").alias("padding_waste"),
+        F.round(
+            waste.cast("double") / (F.col("n_docs") * F.col("max_len")), 6
+        ).alias("waste_ratio"),
+    ).orderBy("bucket")
