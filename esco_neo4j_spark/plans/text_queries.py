@@ -1875,3 +1875,132 @@ def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             waste.cast("double") / (F.col("n_docs") * F.col("max_len")), 6
         ).alias("waste_ratio"),
     ).orderBy("bucket")
+
+
+@query(
+    "pipeline_dataset_card",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, lang, text,
+             len(list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                 '[^a-z0-9'']+'), x -> x <> '')) AS n
+      FROM documents
+    ),
+    base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS total_tokens,
+             CAST(sum(CASE WHEN text IS NULL OR length(text) = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_en,
+             CAST(count(DISTINCT md5(coalesce(text, ''))) AS BIGINT)
+               AS n_distinct
+      FROM toks
+    ),
+    med AS (
+      SELECT n AS median_tokens FROM (
+        SELECT n, row_number() OVER (ORDER BY n, doc_id) AS rk,
+               count(*) OVER () AS cnt
+        FROM toks)
+      WHERE rk = CAST(ceil(cnt / 2.0) AS BIGINT)
+    )
+    SELECT metric, CAST(value AS DOUBLE) AS value FROM (
+      SELECT 'n_docs' AS metric, n_docs AS value FROM base
+      UNION ALL SELECT 'total_tokens', total_tokens FROM base
+      UNION ALL SELECT 'mean_tokens',
+        round(CAST(total_tokens AS DOUBLE) / n_docs, 6) FROM base
+      UNION ALL SELECT 'median_tokens', median_tokens FROM med
+      UNION ALL SELECT 'share_en',
+        round(CAST(n_en AS DOUBLE) / n_docs, 6) FROM base
+      UNION ALL SELECT 'empty_docs', n_empty FROM base
+      UNION ALL SELECT 'exact_dup_rate',
+        round(1.0 - CAST(n_distinct AS DOUBLE) / n_docs, 6) FROM base
+    ) ORDER BY metric
+    """,
+    survey_ops="pipeline-datasheet(ext),D1,D5",
+    tables=("documents",),
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card — the datasheet a released training corpus ships
+    with, computed as ONE query: document and token totals, exact median
+    document length (rank statistic over integer counts — no
+    approximation), language share, empty-document count, and the exact
+    duplicate rate (1 - distinct md5(text) / docs). Every metric is
+    integer arithmetic or one rounded ratio of exact integers, so the
+    whole card is value-oracled. Shuffles: one global agg with map-side
+    partials, one sort for the median rank — both bounded; at 100 TB
+    the median moves to the two-pass exact-quantile recipe
+    (ext_exact_quantiles_twopass) and everything else is unchanged."""
+    from pyspark.sql import Window
+
+    toks = spark.table("documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(word_tokens(F.coalesce(F.col("text"), F.lit("")))).alias("n"),
+    )
+    base = toks.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.sum(
+            F.when(
+                F.col("text").isNull() | (F.length("text") == 0), 1
+            ).otherwise(0)
+        ).cast("bigint").alias("n_empty"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_en"),
+        F.countDistinct(F.md5(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("bigint")
+        .alias("n_distinct"),
+    )
+    w = Window.orderBy("n", "doc_id")
+    med = (
+        toks.withColumn("rk", F.row_number().over(w))
+        .withColumn("cnt", F.count("*").over(Window.partitionBy()))
+        .filter(
+            F.col("rk")
+            == F.ceil(F.col("cnt") / F.lit(2.0)).cast("bigint")
+        )
+        .select(F.col("n").alias("median_tokens"))
+    )
+    def row(metric, value):
+        return F.struct(
+            F.lit(metric).alias("metric"),
+            value.cast("double").alias("value"),
+        )
+
+    card = base.crossJoin(F.broadcast(med)).select(
+        F.explode(
+            F.array(
+                row("n_docs", F.col("n_docs")),
+                row("total_tokens", F.col("total_tokens")),
+                row(
+                    "mean_tokens",
+                    F.round(
+                        F.col("total_tokens").cast("double")
+                        / F.col("n_docs"),
+                        6,
+                    ),
+                ),
+                row("median_tokens", F.col("median_tokens")),
+                row(
+                    "share_en",
+                    F.round(
+                        F.col("n_en").cast("double") / F.col("n_docs"), 6
+                    ),
+                ),
+                row("empty_docs", F.col("n_empty")),
+                row(
+                    "exact_dup_rate",
+                    F.round(
+                        F.lit(1.0)
+                        - F.col("n_distinct").cast("double")
+                        / F.col("n_docs"),
+                        6,
+                    ),
+                ),
+            )
+        ).alias("r")
+    )
+    return card.select("r.metric", "r.value").orderBy("metric")
