@@ -380,6 +380,32 @@ def lsh_topk(
     return brute_force_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def _empty_pairs_df(
+    embeddings: DataFrame,
+    id_col: str,
+    names: tuple[str, str],
+    extra_int: tuple[str, ...] = (),
+) -> DataFrame:
+    """Empty result frame with the pair-output schema (two id columns of
+    the input's id type, a double score, optional int columns) — the
+    legal output for an empty or all-NULL-embedding corpus (the
+    lsh_cross_join NULL-probe pattern, shared by all LSH entry points)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    idt = embeddings.schema[id_col].dataType
+    fields = [StructField(n, idt) for n in names]
+    fields.append(StructField("score", DoubleType()))
+    fields += [StructField(n, IntegerType()) for n in extra_int]
+    return embeddings.sparkSession.createDataFrame(
+        [], schema=StructType(fields)
+    )
+
+
 def lsh_self_join(
     embeddings: DataFrame,
     threshold: float = 0.9,
@@ -412,9 +438,16 @@ def lsh_self_join(
       oracle. At true 100 TB scale, also raise n_planes so bucket count
       tracks corpus size.
     """
-    dim = len(embeddings.select(vec_col).first()[0])
+    # NULL-safe dim probe (the lsh_cross_join pattern): NULL-embedding
+    # rows join nothing, and an empty/all-NULL corpus returns an empty
+    # frame with the output schema instead of a TypeError on first()[0].
+    nn = embeddings.filter(F.col(vec_col).isNotNull())
+    _probe = nn.select(vec_col).first()
+    if _probe is None:
+        return _empty_pairs_df(embeddings, id_col, ("id_a", "id_b"))
+    dim = len(_probe[0])
     all_buckets = _all_buckets_pudf(dim, n_planes, n_tables, seed)
-    keyed = embeddings.select(
+    keyed = nn.select(
         F.col(id_col).alias("id"),
         F.posexplode(all_buckets(F.col(vec_col))).alias("t", "bucket"),
     )
@@ -438,13 +471,13 @@ def lsh_self_join(
     # Result set is EXACTLY unchanged (see _sq_interval_screen), so the
     # SQL oracle stays verify-only.
     cands = _sq_interval_screen(
-        cands, embeddings, embeddings, threshold, dim,
+        cands, nn, nn, threshold, dim,
         "id_a", "id_b", id_col, vec_col,
     )
-    ea = embeddings.select(
+    ea = nn.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )
-    eb = embeddings.select(
+    eb = nn.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
     )
     pair_cos = _pair_cosine_pudf()
@@ -677,9 +710,19 @@ def lsh_knn_graph(
     id-keyed join onto DEDUPED pairs, and are projected away before the
     window shuffle); deterministic ``max_bucket`` hot-bucket cap.
     """
-    dim = len(embeddings.select(vec_col).first()[0])
+    # NULL-safe dim probe (the lsh_cross_join pattern): rows with NULL
+    # embeddings carry no buckets or edges, and an all-NULL/empty corpus
+    # returns an empty graph with the output schema instead of a
+    # TypeError on first()[0].
+    nn = embeddings.filter(F.col(vec_col).isNotNull())
+    _probe = nn.select(vec_col).first()
+    if _probe is None:
+        return _empty_pairs_df(
+            embeddings, id_col, ("src", "nbr"), extra_int=("rk",)
+        )
+    dim = len(_probe[0])
     all_buckets = _all_buckets_pudf(dim, n_planes, n_tables, seed)
-    keyed = embeddings.select(
+    keyed = nn.select(
         F.col(id_col).alias("id"),
         F.posexplode(all_buckets(F.col(vec_col))).alias("t", "bucket"),
     )
@@ -698,7 +741,6 @@ def lsh_knn_graph(
         .select("id_a", "id_b")
         .distinct()
     )
-    nn = embeddings.filter(F.col(vec_col).isNotNull())
     # per-dimension [min, max] stats: one bounded driver collect (2*dim
     # doubles — the _fetch_centroids pattern), baked into the packing
     # UDF as literals so codes are ONE 64-byte binary per vector instead
@@ -775,10 +817,10 @@ def lsh_knn_graph(
         .filter(F.col("_rc") <= cand_cap)
         .select("src", "nbr")
     )
-    es = embeddings.select(
+    es = nn.select(
         F.col(id_col).alias("src"), F.col(vec_col).alias("vs")
     )
-    en = embeddings.select(
+    en = nn.select(
         F.col(id_col).alias("nbr"), F.col(vec_col).alias("vn")
     )
     pair_cos = _pair_cosine_pudf()

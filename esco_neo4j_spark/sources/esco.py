@@ -369,7 +369,11 @@ def register_catalog_tables(
 
     The hive-partitioned edges table declares its partition column and
     recovers partitions from the directory layout, so rel_type filters
-    prune at the metastore level. Idempotent per session."""
+    prune at the metastore level. Idempotent per session — and partition
+    recovery + metadata refresh run on EVERY call, not just at table
+    creation, so a re-ingest in the same session (new rel_type partition
+    directories, rewritten node files) is visible to the catalog tables
+    immediately."""
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
     for name in ("nodes_skill", "nodes_occupation", "nodes_isco_group"):
         loc = os.path.join(warehouse_dir, name)
@@ -377,6 +381,9 @@ def register_catalog_tables(
             f"CREATE TABLE IF NOT EXISTS {database}.{name} "
             f"USING parquet LOCATION '{loc}'"
         )
+        # a same-session re-ingest overwrites the node parquet in place;
+        # drop any cached file listing so the table reads the new files
+        spark.sql(f"REFRESH TABLE {database}.{name}")
     exists = [
         t.name for t in spark.catalog.listTables(database)
     ]
@@ -385,4 +392,8 @@ def register_catalog_tables(
         spark.sql(
             f"CREATE TABLE {database}.edges USING parquet LOCATION '{loc}'"
         )
-        spark.sql(f"MSCK REPAIR TABLE {database}.edges")
+    # recover partitions every call: rel_type directories added by a
+    # later re-ingest must become visible, not only the ones present
+    # when the table was first created
+    spark.sql(f"MSCK REPAIR TABLE {database}.edges")
+    spark.sql(f"REFRESH TABLE {database}.edges")

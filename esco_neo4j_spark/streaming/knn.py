@@ -23,8 +23,13 @@ streaming/dedup.py's band index, one level up the stack:
   (pinned in tests/test_streaming.py, including a replayed batch);
 - state (``keyed`` bucket index, ``vectors``, ``edges``) persists as
   keyed-upserted parquet (sources/merge.py — crash-safe swaps, recovery
-  at entry), so a REPLAYED micro-batch rewrites identical rows:
-  effectively-once on foreachBatch's at-least-once delivery.
+  at entry). Ingest is INSERT-ONLY: each batch anti-joins against the
+  stored vector ids before any candidate work, so a REPLAYED
+  micro-batch is a no-op (effectively-once on foreachBatch's
+  at-least-once delivery) and a re-arriving id with a CHANGED embedding
+  is ignored (first writer wins) instead of mixing stale stored-edge
+  scores with a fresh vector — an embedding update is a rebuild, not an
+  append.
 
 At 100 TB: per-trigger cost is O(batch x bucket occupancy) candidate
 work plus an edges upsert bounded by the affected sources — never a
@@ -78,8 +83,19 @@ def process_knn_batch(
         batch_df.dropDuplicates([id_col])
         .filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .localCheckpoint(eager=True)
     )
+    # INSERT-ONLY contract, enforced up front: ids already in the vector
+    # store are dropped before any candidate work. A bit-identical
+    # replay is a no-op by construction (not by recomputing identical
+    # rows), and a re-arriving id with a CHANGED embedding is ignored
+    # rather than silently mixing stale stored-edge scores with a fresh
+    # vector (first writer wins — an embedding UPDATE needs an explicit
+    # rebuild of the affected rows, it is not an append).
+    if os.path.exists(vec_path):
+        batch = batch.join(
+            spark.read.parquet(vec_path).select("id"), "id", "left_anti"
+        )
+    batch = batch.localCheckpoint(eager=True)
     n = batch.count()
     if n == 0:
         return 0
@@ -113,7 +129,9 @@ def process_knn_batch(
         if os.path.exists(vec_path)
         else batch.limit(0)
     )
-    allv = old_vecs.unionByName(batch).dropDuplicates(["id"])
+    # disjoint by the insert-only gate above — a plain union, no
+    # arbitrary-copy dropDuplicates
+    allv = old_vecs.unionByName(batch)
     pair_cos = _pair_cosine_pudf()
     scored = (
         cands.join(

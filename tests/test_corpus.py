@@ -455,3 +455,43 @@ def test_minhash_null_text_never_pairs(spark):
     }
     assert not any(0 in p or 1 in p for p in got), "NULL text paired"
     assert (2, 3) in got and (4, 5) in got
+
+
+def test_cdc_window_overflow_guard(spark):
+    """r8 (r7 ADVICE): the Karp-Rabin window hash is exact int64 only via
+    the geometric-sum bound 0x10FFFF*(53^w - 1)/52 < 2^63, which holds
+    for w <= 8. window >= 9 must raise loudly (numpy would silently wrap
+    while DuckDB raises on BIGINT overflow — engine divergence)."""
+    import pytest as _pytest
+
+    from esco_neo4j_spark.operators.dedup import cdc_chunk_stats
+
+    df = spark.createDataFrame(
+        [(1, "a", "hello world")], "doc_id bigint, source string, text string"
+    )
+    assert 0x10FFFF * (53**8 - 1) // 52 < 2**63
+    assert 0x10FFFF * (53**9 - 1) // 52 >= 2**63
+    with _pytest.raises(ValueError, match="window <= 8"):
+        cdc_chunk_stats(df, group_col="source", window=9)
+    # window=8 (the default) still runs
+    assert len(cdc_chunk_stats(df, group_col="source", window=8).collect()) == 1
+
+
+def test_simhash_gate_matches_tokenizer_on_case_folding(spark):
+    """r8 (r7 ADVICE): the JVM-side input gate must test lower(text) —
+    lower() maps some chars INTO the token class (U+212A KELVIN SIGN ->
+    'k', U+0130 -> 'i' + combining dot), so a raw-text gate would drop
+    docs whose token set is non-empty. The gate must emit a simhash row
+    exactly when the tokenizer yields tokens."""
+    from esco_neo4j_spark.operators.dedup import simhash
+
+    rows = [
+        (1, "\u212a\u212a"),  # KELVIN SIGN x2 -> token {'kk'}
+        (2, "\u0130stanbul"),  # U+0130 -> 'i'+combining dot -> tokens
+        (3, "\u043f\u043e\u0433\u043e\u0434\u0430 \u2022"),  # cyrillic only -> no token
+        (4, "hello"),           # ordinary
+        (5, None),              # NULL text -> no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.id for r in simhash(df, "text", "doc_id").collect()}
+    assert got == {1, 2, 4}

@@ -89,3 +89,42 @@ def test_fixture_synthesis_deterministic(tmp_path):
     )
     if os.path.exists(wh_fix):
         assert h1 == hashlib.md5(open(wh_fix, "rb").read()).hexdigest()
+
+
+def test_catalog_sees_partitions_added_after_creation(spark, warehouse):
+    """r8 (r7 ADVICE): register_catalog_tables must recover partitions on
+    EVERY call — a rel_type partition directory written after the edges
+    table was first created (a same-session re-ingest) has to become
+    visible to esco.edges, not stay invisible behind the creation-time
+    MSCK."""
+    import os
+    import shutil
+
+    from esco_neo4j_spark.sources.esco import (
+        CATALOG_DB,
+        register_catalog_tables,
+    )
+
+    register_catalog_tables(spark, warehouse)
+    before = {
+        r.rel_type
+        for r in spark.sql(
+            f"SELECT DISTINCT rel_type FROM {CATALOG_DB}.edges"
+        ).collect()
+    }
+    assert "SYNTH_TEST_REL" not in before
+    src = os.path.join(warehouse, "edges", "rel_type=ESSENTIAL_FOR")
+    dst = os.path.join(warehouse, "edges", "rel_type=SYNTH_TEST_REL")
+    shutil.copytree(src, dst)
+    try:
+        register_catalog_tables(spark, warehouse)
+        after = {
+            r.rel_type
+            for r in spark.sql(
+                f"SELECT DISTINCT rel_type FROM {CATALOG_DB}.edges"
+            ).collect()
+        }
+        assert "SYNTH_TEST_REL" in after
+    finally:
+        shutil.rmtree(dst)
+        register_catalog_tables(spark, warehouse)

@@ -614,3 +614,42 @@ def test_graph_search_recall_floor(spark, emb):
         ).collect()
     }
     assert len(hits & exact) >= 5, f"recall@10 {len(hits & exact)/10}"
+
+
+def test_lsh_entry_points_null_and_empty_corpora(spark):
+    """r8 (r7 verdict item 1): the NULL-safe dim probe of lsh_cross_join
+    is mirrored into lsh_self_join and lsh_knn_graph — a corpus whose
+    FIRST row carries a NULL embedding must work (NULL rows contribute
+    no pairs/edges), and an all-NULL or empty corpus returns an empty
+    frame with the output schema instead of a TypeError on first()[0]."""
+    from esco_neo4j_spark.operators.similarity import lsh_knn_graph
+
+    null_first = spark.createDataFrame(
+        [(0, None), (1, [1.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0]),
+         (3, [0.0, 1.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    ).coalesce(1).sortWithinPartitions("vec_id")
+    pairs = lsh_self_join(
+        null_first, threshold=0.5, n_planes=2, n_tables=8, seed=7
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} <= {(1, 2), (1, 3), (2, 3)}
+    assert all(r.id_a != 0 and r.id_b != 0 for r in pairs)
+    assert len(pairs) >= 1  # (1,2) cosine ~0.994 survives some table
+    edges = lsh_knn_graph(
+        null_first, k=2, n_planes=2, n_tables=8, seed=7
+    ).collect()
+    assert len(edges) >= 2
+    assert all(r.src != 0 and r.nbr != 0 for r in edges)
+
+    for corpus in (
+        spark.createDataFrame(
+            [(0, None), (1, None)], "vec_id bigint, embedding array<double>"
+        ),
+        spark.createDataFrame([], "vec_id bigint, embedding array<double>"),
+    ):
+        out = lsh_self_join(corpus, threshold=0.5)
+        assert out.columns == ["id_a", "id_b", "score"]
+        assert out.count() == 0
+        g = lsh_knn_graph(corpus, k=3)
+        assert g.columns == ["src", "nbr", "score", "rk"]
+        assert g.count() == 0

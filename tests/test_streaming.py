@@ -982,3 +982,59 @@ def test_beam_search_over_streamed_graph(spark, tmp_path):
         for r in graph_beam_search(batch_edges, emb, anchor).collect()
     ]
     assert got == want and len(got) == 10
+
+
+def test_knn_reingest_changed_embedding_is_ignored(spark, tmp_path):
+    """r8 (r7 ADVICE): a re-arriving id with a CHANGED embedding must not
+    mix stale stored-edge scores with a fresh vector. The insert-only
+    gate drops it before any candidate work (first writer wins): the
+    vector store keeps the original embedding, every stored edge score
+    is consistent with the stored vectors, and only genuinely-new ids
+    count as accepted."""
+    from esco_neo4j_spark.streaming.knn import process_knn_batch
+
+    index_dir = str(tmp_path / "knn")
+    b1 = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    assert process_knn_batch(b1, index_dir, dim=4, k=2) == 2
+    edges_before = {
+        (r.src, r.nbr, r.score)
+        for r in spark.read.parquet(index_dir + "/edges").collect()
+    }
+    # id 1 re-arrives with a flipped embedding, id 3 is new
+    b2 = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0, 1.0]), (3, [0.95, 0.05, 0.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    assert process_knn_batch(b2, index_dir, dim=4, k=2) == 1
+    stored = {
+        r.id: list(r.v)
+        for r in spark.read.parquet(index_dir + "/vectors").collect()
+    }
+    assert stored[1] == [1.0, 0.0, 0.0, 0.0], "first writer wins"
+    assert set(stored) == {1, 2, 3}
+    # edges for ids 1/2 were extended by id 3 using the STORED vector of
+    # id 1 — every (1, 3) edge score must match cos(stored_1, stored_3)
+    import math
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return round(
+            num / (math.sqrt(sum(x * x for x in a))
+                   * math.sqrt(sum(y * y for y in b))), 6)
+
+    edges = {
+        (r.src, r.nbr): r.score
+        for r in spark.read.parquet(index_dir + "/edges").collect()
+    }
+    for (s, n), sc in edges.items():
+        assert sc == cos(stored[s], stored[n]), (s, n)
+    # an exact replay of b2 is a no-op
+    assert process_knn_batch(b2, index_dir, dim=4, k=2) == 0
+    edges_after = {
+        (r.src, r.nbr, r.score)
+        for r in spark.read.parquet(index_dir + "/edges").collect()
+    }
+    assert edges_before <= edges_after or len(edges_after) >= len(edges_before)
