@@ -775,16 +775,32 @@ def derive_semdedup_k(
     return max(base_k, min(max_k, math.ceil(n_rows / target_cluster)))
 
 
+def derive_semdedup_coarse(k: int, *, flat_max_k: int = 32) -> int:
+    """Coarse-layer size for the two-level SemDeDup assignment: 0 (flat
+    N x k assignment) while k is small, else ceil(sqrt(k)) — the r8 fix
+    for the assignment stage itself re-quadratizing. With k ~ N/256 the
+    flat assignment is k*N = N^2/256 cosines (the measured super-linear
+    tail at 3x data); routing through m = sqrt(k) coarse centroids costs
+    N*m + N*(k/m) ~= 2*N*sqrt(k) — O(N^1.5) with a tiny constant, and the
+    SQL oracle builder derives the identical m from the identical k."""
+    import math
+
+    return 0 if k <= flat_max_k else math.ceil(math.sqrt(k))
+
+
 def _semdedup_k(sf_dir: str) -> int:
     from esco_neo4j_spark.catalog import table_rowcount
 
     return derive_semdedup_k(table_rowcount(sf_dir, "embeddings"))
 
 
-def _semdedup_sql(sf_dir: str) -> str:
-    k = _semdedup_k(sf_dir)
-    return f"""
-    WITH c AS (
+def _semdedup_assign_sql(k: int, m: int) -> str:
+    """CTE block (c, ..., a) computing the cluster assignment — flat
+    argmax for m == 0, two-level coarse->fine otherwise. Both levels
+    break ties on the 6dp-rounded score to the LOWEST centroid id, same
+    as the Spark plan."""
+    if m == 0:
+        return f"""c AS (
       SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
       FROM embeddings WHERE vec_id < {k}),
     s AS (
@@ -796,7 +812,50 @@ def _semdedup_sql(sf_dir: str) -> str:
       SELECT vec_id, cid AS cluster FROM (
         SELECT *, row_number() OVER (
           PARTITION BY vec_id ORDER BY s DESC, cid) AS rk FROM s)
+      WHERE rk = 1)"""
+    return f"""c AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id < {k}),
+    co AS (
+      SELECT vec_id AS mid, CAST(embedding AS DOUBLE[]) AS mvec
+      FROM embeddings WHERE vec_id < {m}),
+    f2c AS (
+      SELECT cid, mid FROM (
+        SELECT c.cid, co.mid, row_number() OVER (
+          PARTITION BY c.cid
+          ORDER BY round(list_cosine_similarity(c.cvec, co.mvec), 6)
+            DESC, co.mid) AS rk
+        FROM c CROSS JOIN co)
       WHERE rk = 1),
+    v2c AS (
+      SELECT vec_id, mid FROM (
+        SELECT v.vec_id, co.mid, row_number() OVER (
+          PARTITION BY v.vec_id
+          ORDER BY round(list_cosine_similarity(
+            CAST(v.embedding AS DOUBLE[]), co.mvec), 6) DESC, co.mid
+          ) AS rk
+        FROM embeddings v CROSS JOIN co)
+      WHERE rk = 1),
+    s AS (
+      SELECT v.vec_id, c.cid,
+             round(list_cosine_similarity(
+               CAST(v.embedding AS DOUBLE[]), c.cvec), 6) AS s
+      FROM embeddings v
+      JOIN v2c ON v2c.vec_id = v.vec_id
+      JOIN f2c ON f2c.mid = v2c.mid
+      JOIN c ON c.cid = f2c.cid),
+    a AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY s DESC, cid) AS rk FROM s)
+      WHERE rk = 1)"""
+
+
+def _semdedup_sql(sf_dir: str) -> str:
+    k = _semdedup_k(sf_dir)
+    m = derive_semdedup_coarse(k)
+    return f"""
+    WITH {_semdedup_assign_sql(k, m)},
     capped AS (
       SELECT vec_id, cluster FROM (
         SELECT vec_id, cluster, row_number() OVER (
@@ -840,6 +899,14 @@ def dedup_semantic_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     - k DERIVES from corpus size (derive_semdedup_k: ~N/256, floor 8 —
       the round-5 fix for the fixed-k O(N²/k) re-quadratization; the
       oracle builder replays the same k from the same parquet metadata).
+    - the ASSIGNMENT is two-level once k > 32 (r8, the r7 verdict's one
+      super-linear tail item): flat argmax over k centroids costs k*N =
+      N²/256 cosines; routing each vector through m = ceil(sqrt(k))
+      coarse centroids (the first m vectors — a PREFIX of the fine
+      centroid set, so every coarse cell holds >= 1 fine centroid) and
+      then argmax-ing only over the fine centroids whose coarse cell it
+      landed in costs ~2*N*sqrt(k). The oracle builder replays the
+      identical two-step argmax with the identical m.
     - per-cluster participation capped at the 512 lowest vec_ids
       (deterministic windowed drop, replayed in the oracle — the
       max_bucket guard the MinHash path uses); with adaptive k the
@@ -851,27 +918,82 @@ def dedup_semantic_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.table("embeddings").filter(F.col("embedding").isNotNull())
     pair_cos = _pair_cosine_pudf()  # Arrow twin of the HOF cosine chain
-    # (bit-exact sequential folds — see lsh_self_join); with adaptive k
-    # the assignment is k x N raw-double cosines (1.6M at sf1), which as
-    # interpreted zip_with+aggregate expressions dominated the r5 audit
-    # (111s); Arrow-batched they cost ~2s
+    # (bit-exact sequential folds — see lsh_self_join); as interpreted
+    # zip_with+aggregate expressions the assignment cosines dominated
+    # the r5 audit (111s); Arrow-batched they cost ~2s at sf1
     k = _semdedup_k(sf_dir)
+    m = derive_semdedup_coarse(k)
     cents = F.broadcast(
         emb.filter(F.col("vec_id") < k).select(
             F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
         )
     )
-    scored = emb.crossJoin(cents).select(
-        "vec_id",
-        "cid",
-        F.round(pair_cos(F.col("embedding"), F.col("cvec")), 6).alias("s"),
-    )
-    wa = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cid"))
-    assign = (
-        scored.withColumn("rk", F.row_number().over(wa))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", F.col("cid").alias("cluster"))
-    )
+
+    def _argmax(scored: DataFrame, part: str, pick: str, out: str,
+                score: str = "s") -> DataFrame:
+        w = Window.partitionBy(part).orderBy(
+            F.desc(score), F.asc(pick)
+        )
+        return (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(part, F.col(pick).alias(out))
+        )
+
+    if m == 0:
+        scored = emb.crossJoin(cents).select(
+            "vec_id",
+            "cid",
+            F.round(
+                pair_cos(F.col("embedding"), F.col("cvec")), 6
+            ).alias("s"),
+        )
+        assign = _argmax(scored, "vec_id", "cid", "cluster")
+    else:
+        coarse = F.broadcast(
+            emb.filter(F.col("vec_id") < m).select(
+                F.col("vec_id").alias("mid"),
+                F.col("embedding").alias("mvec"),
+            )
+        )
+        # fine centroid -> coarse cell (k x m, broadcast both sides)
+        f2c = _argmax(
+            cents.crossJoin(coarse).select(
+                "cid",
+                "mid",
+                F.round(pair_cos(F.col("cvec"), F.col("mvec")), 6).alias(
+                    "s"
+                ),
+            ),
+            "cid", "mid", "mid",
+        )
+        # vector -> coarse cell (N x m against the broadcast coarse set;
+        # the argmax window shuffles ids + one scalar only)
+        v2c = _argmax(
+            emb.crossJoin(coarse).select(
+                "vec_id",
+                "mid",
+                F.round(
+                    pair_cos(F.col("embedding"), F.col("mvec")), 6
+                ).alias("s"),
+            ),
+            "vec_id", "mid", "mid",
+        )
+        # vector -> fine, argmax ONLY over the fines in its coarse cell
+        # (~k/m each); the cell routing table (k rows) broadcasts
+        cell_fines = F.broadcast(f2c.join(cents, "cid"))
+        scored = (
+            emb.join(v2c, "vec_id")
+            .join(cell_fines, "mid")
+            .select(
+                "vec_id",
+                "cid",
+                F.round(
+                    pair_cos(F.col("embedding"), F.col("cvec")), 6
+                ).alias("s"),
+            )
+        )
+        assign = _argmax(scored, "vec_id", "cid", "cluster")
     wcap = Window.partitionBy("cluster").orderBy("vec_id")
     assign = (
         assign.withColumn("rnc", F.row_number().over(wcap))

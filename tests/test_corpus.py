@@ -495,3 +495,60 @@ def test_simhash_gate_matches_tokenizer_on_case_folding(spark):
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     got = {r.id for r in simhash(df, "text", "doc_id").collect()}
     assert got == {1, 2, 4}
+
+
+def test_semdedup_two_level_assignment_matches_oracle(spark, tmp_path):
+    """r8 (r7 verdict item 3): once k > 32 the SemDeDup assignment goes
+    two-level (vector -> coarse cell -> fine argmax within the cell).
+    The shipped testdata never triggers that branch (N <= 2048 -> k=8),
+    so this synthesizes a corpus big enough (N=8448 -> k=33, m=6) and
+    pins Spark == DuckDB exactly on the TWO-LEVEL plan, plus the m
+    derivation itself."""
+    import os
+    import random
+
+    import duckdb
+
+    from esco_neo4j_spark.plans.dedup_queries import (
+        _semdedup_k,
+        derive_semdedup_coarse,
+    )
+    from esco_neo4j_spark.plans.registry import REGISTRY, resolve_sql
+
+    assert derive_semdedup_coarse(8) == 0
+    assert derive_semdedup_coarse(32) == 0
+    assert derive_semdedup_coarse(33) == 6
+    assert derive_semdedup_coarse(235) == 16
+
+    rng = random.Random(11)
+    n, dim = 8448, 64
+    rows = [
+        (i, [round(rng.gauss(0.0, 1.0), 4) for _ in range(dim)])
+        for i in range(n)
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    ).coalesce(4).write.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    k = _semdedup_k(sf_dir)
+    m = derive_semdedup_coarse(k)
+    assert (k, m) == (33, 6), "corpus must exercise the two-level branch"
+
+    q = REGISTRY["dedup_semantic_bucketed"]
+    got = sorted(
+        (r.vec_id, r.cluster, r.canonical_id)
+        for r in q.fn(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+        f"'{sf_dir}/embeddings.parquet/*.parquet')"
+    )
+    want = sorted(
+        (r["vec_id"], r["cluster"], r["canonical_id"])
+        for r in con.execute(resolve_sql(q, sf_dir)).fetchdf().to_dict(
+            "records"
+        )
+    )
+    assert got == want and len(got) > 0
