@@ -1790,9 +1790,12 @@ def graph_beam_search(
     rounds: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    entry_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Greedy beam walk over a kNN graph (the HNSW/NSG search pattern on
-    one layer): start from the ``n_entries`` lowest-id vectors, per
+    one layer): start from the ``n_entries`` lowest-id vectors (or from
+    an explicit ``entry_ids`` (vec_id) frame — how a LAYERED search
+    seeds the base walk from the coarse layers' descent), per
     round expand the top-``beam`` visited vectors' graph neighbors and
     exact-score newcomers against the query, return the top-k of
     everything visited as (vec_id, score, rk). Works on ANY (src, nbr)
@@ -1812,11 +1815,13 @@ def graph_beam_search(
         )
 
     g = edges.select("src", "nbr")
-    visited = scored(
-        e.select(F.col(id_col).alias("vec_id"))
-        .orderBy("vec_id")
-        .limit(n_entries)
-    ).localCheckpoint(eager=True)
+    if entry_ids is None:
+        entry_ids = (
+            e.select(F.col(id_col).alias("vec_id"))
+            .orderBy("vec_id")
+            .limit(n_entries)
+        )
+    visited = scored(entry_ids).localCheckpoint(eager=True)
     for _ in range(rounds):
         frontier = visited.orderBy(F.desc("score"), F.asc("vec_id")).limit(
             beam

@@ -1292,16 +1292,30 @@ def _knn_params(sf_dir: str) -> tuple[int, int]:
 _KNN_CAND_CAP = 16  # per-src pool size ahead of the exact-cosine verify
 
 
-def _knn_graph_sql(sf_dir: str) -> str:
+def _knn_graph_sql(sf_dir: str, stride: int = 1) -> str:
     """Replay of lsh_knn_graph: banding (same hyperplane literals),
     hot-bucket cap, SQ8 codes from the same min/max stats, ONE exact
     int dot per deduped pair, per-src rank on dot/sqrt(cn2(nbr))
     (exact ints into IEEE sqrt/divide — bit-identical to Spark),
     deterministic top-``_KNN_CAND_CAP`` pool, exact cosine on the pool
-    only, top-3 rank."""
+    only, top-3 rank. ``stride`` > 1 builds the graph over the LAYER
+    ``vec_id % stride = 0`` (the layered-search coarse graphs), with
+    banding — and the SQ8 min/max stats — derived from the layer's own
+    row count, exactly as the Spark plan derives them."""
     from esco_neo4j_spark.operators.similarity import _hyperplanes
 
-    n_planes, n_tables = _knn_params(sf_dir)
+    if stride == 1:
+        n_planes, n_tables = _knn_params(sf_dir)
+        lfilter = ""
+    else:
+        from esco_neo4j_spark.catalog import table_rowcount
+        from esco_neo4j_spark.operators.similarity import derive_lsh_params
+
+        n = table_rowcount(sf_dir, "embeddings")
+        n_planes, n_tables = derive_lsh_params(
+            -(-n // stride), base_tables=8
+        )
+        lfilter = f" WHERE vec_id % {stride} = 0"
     dim, max_bucket = 64, 1024
     all_planes = _hyperplanes(dim, n_planes * n_tables, 42)
     arms = []
@@ -1310,7 +1324,7 @@ def _knn_graph_sql(sf_dir: str) -> str:
         arms.append(
             f"SELECT vec_id, {t} AS t,"
             f" {_lsh_bucket_sql('embedding', planes)} AS bucket"
-            " FROM embeddings"
+            f" FROM embeddings{lfilter}"
         )
     keyed = "\n      UNION ALL\n      ".join(arms)
     pair_cos = (
@@ -1333,7 +1347,8 @@ def _knn_graph_sql(sf_dir: str) -> str:
       WHERE x.vec_id < y.vec_id
     ),
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-          FROM embeddings WHERE embedding IS NOT NULL),
+          FROM embeddings WHERE embedding IS NOT NULL
+          {"AND vec_id % " + str(stride) + " = 0" if stride > 1 else ""}),
     dims AS (SELECT CAST(j AS INT) AS j FROM range(1, {dim + 1}) t(j)),
     flat AS (SELECT vec_id, j, v[j] AS x FROM e CROSS JOIN dims),
     st AS (SELECT j, min(x) AS mn, max(x) AS mx FROM flat GROUP BY j),
@@ -2231,20 +2246,11 @@ def vec_knn_descent_round(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GS_ENTRIES, _GS_BEAM, _GS_ROUNDS, _GS_K = 4, 12, 3, 10
 
 
-def _graph_search_sql(sf_dir: str) -> str:
-    """Replay: the registered kNN-graph SQL as CTE ``g``, then the beam
-    walk UNROLLED — visited sets only grow and scoring is deterministic,
-    so re-scoring the whole visited set per round equals the engine's
-    incremental accumulation."""
-    base = _knn_graph_sql(sf_dir)
-    cos = f"round({_COS.format(anchor=_ANCHOR_SQL)}, 6)"
-    return f"""
-    WITH g AS ({base}),
-    v0 AS (
-      SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL
-      ORDER BY vec_id LIMIT {_GS_ENTRIES}
-    ),
-    s0 AS (
+def _gs_walk_tail(cos: str) -> str:
+    """The unrolled base-layer beam walk, shared by the flat and layered
+    search oracles: references CTEs ``g`` (the base kNN graph) and
+    ``v0`` (the entry ids) defined by the caller."""
+    return f"""s0 AS (
       SELECT vec_id, {cos} AS score FROM embeddings JOIN v0 USING (vec_id)
     ),
     f0 AS (SELECT vec_id FROM s0 ORDER BY score DESC, vec_id
@@ -2282,6 +2288,95 @@ def _graph_search_sql(sf_dir: str) -> str:
     WHERE rk <= {_GS_K}
     ORDER BY rk
     """
+
+
+def _graph_search_sql(sf_dir: str) -> str:
+    """Replay: the registered kNN-graph SQL as CTE ``g``, then the beam
+    walk UNROLLED — visited sets only grow and scoring is deterministic,
+    so re-scoring the whole visited set per round equals the engine's
+    incremental accumulation."""
+    base = _knn_graph_sql(sf_dir)
+    cos = f"round({_COS.format(anchor=_ANCHOR_SQL)}, 6)"
+    return f"""
+    WITH g AS ({base}),
+    v0 AS (
+      SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL
+      ORDER BY vec_id LIMIT {_GS_ENTRIES}
+    ),
+    {_gs_walk_tail(cos)}"""
+
+
+_GS_LAYER_M = 8  # layer sampling stride (HNSW's 1/M level probability)
+_GS_LAYER_MIN = 32  # smallest layer worth a graph
+
+
+def _gs_strides(n: int) -> list[int]:
+    """Coarse-layer strides for the layered search, TOP layer first:
+    layer j holds the ids divisible by M^j (nested — every layer is a
+    subset of the one below), and layers exist while they'd still hold
+    >= _GS_LAYER_MIN members. Derived from the parquet-footer row count
+    on both engines, like every other scale-adaptive constant."""
+    strides = []
+    j = 1
+    while -(-n // _GS_LAYER_M**j) >= _GS_LAYER_MIN:
+        strides.append(_GS_LAYER_M**j)
+        j += 1
+    if not strides:
+        strides = [_GS_LAYER_M]
+    return list(reversed(strides))
+
+
+def _graph_search_layered_sql(sf_dir: str) -> str:
+    """Replay of the LAYERED search: one nested kNN-graph CTE per coarse
+    layer (banding from the layer's own row count), the one-round
+    descend step per layer, then the shared unrolled base walk seeded by
+    the last layer's survivors."""
+    from esco_neo4j_spark.catalog import table_rowcount
+
+    n = table_rowcount(sf_dir, "embeddings")
+    strides = _gs_strides(n)
+    cos = f"round({_COS.format(anchor=_ANCHOR_SQL)}, 6)"
+    ctes = []
+    entry = None
+    for i, s in enumerate(strides):
+        ctes.append(f"lg{i} AS ({_knn_graph_sql(sf_dir, stride=s)})")
+        if entry is None:
+            ctes.append(
+                f"""le_init AS (
+      SELECT vec_id FROM embeddings
+      WHERE embedding IS NOT NULL AND vec_id % {s} = 0
+      ORDER BY vec_id LIMIT {_GS_ENTRIES})"""
+            )
+            entry = "le_init"
+        ctes.append(
+            f"""lc{i} AS (
+      SELECT vec_id FROM {entry}
+      UNION
+      SELECT g.nbr FROM {entry} b JOIN lg{i} g ON g.src = b.vec_id)"""
+        )
+        ctes.append(
+            f"""ls{i} AS (
+      SELECT vec_id, {cos} AS score
+      FROM embeddings JOIN lc{i} USING (vec_id))"""
+        )
+        ctes.append(
+            f"""le{i} AS (
+      SELECT vec_id FROM ls{i} ORDER BY score DESC, vec_id
+      LIMIT {_GS_ENTRIES})"""
+        )
+        entry = f"le{i}"
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH {chain},
+    g AS ({_knn_graph_sql(sf_dir)}),
+    v0 AS (
+      SELECT vec_id FROM {entry}
+      UNION
+      SELECT vec_id FROM (
+        SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL
+        ORDER BY vec_id LIMIT {_GS_ENTRIES})
+    ),
+    {_gs_walk_tail(cos)}"""
 
 
 @query(
@@ -2330,4 +2425,107 @@ def vec_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_beam_search(
         g, spark.table("embeddings"), _anchor_vec(spark),
         k=_GS_K, n_entries=_GS_ENTRIES, beam=_GS_BEAM, rounds=_GS_ROUNDS,
+    )
+
+
+@query(
+    "vec_graph_search_layered",
+    sql=_graph_search_layered_sql,  # per-sf_dir builder (layers from N)
+    survey_ops="A7(scale),knn-graph(ext),H1,F2",
+    tables=("embeddings",),
+)
+def vec_graph_search_layered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAYERED graph ANN search — the full HNSW shape (r8, r7 verdict
+    item 5): vec_graph_search enters the base kNN graph at the lowest
+    ids, so at 100× corpus the fixed entry points start arbitrarily far
+    from the query and the fixed-budget walk starves. Here entry
+    descends a pyramid of COARSE layers first: layer j holds the ids
+    divisible by M^j (M=8 — the deterministic twin of HNSW's 1/M level
+    coin, nested by construction so every layer is a subset of the one
+    below), each layer carries its own lsh_knn_graph with banding
+    derived from the LAYER's row count, and the walk does one
+    expand-and-rerank round per layer (entries ∪ their layer-graph
+    neighbors, exact-scored, top-``n_entries`` descend). Layer sizes
+    shrink geometrically, so the whole pyramid adds ~1/(M-1) ≈ 14% to
+    the base graph build, the descent costs O(entries · degree) per
+    layer × log_M(N) layers — the O(log N) entry the flat search lacks —
+    and the base walk then runs its usual O(beam · rounds) from entry
+    points already NEAR the query. Value-oracled end to end: the oracle
+    chains one nested graph CTE per layer (same derived banding) plus
+    the descend steps, then the same unrolled base walk.
+
+    Same honest recall regime as vec_graph_search (near-random
+    embeddings don't navigate); the pinned pytest floor compares BOTH
+    searches against the brute-force panel."""
+    from esco_neo4j_spark.catalog import table_rowcount
+    from esco_neo4j_spark.operators.similarity import (
+        _anchor_cosine_pudf,
+        derive_lsh_params,
+        graph_beam_search,
+        lsh_knn_graph,
+    )
+
+    n = table_rowcount(sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    e = emb.filter(F.col("embedding").isNotNull())
+    anchor = _anchor_vec(spark)
+    score_of = _anchor_cosine_pudf(anchor)
+    entries = None
+    for s in _gs_strides(n):
+        layer = emb.filter(F.col("vec_id") % s == 0)
+        lp, lt = derive_lsh_params(-(-n // s), base_tables=8)
+        g = (
+            lsh_knn_graph(
+                layer, k=3, cand_cap=_KNN_CAND_CAP,
+                n_planes=lp, n_tables=lt,
+            )
+            .select("src", "nbr")
+            .localCheckpoint(eager=True)
+        )
+        if entries is None:
+            entries = (
+                e.filter(F.col("vec_id") % s == 0)
+                .select("vec_id")
+                .orderBy("vec_id")
+                .limit(_GS_ENTRIES)
+            )
+        nbrs = (
+            entries.select(F.col("vec_id").alias("src"))
+            .join(g, "src")
+            .select(F.col("nbr").alias("vec_id"))
+        )
+        cand = entries.unionByName(nbrs).distinct()
+        scored = cand.join(
+            e.select("vec_id", "embedding"), "vec_id"
+        ).select(
+            "vec_id", F.round(score_of(F.col("embedding")), 6).alias("score")
+        )
+        entries = (
+            scored.orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(_GS_ENTRIES)
+            .select("vec_id")
+            .localCheckpoint(eager=True)
+        )
+    n_planes, n_tables = _knn_params(sf_dir)
+    g0 = (
+        lsh_knn_graph(
+            emb, k=3, cand_cap=_KNN_CAND_CAP,
+            n_planes=n_planes, n_tables=n_tables,
+        )
+        .select("src", "nbr")
+        .localCheckpoint(eager=True)
+    )
+    # base-walk seeds: the descent survivors UNION the default lowest-id
+    # diversity seeds. The descent alone can land in a near-dup CLIQUE
+    # (its nodes' k edges all point at each other — measured on the
+    # cloned scale corpus, where it converges straight onto the anchor's
+    # clones) and the walk would stall below k visited; the diversity
+    # seeds keep expansion alive without giving up the near-query entry.
+    entries = entries.unionByName(
+        e.select("vec_id").orderBy("vec_id").limit(_GS_ENTRIES)
+    ).distinct()
+    return graph_beam_search(
+        g0, emb, anchor,
+        k=_GS_K, n_entries=_GS_ENTRIES, beam=_GS_BEAM, rounds=_GS_ROUNDS,
+        entry_ids=entries,
     )

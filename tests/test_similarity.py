@@ -653,3 +653,32 @@ def test_lsh_entry_points_null_and_empty_corpora(spark):
         g = lsh_knn_graph(corpus, k=3)
         assert g.columns == ["src", "nbr", "score", "rk"]
         assert g.count() == 0
+
+
+def test_graph_search_layered_recall_floor(spark):
+    """r8 (r7 verdict item 5): the LAYERED search must hold the same
+    adversarial-regime recall floor as the flat walk (its entry descent
+    can only add near-query seeds; the lowest-id diversity seeds are
+    unioned in), and must return a full top-k."""
+    import os
+
+    from esco_neo4j_spark.catalog import load_tables
+    from esco_neo4j_spark.plans.registry import REGISTRY
+    from esco_neo4j_spark.plans.vector_queries import _anchor_vec, _gs_strides
+
+    assert _gs_strides(500) == [8]
+    assert _gs_strides(2000) == [64, 8]
+    assert _gs_strides(20000) == [512, 64, 8]
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    load_tables(spark, sf, ("embeddings",))
+    got = REGISTRY["vec_graph_search_layered"].fn(spark, sf).collect()
+    assert [r["rk"] for r in got] == list(range(1, 11))
+    hits = {r["vec_id"] for r in got}
+    exact = {
+        r.vec_id
+        for r in brute_force_topk(
+            spark.table("embeddings"), _anchor_vec(spark), k=10
+        ).collect()
+    }
+    assert len(hits & exact) >= 5, f"recall@10 {len(hits & exact)/10}"
