@@ -68,13 +68,85 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def get_related_graph(spark: SparkSession, uri: str, node_type: str) -> dict:
+    """Related-entities star for ONE node (reference
+    src/semantic_search.py:111-169): per relationship type, the list of
+    neighbor labels — skills get essential/optional occupations, related
+    (undirected) / broader / narrower skills; occupations get
+    essential/optional skills, ISCO groups, broader/narrower
+    occupations. One point lookup; every collect is bounded by the
+    node's degree."""
+    edges = spark.table("esco_edges")
+    sk = spark.table("esco_skill").select(
+        F.col("conceptUri").alias("_uri"), F.col("preferredLabel").alias("_l")
+    )
+    oc = spark.table("esco_occupation").select(
+        F.col("conceptUri").alias("_uri"), F.col("preferredLabel").alias("_l")
+    )
+    ig = spark.table("esco_isco_group").select(
+        F.col("conceptUri").alias("_uri"), F.col("preferredLabel").alias("_l")
+    )
+
+    def labels(rel: str, end: str, other: DataFrame) -> list[dict]:
+        this, that = ("src_uri", "dst_uri") if end == "src" else (
+            "dst_uri", "src_uri")
+        rows = (
+            edges.filter(
+                (F.col("rel_type") == rel) & (F.col(this) == uri)
+            )
+            .join(other, F.col(that) == F.col("_uri"))
+            .select("_l")
+            .distinct()
+            .orderBy("_l")
+            .collect()
+        )
+        return [{"label": r["_l"]} for r in rows]
+
+    node_tbl = sk if node_type == "Skill" else oc
+    node_row = node_tbl.filter(F.col("_uri") == uri).first()
+    if node_row is None:
+        return None
+    if node_type == "Skill":
+        rel = edges.filter(F.col("rel_type") == "RELATED_SKILL")
+        und = (
+            rel.filter(F.col("src_uri") == uri).select(
+                F.col("dst_uri").alias("_o"))
+            .unionByName(
+                rel.filter(F.col("dst_uri") == uri).select(
+                    F.col("src_uri").alias("_o"))
+            )
+            .join(sk, F.col("_o") == F.col("_uri"))
+            .select("_l").distinct().orderBy("_l").collect()
+        )
+        related = {
+            "essential_occupations": labels("ESSENTIAL_FOR", "src", oc),
+            "optional_occupations": labels("OPTIONAL_FOR", "src", oc),
+            "related_skills": [{"label": r["_l"]} for r in und],
+            "broader_skills": labels("BROADER_THAN", "src", sk),
+            "narrower_skills": labels("BROADER_THAN", "dst", sk),
+        }
+    else:
+        related = {
+            "essential_skills": labels("ESSENTIAL_FOR", "dst", sk),
+            "optional_skills": labels("OPTIONAL_FOR", "dst", sk),
+            "isco_groups": labels("PART_OF_ISCOGROUP", "src", ig),
+            "broader_occupations": labels("BROADER_THAN", "src", oc),
+            "narrower_occupations": labels("BROADER_THAN", "dst", oc),
+        }
+    return {"node": {"label": node_row["_l"], "uri": uri}, "related": related}
+
+
 def cmd_search(args) -> int:
     """Semantic search (reference: src/semantic_search.py:39-109): embed the
     query text with the same model UDF pipeline used at ingest, cosine
     against every embedded node of the requested type(s), threshold,
-    top-k. One scan; top-k via TakeOrderedAndProject."""
+    top-k. One scan; top-k via TakeOrderedAndProject. Terminal output is
+    the reference's color-coded header/section/result format (A9,
+    src/esco_cli.py:36-91) with the 'first 5 ... and N more' related
+    block under --related; --json emits the reference's JSON envelope."""
     import pandas as pd
 
+    from esco_neo4j_spark import terminal as term
     from esco_neo4j_spark.operators.similarity import brute_force_topk
     from esco_neo4j_spark.operators.textmodel import _hash_embed_rows
     from esco_neo4j_spark.sources import ensure_warehouse, load_graph
@@ -104,26 +176,69 @@ def cmd_search(args) -> int:
         F.col("conceptUri").alias("uri"),
         F.col("preferredLabel").alias("label"),
         F.element_at("labels", 1).alias("type"),  # H2 labels(n)[0]
+        "description",
         "embedding",
     ).filter(
         # zero-norm embeddings (empty text) would divide-by-zero under
         # ANSI; the reference's IS NOT NULL guard (B3) maps to norm > 0
         F.col("embedding").isNotNull() & (l2_norm(F.col("embedding")) > 0)
     )
-    hits = brute_force_topk(
-        nodes,
-        qvec,
-        k=args.limit,
-        threshold=args.threshold,
-        id_col="uri",
-        vec_col="embedding",
-    ).join(nodes.select("uri", "label", "type"), "uri")
-    _print_df(
-        hits.select("uri", "label", "type", "score").orderBy(
-            F.desc("score"), "uri"
-        ),
-        args.json,
+    hits = (
+        brute_force_topk(
+            nodes,
+            qvec,
+            k=args.limit,
+            threshold=args.threshold,
+            id_col="uri",
+            vec_col="embedding",
+        )
+        .join(nodes.select("uri", "label", "type", "description"), "uri")
+        .select("uri", "label", "type", "description", "score")
+        .orderBy(F.desc("score"), "uri")
+        .collect()
     )
+    results = [
+        {
+            "uri": r["uri"],
+            "label": r["label"],
+            "type": r["type"],
+            "description": r["description"],
+            "score": float(r["score"]),
+        }
+        for r in hits
+    ]
+    related_graph = None
+    if args.related and results:
+        related_graph = get_related_graph(
+            spark, results[0]["uri"], results[0]["type"]
+        )
+    if args.json:
+        # reference JSON envelope (src/esco_cli.py:349-360)
+        print(
+            term.format_json_output(
+                {
+                    "query": args.text,
+                    "results": results,
+                    "related_graph": related_graph,
+                }
+            )
+        )
+        return 0
+    term.print_header("ESCO Semantic Search")
+    print(f"Query: {term.colorize(args.text, term.Colors.BOLD)}")
+    print(f"Type: {term.colorize(args.node_type, term.Colors.BOLD)}")
+    print(
+        f"Threshold: {term.colorize(str(args.threshold), term.Colors.BOLD)}"
+    )
+    term.print_section("Searching...")
+    if not results:
+        print(term.colorize("\nNo results found.", term.Colors.YELLOW))
+        return 0
+    term.print_section("Search Results")
+    for i, r in enumerate(results, 1):
+        term.print_result(r, i)
+    if args.related:
+        term.print_related_nodes(related_graph)
     return 0
 
 
@@ -267,6 +382,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--limit", type=int, default=10)
     s.add_argument("--threshold", type=float, default=0.0)
     s.add_argument("--json", action="store_true")
+    s.add_argument(
+        "--related",
+        action="store_true",
+        help="show the top hit's related entities (first 5 per "
+        "relationship, '... and N more')",
+    )
     s.set_defaults(fn=cmd_search)
 
     t = sub.add_parser("translate", help="translate a node property")

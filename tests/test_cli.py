@@ -43,12 +43,64 @@ def test_query_unknown_name(capsys):
 def test_search_subcommand(capsys):
     rc = main(["search", "analyse data", "--limit", "5", "--json"])
     assert rc == 0
-    rows = json.loads(capsys.readouterr().out)
+    out = json.loads(capsys.readouterr().out)
+    # reference JSON envelope (src/esco_cli.py:349-360)
+    assert set(out) == {"query", "results", "related_graph"}
+    assert out["query"] == "analyse data"
+    rows = out["results"]
     assert 0 < len(rows) <= 5
-    assert {"uri", "label", "type", "score"} <= set(rows[0])
+    assert {"uri", "label", "type", "description", "score"} <= set(rows[0])
     # scores sorted descending
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_search_terminal_format(capsys, monkeypatch):
+    """r8 (A9 parity, reference src/esco_cli.py:36-91): color-coded
+    header/section layout, numbered '[Type] label (Score: x.xxxx)'
+    results, 100-char description truncation — plain text when NO_COLOR
+    / non-tty."""
+    monkeypatch.setenv("NO_COLOR", "1")
+    rc = main(["search", "analyse data", "--limit", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert " ESCO Semantic Search " in out and "=" * 80 in out
+    assert "Query: analyse data" in out
+    assert " Searching... " in out and " Search Results " in out
+    assert "1. [" in out and "(Score: 0." in out
+    assert "\033[" not in out, "NO_COLOR must strip ANSI codes"
+    # truncated descriptions never exceed 100 chars and end with ...
+    for line in out.splitlines():
+        if line.startswith("   Description: "):
+            desc = line[len("   Description: "):]
+            assert len(desc) <= 100
+            if len(desc) == 100:
+                assert desc.endswith("...")
+
+
+def test_search_related_truncation(capsys, monkeypatch):
+    """r8 (A9): the related-entities block prints the first 5 labels per
+    relationship and '... and N more' beyond that (reference
+    src/esco_cli.py:67-91)."""
+    monkeypatch.setenv("NO_COLOR", "1")
+    rc = main(
+        ["search", "analyse data", "--limit", "1", "--node-type",
+         "occupation", "--related"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Related entities for '" in out
+    # at least one relationship section with a count
+    import re
+
+    m = re.search(r"^(\w[\w ]*) \((\d+)\):$", out, re.M)
+    assert m, out
+    # a section with >5 members must truncate with the exact phrase
+    for name, cnt in re.findall(r"^([\w ]+) \((\d+)\):$", out, re.M):
+        if int(cnt) > 5:
+            assert f"... and {int(cnt) - 5} more" in out
+            bullets = out.split(f"{name} ({cnt}):")[1].split("\n\n")[0]
+            assert bullets.count("  • ") == 5
 
 
 def test_config_profile_load_and_log_sink(tmp_path, capsys):
@@ -81,3 +133,27 @@ def test_translate_dry_run(capsys):
         for r in rows
         if r["preferredLabel_he"]
     )
+
+
+def test_print_related_nodes_truncates_at_five(capsys, monkeypatch):
+    """Unit pin of the exact truncation rule: 5 bullets then
+    '... and N more' (reference src/esco_cli.py:84-91)."""
+    monkeypatch.setenv("NO_COLOR", "1")
+    from esco_neo4j_spark.terminal import print_related_nodes
+
+    print_related_nodes(
+        {
+            "node": {"label": "x", "uri": "u"},
+            "related": {
+                "essential_skills": [
+                    {"label": f"s{i}"} for i in range(7)
+                ],
+                "optional_skills": [],
+            },
+        }
+    )
+    out = capsys.readouterr().out
+    assert "Essential Skills (7):" in out
+    assert out.count("  • ") == 5
+    assert "... and 2 more" in out
+    assert "Optional Skills" not in out  # empty sections are skipped
