@@ -32,26 +32,24 @@ from esco_neo4j_spark.plans import tpch_queries  # noqa: F401
 # ext_customers_no_urgent_orders, B10 via ext_map_projection, plus the
 # north-star dedup / text / vector / multimodal / graph families.
 _DRIVER_WINDOW = [
-    # ESCO reference-parity corpus (analysis_queries.md) — 14
-    # (r7 rotation, per the r6 verdict: the operators that landed in r6
-    # only mirror-checked enter the hard gate; the rows freed are twins
-    # whose §2 ops stay carried in-window — esco_skill_profile (C3 via
-    # esco_shortest_path's undirected view, C7/D6/D7/K6 via
-    # esco_occupation_profile), mm_pixel_stats (pixel decode is the
-    # substrate of mm_phash_dct), events_json_props (H10 via
-    # events_sessionization), events_gapfill_daily_locf (E via
-    # ext_topk_per_group + events_sessionization),
-    # dedup_embedding_cosine (embedding-level similarity join via
-    # vec_lsh_contamination + vec_lsh_similarity_join),
-    # dedup_symdel_editdist (subsumed by the ED<=2 variant),
-    # text_chunk_windows (chunking via dedup_cdc_chunks),
-    # graph_connected_components (iterative propagation via
-    # graph_hyperball_nf + esco_pagerank). All eight stay registered and
-    # exact-value-checked in the tests/test_oracle_parity.py mirror.)
-    "esco_label_counts",
-    "esco_rel_counts",
+    # ESCO reference-parity corpus (analysis_queries.md) — 13
+    # (r8 rotation, per the r7 verdict item 6: the r7/r8 operators enter
+    # the hard gate. The label/rel count rows are replaced by their
+    # CATALOG twins — same oracles, so A3/A4/D1/G1 stay hard-gated AND
+    # the metastore front door (r7) is now driver-checked.
+    # Rotated out to the mirror, ops kept in-window:
+    # esco_skill_usage (C2 via esco_occupation_profile),
+    # mm_frame_sample (binary decode via mm_decode_metadata/mm_phash_dct),
+    # events_kmv_audience_overlap (sketch family via
+    # events_ams_f2_selfjoin), dedup_cdc_chunks (dedup family keeps 6
+    # rows incl the r8 two-level semantic path), text_bpe_subword_stats
+    # (BPE via text_bpe_train), pipeline_dsir_select (mixing/selection
+    # via pipeline_temperature_mix), vec_ivfpq_topk (IVF via
+    # vec_ivf_topk). All stay registered and exact-value-checked in the
+    # tests/test_oracle_parity.py mirror and the sf0.01 assurance sweep.)
+    "esco_label_counts_catalog",
+    "esco_rel_counts_catalog",
     "esco_top_essential_skills",
-    "esco_skill_usage",
     "esco_occupations_per_isco",
     "esco_multihop_skill_isco",
     "esco_skill_cooccurrence",
@@ -62,54 +60,49 @@ _DRIVER_WINDOW = [
     "esco_search_cosine",
     "esco_translate_occupations",
     "esco_pagerank",
-    # model-UDF pipelines (I1-I8) + the newly value-oracled zlib scorer — 2
-    # (udf_translate_memoized rotated to mirror: I5 is also exercised by
-    # esco_translate_occupations; udf_compression_ratio enters the hard
-    # gate the same round its oracle builder landed)
+    # model-UDF pipelines (I1-I8) + the value-oracled zlib scorer — 2
     "udf_hash_embedding",
     "udf_compression_ratio",
-    # multimodal binary columns — 4 (r7: DCT perceptual hash in,
-    # mm_pixel_stats to mirror — the pHash decodes the same pixels)
+    # multimodal binary columns — 3
     "mm_decode_metadata",
-    "mm_frame_sample",
     "mm_phash_dct",
     "mm_modality_stats",
-    # streaming batch-twins (J) + sketches + governance — 6
-    # (r7: AMS F2 self-join sketch in; json/gapfill to mirror)
+    # streaming batch-twins (J) + sketches + governance — 5
     "events_sessionization",
     "events_dedup_latest",
-    "events_kmv_audience_overlap",
     "events_ams_f2_selfjoin",
     "events_k_anonymity",
     "pipeline_right_to_forget",
-    # dedup family (north star) — 6 (r7: content-defined chunking and the
-    # ED<=2 symdel variant enter the hard gate)
+    # dedup family (north star) — 6 (r8: the two-level SemDeDup
+    # assignment enters the hard gate the round its scale fix landed)
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash_banded",
-    "dedup_cdc_chunks",
     "dedup_symdel_editdist2",
-    # text analysis + corpus-construction families — 6
-    # (r7: BPE subword stats and DSIR importance resampling in)
+    "dedup_semantic_bucketed",
+    # text analysis — 4
     "text_token_stats",
     "text_quality_scores",
     "text_langid",
-    "text_bpe_subword_stats",
     "text_bpe_train",
-    "pipeline_dsir_select",
-    # vector similarity family — 4 (r4 IVF-PQ compression path in)
-    # (the C9 carrier is the banded LSH join — the plan that survives
-    # 100x; the exact all-pairs twin vec_similarity_join stays registered
-    # outside the window as the bounded calibration baseline)
+    # corpus-construction / mixing — 3 (r7 operators into the hard gate)
+    "pipeline_temperature_mix",
+    "pipeline_dataset_card",
+    "pipeline_length_buckets",
+    # vector similarity family — 7 (r7 kNN-descent + graph search, r8
+    # layered search; the C9 carrier is the banded LSH join — the plan
+    # that survives 100x; the exact all-pairs twin vec_similarity_join
+    # stays registered outside the window as the calibration baseline)
     "vec_cosine_topk",
     "vec_lsh_similarity_join",
     "vec_lsh_contamination",
     "vec_ivf_topk",
-    "vec_ivfpq_topk",
+    "vec_knn_descent_round",
+    "vec_graph_search",
+    "vec_graph_search_layered",
     # graph (K2 path reconstruction, HyperBall neighborhood function,
-    # sampled betweenness) — 3 (r7: connected components to mirror;
-    # iterative propagation stays carried by hyperball + esco_pagerank)
+    # sampled betweenness) — 3
     "graph_shortest_path_nodes",
     "graph_hyperball_nf",
     "graph_betweenness",

@@ -89,3 +89,43 @@ def test_rowcount_cache_invalidates_on_rewrite(tmp_path):
     st = os.stat(path)
     os.utime(path, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
     assert table_rowcount(str(tmp_path), "documents") == 25
+
+
+def test_queries_md_total_matches_registry():
+    """r8 (r7 verdict item 9): QUERIES.md is regenerated in the same
+    commit that changes the registry — its recorded total must equal
+    len(REGISTRY), or the index (and every doc citing it) is stale."""
+    import re
+
+    from esco_neo4j_spark.plans import REGISTRY
+
+    text = open("/root/repo/QUERIES.md", encoding="utf-8").read()
+    m = re.search(r"Total: \*\*(\d+)\*\* queries", text)
+    assert m, "QUERIES.md missing the total line"
+    assert int(m.group(1)) == len(REGISTRY), (
+        f"QUERIES.md says {m.group(1)} but the registry holds "
+        f"{len(REGISTRY)} — rerun tools/gen_query_index.py"
+    )
+
+
+def test_scale_md_sweep_matches_registry():
+    """r8 (r7 verdict item 2): the full-registry sf0.01 assurance sweep
+    must be the LAST pre-snapshot gate — SCALE.md's most recent
+    'assurance sweep' record has to cover the registry at its CURRENT
+    size. New queries landed after the recorded sweep fail this test
+    until the sweep is rerun and re-recorded."""
+    import re
+
+    from esco_neo4j_spark.plans import REGISTRY
+
+    text = open("/root/repo/SCALE.md", encoding="utf-8").read()
+    sweeps = re.findall(
+        r"assurance sweep[\s\S]{0,400}?(\d+)/(\d+)\*?\*? hash-exact", text
+    )
+    assert sweeps, "SCALE.md missing an assurance-sweep record"
+    got, total = map(int, sweeps[-1])
+    assert got == total == len(REGISTRY), (
+        f"latest recorded sweep {got}/{total} does not cover the "
+        f"{len(REGISTRY)}-query registry — rerun the sf0.01 sweep and "
+        "record it in SCALE.md before snapshot"
+    )
