@@ -217,11 +217,15 @@ except ModuleNotFoundError:
 @pytest.mark.xfail(
     condition=not _HAVE_PROTOBUF,
     reason="transformWithStateInPandas needs protobuf (the state-server "
-    "wire format), which this container does not ship — strict xfail "
-    "instead of skip so the gap stays VISIBLE in the report and the test "
-    "flips to a hard error the day protobuf appears but the code rotted "
-    "(or starts passing protobuf-free, which would mean the env "
-    "assertion itself is stale)",
+    "wire format), which this container does not ship. Exact missing "
+    "wheel, probed r8: `protobuf>=6.33.0` — pyspark 4.1.2's generated "
+    "pyspark/sql/streaming/proto/StateMessage_pb2.py calls "
+    "ValidateProtobufRuntimeVersion(PUBLIC, 6, 33, 0) at import; the "
+    "env has no google.* namespace at all and pip install is out of "
+    "scope here. Strict xfail instead of skip so the gap stays VISIBLE "
+    "in the report and the test flips to a hard error the day protobuf "
+    "appears but the code rotted (or starts passing protobuf-free, "
+    "which would mean the env assertion itself is stale)",
     strict=True,
 )
 def test_transform_with_state_totals_equal_batch(spark, event_dir):
