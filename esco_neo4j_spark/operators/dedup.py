@@ -628,20 +628,55 @@ def ngram_jaccard_pairs(
     pair groupBy (pair-keyed, replaces the old distinct — same shuffle
     count), verify join (pair-keyed) — all bounded by data or output
     size, no posting-list cross products.
+
+    r8: every pair-keyed exchange carries shingles as xxhash64 INT64,
+    not strings — on a near-dup-clique corpus (every doc in ~100-copy
+    families) the sf10 probe's verify join spilled ~25-byte string
+    arrays per candidate pair until the HOST DISK filled; 8-byte longs
+    cut that ~3x. Lossless by construction: the mapping is used only
+    through set intersection/size, which an INJECTIVE map preserves
+    exactly, and injectivity on the corpus's actual shingle set is
+    VERIFIED inside the existing df aggregate (per-hash distinct-string
+    count; any collision raises rather than silently perturbing
+    Jaccard). The prefix order becomes (df, hash) instead of (df,
+    string) — prefix filtering is lossless under ANY consistent global
+    total order, and the brute-force oracle never sees the encoding.
     """
     from esco_neo4j_spark.operators.graph import _checkpoint
 
-    sh = shingled(df, text_col, id_col, shingle_n)
-    sh = sh.withColumn("n", F.size("sh"))
+    sh0 = shingled(df, text_col, id_col, shingle_n)
+    sh0 = sh0.withColumn("n", F.size("sh"))
     # materialize ONCE: the shingle frame feeds four consumers (posting
     # explode -> dfreq, the rank window, and both verify sides) — left
     # as lineage, the tokenize+shingle subtree re-executes per consumer,
     # which the r5 sf1 audit measured as ~9x the sum of the stages
     # themselves (214s vs ~23s with the frame materialized)
-    sh = _checkpoint(sh)
-    inv = sh.select("id", "n", F.explode("sh").alias("g"))
-    # global rarity order: document frequency per shingle
-    dfreq = inv.groupBy("g").agg(F.count("*").alias("df"))
+    sh0 = _checkpoint(sh0)
+    # int64 shingle view: a cheap per-element hash over the checkpointed
+    # strings (re-evaluated per consumer; hashing is trivial next to the
+    # tokenizer the checkpoint already paid for)
+    sh = sh0.select(
+        "id", "n",
+        F.transform("sh", lambda x: F.xxhash64(x)).alias("sh"),
+    )
+    inv_g = sh0.select("id", "n", F.explode("sh").alias("gs")).withColumn(
+        "g", F.xxhash64("gs")
+    )
+    # global rarity order: document frequency per (hashed) shingle, with
+    # the injectivity guard folded into the same aggregate
+    dfreq_full = _checkpoint(
+        inv_g.groupBy("g").agg(
+            F.count("*").alias("df"),
+            F.countDistinct("gs").alias("ng"),
+        )
+    )
+    if dfreq_full.filter(F.col("ng") > 1).limit(1).count() > 0:
+        raise RuntimeError(
+            "ngram_jaccard_pairs: xxhash64 collision on the shingle set — "
+            "the int64 encoding is not injective on this corpus"
+        )
+    dfreq = dfreq_full.select("g", "df")
+    inv = inv_g.select("id", "n", "g")
     # per-doc prefix length: |S| - ceil(t*|S|) + 1. The epsilon guards
     # float error at exact integer boundaries (0.7*10 evaluating to
     # 7.000...001 would shorten the prefix and break losslessness; a
