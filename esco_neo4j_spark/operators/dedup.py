@@ -734,22 +734,36 @@ def ngram_jaccard_pairs(
         )
         .select("id_a", "id_b")
     )
-    # exact verify on the candidate pairs only
+    # exact verify on the candidate pairs only.
+    # r8: the verify-side JOIN STRATEGY is size-adaptive. As sort-merge
+    # joins, the two id-keyed array fetches SORT ~(shingles x 8B) per
+    # candidate pair — on the sf10 near-dup-clique corpus (5.4M true
+    # pairs x ~3.6KB arrays) that spilled ~60GB and filled the host
+    # disk. When the whole (id -> shingle array) side fits a broadcast
+    # budget (here: 200k docs x ~450 longs ~= 720MB), broadcasting it
+    # turns both fetches into hash lookups — the pair stream never
+    # sorts and peak spill drops to ~0. Beyond the budget (a true
+    # 100 TB corpus) the plan falls back to sort-merge, whose spill is
+    # distributed across cluster disks — the thing a single local[32]
+    # host genuinely lacks. Strategy only; output identical either way.
+    vstats = sh.agg(
+        F.count("*").alias("nd"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("tot"),
+    ).first()
+    verify_bytes = int(vstats["tot"]) * 8 + int(vstats["nd"]) * 48
+    ea = sh.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sha"),
+        F.col("n").alias("na"),
+    )
+    eb = sh.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("shb"),
+        F.col("n").alias("nb"),
+    )
+    if verify_bytes <= 2_000_000_000:
+        ea, eb = F.broadcast(ea), F.broadcast(eb)
     return (
-        cand.join(
-            sh.select(
-                F.col("id").alias("id_a"), F.col("sh").alias("sha"),
-                F.col("n").alias("na"),
-            ),
-            "id_a",
-        )
-        .join(
-            sh.select(
-                F.col("id").alias("id_b"), F.col("sh").alias("shb"),
-                F.col("n").alias("nb"),
-            ),
-            "id_b",
-        )
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
         .withColumn("common", F.size(F.array_intersect("sha", "shb")))
         .withColumn(
             "jaccard",
