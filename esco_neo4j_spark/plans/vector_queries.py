@@ -26,6 +26,27 @@ from esco_neo4j_spark.operators.similarity import (
 from esco_neo4j_spark.plans.registry import query
 
 _ANCHOR_SQL = "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
+
+# HNSW-style level coin for the layered graph search, deterministic AND
+# engine-neutral: Knuth multiplicative hash of the id mod 2^32, with
+# layer-j membership tested as ``hash < 2^32 / M^j`` — the hash's
+# well-mixed HIGH bits, nested automatically since the threshold
+# shrinks with j. Two structured coins measured FAILING on the scale
+# generator's clone families (ids 10^6 apart) before this one:
+# ``vec_id % M^j`` (10^6 ≡ 0 mod 8/64/512, so a family is entirely
+# inside or entirely invisible to every layer) and ``hash % M^j``
+# (multiplicative hashing mod 2^32 preserves LOW-bit structure, and
+# 2^6 | 10^6 keeps h mod 8 constant across a family). The threshold
+# form gives each family ~|family|/M^j expected members per layer —
+# HNSW's random level coin, deterministically. Exact int64 arithmetic
+# (ids < 2^33 keep the product under 2^63), replayed verbatim in the
+# DuckDB oracle.
+_GS_LVL_SQL = "((vec_id * 2654435761) % 4294967296)"
+
+
+def _gs_lvl(col):
+    """Spark twin of ``_GS_LVL_SQL`` — same exact integers."""
+    return (col * F.lit(2654435761)) % F.lit(4294967296)
 _COS = (
     "list_cosine_similarity(CAST(embedding AS DOUBLE[]), {anchor})"
 )
@@ -1299,9 +1320,10 @@ def _knn_graph_sql(sf_dir: str, stride: int = 1) -> str:
     (exact ints into IEEE sqrt/divide — bit-identical to Spark),
     deterministic top-``_KNN_CAND_CAP`` pool, exact cosine on the pool
     only, top-3 rank. ``stride`` > 1 builds the graph over the LAYER
-    ``vec_id % stride = 0`` (the layered-search coarse graphs), with
-    banding — and the SQ8 min/max stats — derived from the layer's own
-    row count, exactly as the Spark plan derives them."""
+    ``lvl_hash(vec_id) < 2^32/stride`` (the layered-search coarse
+    graphs), with banding — and the SQ8 min/max stats — derived from
+    the layer's own row count, exactly as the Spark plan derives
+    them."""
     from esco_neo4j_spark.operators.similarity import _hyperplanes
 
     if stride == 1:
@@ -1315,7 +1337,7 @@ def _knn_graph_sql(sf_dir: str, stride: int = 1) -> str:
         n_planes, n_tables = derive_lsh_params(
             -(-n // stride), base_tables=8
         )
-        lfilter = f" WHERE vec_id % {stride} = 0"
+        lfilter = f" WHERE {_GS_LVL_SQL} < {4294967296 // stride}"
     dim, max_bucket = 64, 1024
     all_planes = _hyperplanes(dim, n_planes * n_tables, 42)
     arms = []
@@ -1348,7 +1370,8 @@ def _knn_graph_sql(sf_dir: str, stride: int = 1) -> str:
     ),
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
           FROM embeddings WHERE embedding IS NOT NULL
-          {"AND vec_id % " + str(stride) + " = 0" if stride > 1 else ""}),
+          {"AND " + _GS_LVL_SQL + " < " + str(4294967296 // stride)
+           if stride > 1 else ""}),
     dims AS (SELECT CAST(j AS INT) AS j FROM range(1, {dim + 1}) t(j)),
     flat AS (SELECT vec_id, j, v[j] AS x FROM e CROSS JOIN dims),
     st AS (SELECT j, min(x) AS mn, max(x) AS mx FROM flat GROUP BY j),
@@ -2341,11 +2364,15 @@ def _graph_search_layered_sql(sf_dir: str) -> str:
     for i, s in enumerate(strides):
         ctes.append(f"lg{i} AS ({_knn_graph_sql(sf_dir, stride=s)})")
         if entry is None:
+            # the TOP layer is scored exhaustively — it is bounded to
+            # [_GS_LAYER_MIN, M*_GS_LAYER_MIN) rows by _gs_strides, and
+            # exhaustive entry is what makes the descent start from the
+            # globally best coarse region (HNSW's top layer works the
+            # same way: few nodes, visit them all)
             ctes.append(
                 f"""le_init AS (
       SELECT vec_id FROM embeddings
-      WHERE embedding IS NOT NULL AND vec_id % {s} = 0
-      ORDER BY vec_id LIMIT {_GS_ENTRIES})"""
+      WHERE embedding IS NOT NULL AND {_GS_LVL_SQL} < {4294967296 // s})"""
             )
             entry = "le_init"
         ctes.append(
@@ -2440,9 +2467,11 @@ def vec_graph_search_layered(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids, so at 100× corpus the fixed entry points start arbitrarily far
     from the query and the fixed-budget walk starves. Here entry
     descends a pyramid of COARSE layers first: layer j holds the ids
-    divisible by M^j (M=8 — the deterministic twin of HNSW's 1/M level
-    coin, nested by construction so every layer is a subset of the one
-    below), each layer carries its own lsh_knn_graph with banding
+    whose Knuth-hash falls below 2^32/M^j (M=8 — the deterministic,
+    id-structure-free twin of HNSW's 1/M level coin, nested since the
+    threshold shrinks with j; see _GS_LVL_SQL for why the id-modulus
+    and low-bit-hash coins both fail), each layer carries its own
+    lsh_knn_graph with banding
     derived from the LAYER's row count, and the walk does one
     expand-and-rerank round per layer (entries ∪ their layer-graph
     neighbors, exact-scored, top-``n_entries`` descend). Layer sizes
@@ -2472,7 +2501,7 @@ def vec_graph_search_layered(spark: SparkSession, sf_dir: str) -> DataFrame:
     score_of = _anchor_cosine_pudf(anchor)
     entries = None
     for s in _gs_strides(n):
-        layer = emb.filter(F.col("vec_id") % s == 0)
+        layer = emb.filter(_gs_lvl(F.col("vec_id")) < 4294967296 // s)
         lp, lt = derive_lsh_params(-(-n // s), base_tables=8)
         g = (
             lsh_knn_graph(
@@ -2483,12 +2512,14 @@ def vec_graph_search_layered(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         if entries is None:
-            entries = (
-                e.filter(F.col("vec_id") % s == 0)
-                .select("vec_id")
-                .orderBy("vec_id")
-                .limit(_GS_ENTRIES)
-            )
+            # exhaustive top-layer entry: the top layer is bounded to
+            # [_GS_LAYER_MIN, M*_GS_LAYER_MIN) rows by _gs_strides, so
+            # scoring ALL of it is O(1) and the descent starts from the
+            # globally best coarse region (HNSW visits its whole top
+            # layer the same way)
+            entries = e.filter(
+                _gs_lvl(F.col("vec_id")) < 4294967296 // s
+            ).select("vec_id")
         nbrs = (
             entries.select(F.col("vec_id").alias("src"))
             .join(g, "src")
