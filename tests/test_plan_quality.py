@@ -784,3 +784,14 @@ def test_graph_search_no_cartesian_and_bounded_joins(spark):
     plan = _plan(spark, "vec_graph_search")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_layered_graph_search_no_cartesian(spark):
+    """r8: the layer pyramid (per-layer graph builds + descend steps)
+    and the seeded base walk stay equi-join/bounded-top-k shaped — no
+    cartesian or nested-loop join appears anywhere in the final plan,
+    and the level-coin membership filter reaches the scan side as a
+    plain deterministic predicate (no UDF in the filter)."""
+    plan = _plan(spark, "vec_graph_search_layered")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
