@@ -8,11 +8,14 @@ value = total wall seconds across the headline set (lower is better).
 Each query is fully materialized via a count-ish action (collect on the
 already-aggregated result), never cached, so the number reflects scan ->
 shuffle -> agg end-to-end. Per query the reported time is the MIN of three
-consecutive runs: run 1 pays JVM JIT + codegen compilation for that plan
-shape (one-time costs a long-lived cluster amortizes away), later runs
-are the steady-state number a deployment actually sees; min-of-3 also
-suppresses co-tenant noise on the benchmark host (measured: whole-run
-load spikes inflate a 2-run min by up to 25%).
+consecutive runs PLUS one second-pass run a full set-length later: run 1
+pays JVM JIT + codegen compilation for that plan shape (one-time costs a
+long-lived cluster amortizes away), later runs are the steady-state
+number a deployment actually sees; the min suppresses co-tenant noise on
+the benchmark host (measured: whole-run load spikes inflate a 2-run min
+by up to 25%), and the temporally-separated second pass (r9) means a
+spike must span the entire invocation — not just one query's three
+back-to-back runs — to survive into the reported number.
 """
 
 from __future__ import annotations
@@ -87,7 +90,7 @@ def main() -> None:
             dt = time.perf_counter() - t0
             assert rows is not None
             best = dt if best is None else min(best, dt)
-        timings[q.name] = round(best, 3)
+        timings[q.name] = best
         # Release the previous query's leaked executor state (iterative
         # graph queries leave localCheckpoint blocks alive until their
         # Python RDD refs are collected, and recursive-CTE runs cache
@@ -95,6 +98,24 @@ def main() -> None:
         # a closure query is billed for the leftover memory pressure —
         # measured 3.3s -> 22s on the minhash join, and the CTE cache
         # alone took its min-of-2 from 3.8s to 7.5s.
+        spark.catalog.clearCache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
+    # Second headline pass (r9, VERDICT item 3): the per-query min-of-3
+    # runs back-to-back, so a co-tenant load spike lasting a few minutes
+    # inflates all three runs of the queries under it — which is exactly
+    # the unfalsifiable "+20%, probably host noise" shape the r8 bench
+    # produced. One more timed run per query, a full set-length later,
+    # decorrelates the samples in time; the reported number is the min
+    # across both passes, so a spike must span the entire invocation to
+    # survive into the JSON.
+    for q in bench_queries:
+        t0 = time.perf_counter()
+        rows = q.fn(spark, sf_dir).collect()
+        dt = time.perf_counter() - t0
+        assert rows is not None
+        timings[q.name] = round(min(timings[q.name], dt), 3)
         spark.catalog.clearCache()
         gc.collect()
         spark.sparkContext._jvm.System.gc()
@@ -167,6 +188,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "headline_method": "min over 3 back-to-back runs + 1 second-pass run",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if scale_tail:

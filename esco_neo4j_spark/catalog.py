@@ -147,3 +147,50 @@ def table_rowcount(sf_dir: str, name: str) -> int:
         n = pq.ParquetFile(path).metadata.num_rows
     _ROWCOUNT_CACHE[stamp] = n
     return n
+
+
+_COLMAX_CACHE: dict[tuple[str, int, int, str], "int | None"] = {}
+
+
+def table_column_max(sf_dir: str, name: str, column: str):
+    """Maximum value of an integer column from PARQUET FOOTER COLUMN
+    STATISTICS only — no scan, same lockstep property as
+    ``table_rowcount`` (the Spark plan builder and the DuckDB oracle
+    builder read the identical number from the identical footers).
+    Returns ``None`` when any row group lacks statistics for the column
+    (callers must treat that as "unbounded" and guard conservatively).
+
+    Used by overflow guards on id-derived integer hashes (e.g. the
+    layered graph search's multiplicative level coin, which is exact
+    int64 only while ``max(vec_id) * 2654435761 < 2**63``)."""
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, name)
+    stamp = _path_stamp(path)
+    key = (*stamp, column)
+    if key in _COLMAX_CACHE:
+        return _COLMAX_CACHE[key]
+    if os.path.isdir(path):
+        files = [
+            os.path.join(path, f)
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        ]
+    else:
+        files = [path]
+    mx = None
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        try:
+            ci = md.schema.names.index(column)
+        except ValueError:
+            _COLMAX_CACHE[key] = None
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                _COLMAX_CACHE[key] = None
+                return None
+            mx = st.max if mx is None else max(mx, st.max)
+    _COLMAX_CACHE[key] = mx
+    return mx

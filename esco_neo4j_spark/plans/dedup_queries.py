@@ -820,12 +820,18 @@ def _semdedup_assign_sql(k: int, m: int) -> str:
       SELECT vec_id AS mid, CAST(embedding AS DOUBLE[]) AS mvec
       FROM embeddings WHERE vec_id < {m}),
     f2c AS (
+      -- cid < m pinned to its own cell (coarse set is a prefix of the
+      -- fine set) so every reachable coarse cell is non-empty; mirrors
+      -- the Spark plan's r9 drop-proofing pin exactly
+      SELECT cid, cid AS mid FROM c WHERE cid < {m}
+      UNION ALL
       SELECT cid, mid FROM (
         SELECT c.cid, co.mid, row_number() OVER (
           PARTITION BY c.cid
           ORDER BY round(list_cosine_similarity(c.cvec, co.mvec), 6)
             DESC, co.mid) AS rk
-        FROM c CROSS JOIN co)
+        FROM c CROSS JOIN co
+        WHERE c.cid >= {m})
       WHERE rk = 1),
     v2c AS (
       SELECT vec_id, mid FROM (
@@ -903,7 +909,9 @@ def dedup_semantic_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
       super-linear tail item): flat argmax over k centroids costs k*N =
       N²/256 cosines; routing each vector through m = ceil(sqrt(k))
       coarse centroids (the first m vectors — a PREFIX of the fine
-      centroid set, so every coarse cell holds >= 1 fine centroid) and
+      centroid set; each cid < m is PINNED to its own cell so every
+      reachable coarse cell holds >= 1 fine centroid even under 6dp
+      rounding ties between near-duplicate coarse centroids) and
       then argmax-ing only over the fine centroids whose coarse cell it
       landed in costs ~2*N*sqrt(k). The oracle builder replays the
       identical two-step argmax with the identical m.
@@ -956,16 +964,31 @@ def dedup_semantic_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("embedding").alias("mvec"),
             )
         )
-        # fine centroid -> coarse cell (k x m, broadcast both sides)
-        f2c = _argmax(
-            cents.crossJoin(coarse).select(
-                "cid",
-                "mid",
-                F.round(pair_cos(F.col("cvec"), F.col("mvec")), 6).alias(
-                    "s"
+        # fine centroid -> coarse cell (k x m, broadcast both sides).
+        # cid < m is PINNED to its own cell (a coarse centroid IS its
+        # own fine centroid — the coarse set is a prefix of the fine
+        # set): without the pin, a 6dp rounding tie between two
+        # near-duplicate coarse centroids could argmax fine centroid i
+        # away from cell i, leaving a cell v2c still routes vectors to
+        # with zero fine members — and the inner join below would then
+        # silently DROP those vectors from the assignment (r9 advisory).
+        # The pin guarantees every reachable cell is non-empty.
+        f2c_pinned = cents.filter(F.col("cid") < m).select(
+            "cid", F.col("cid").alias("mid")
+        )
+        f2c = f2c_pinned.unionByName(
+            _argmax(
+                cents.filter(F.col("cid") >= m)
+                .crossJoin(coarse)
+                .select(
+                    "cid",
+                    "mid",
+                    F.round(
+                        pair_cos(F.col("cvec"), F.col("mvec")), 6
+                    ).alias("s"),
                 ),
-            ),
-            "cid", "mid", "mid",
+                "cid", "mid", "mid",
+            )
         )
         # vector -> coarse cell (N x m against the broadcast coarse set;
         # the argmax window shuffles ids + one scalar only)

@@ -39,14 +39,39 @@ _ANCHOR_SQL = "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id 
 # 2^6 | 10^6 keeps h mod 8 constant across a family). The threshold
 # form gives each family ~|family|/M^j expected members per layer —
 # HNSW's random level coin, deterministically. Exact int64 arithmetic
-# (ids < 2^33 keep the product under 2^63), replayed verbatim in the
+# only while vec_id < 2^63 / 2654435761 ~= 3.47e9 (~2^31.7): beyond
+# that Spark (non-ANSI) wraps to a NEGATIVE product whose remainder
+# passes every ``< 2^32/M^j`` layer test while DuckDB raises on BIGINT
+# overflow — the engines would diverge silently. ``_gs_lvl_guard``
+# (below) raises loudly first, from parquet-footer column statistics,
+# on BOTH builders — the same fail-don't-diverge discipline as
+# cdc_chunk_stats' Karp-Rabin window bound. Replayed verbatim in the
 # DuckDB oracle.
 _GS_LVL_SQL = "((vec_id * 2654435761) % 4294967296)"
+_GS_LVL_MAX_ID = (2**63) // 2654435761  # 3_474_701_385
 
 
 def _gs_lvl(col):
     """Spark twin of ``_GS_LVL_SQL`` — same exact integers."""
     return (col * F.lit(2654435761)) % F.lit(4294967296)
+
+
+def _gs_lvl_guard(sf_dir: str) -> None:
+    """Raise before either engine evaluates the level coin on ids large
+    enough to overflow exact int64 (see _GS_LVL_SQL). Footer statistics
+    missing => treat as unbounded and refuse, rather than risk a silent
+    Spark-wraps/DuckDB-raises divergence."""
+    from esco_neo4j_spark.catalog import table_column_max
+
+    mx = table_column_max(sf_dir, "embeddings", "vec_id")
+    if mx is None or int(mx) >= _GS_LVL_MAX_ID:
+        raise ValueError(
+            "graph-search level coin: max(vec_id) "
+            f"{'unknown (no footer stats)' if mx is None else mx} "
+            f">= 2**63 // 2654435761 = {_GS_LVL_MAX_ID}; the "
+            "multiplicative hash would overflow int64 (Spark wraps, "
+            "DuckDB raises). Re-id the corpus below the bound."
+        )
 _COS = (
     "list_cosine_similarity(CAST(embedding AS DOUBLE[]), {anchor})"
 )
@@ -998,7 +1023,13 @@ def vec_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_nano"), F.asc("doc_id"))
         .limit(50)
     )
-    wl = Window.orderBy(F.desc("score_nano"), F.asc("doc_id"))
+    # constant partition keys on both rank windows: each runs on <= 50
+    # rows (the limit above), so the single partition is safe by
+    # construction — the key silences `WindowExec: No Partition Defined`
+    # (`% 1` not lit(0): Catalyst folds a literal key away)
+    wl = Window.partitionBy(F.col("doc_id") % 1).orderBy(
+        F.desc("score_nano"), F.asc("doc_id")
+    )
     lex = lex50.select(
         F.col("doc_id").alias("id"), F.row_number().over(wl).alias("lex_rank")
     )
@@ -1009,7 +1040,9 @@ def vec_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cosine_similarity(F.col("embedding"), anchor), 6).alias("s"),
     )
     vec50 = scored.orderBy(F.desc("s"), F.asc("vec_id")).limit(50)
-    wv = Window.orderBy(F.desc("s"), F.asc("vec_id"))
+    wv = Window.partitionBy(F.col("vec_id") % 1).orderBy(
+        F.desc("s"), F.asc("vec_id")
+    )
     vec = vec50.select(
         F.col("vec_id").alias("id"), F.row_number().over(wv).alias("vec_rank")
     )
@@ -1333,6 +1366,7 @@ def _knn_graph_sql(sf_dir: str, stride: int = 1) -> str:
         from esco_neo4j_spark.catalog import table_rowcount
         from esco_neo4j_spark.operators.similarity import derive_lsh_params
 
+        _gs_lvl_guard(sf_dir)
         n = table_rowcount(sf_dir, "embeddings")
         n_planes, n_tables = derive_lsh_params(
             -(-n // stride), base_tables=8
@@ -2494,6 +2528,7 @@ def vec_graph_search_layered(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_knn_graph,
     )
 
+    _gs_lvl_guard(sf_dir)
     n = table_rowcount(sf_dir, "embeddings")
     emb = spark.table("embeddings")
     e = emb.filter(F.col("embedding").isNotNull())

@@ -755,3 +755,54 @@ def test_layered_search_navigates_clustered_corpus(spark, tmp_path):
     assert flat_recall <= 0.2, (flat_recall, layered_recall)
     assert layered_recall >= 0.4, (flat_recall, layered_recall)
     assert layered_recall > flat_recall, (flat_recall, layered_recall)
+
+
+def test_gs_lvl_guard_overflow_bound(tmp_path):
+    """r9 (advisory): the layered-search level coin is exact int64 only
+    while max(vec_id) < 2**63 // 2654435761 (~3.47e9) — beyond that
+    Spark wraps to a negative remainder that passes every layer test
+    while DuckDB raises, so the engines would silently diverge. The
+    guard must (a) pass today's corpora, (b) raise loudly on an
+    over-bound id, (c) raise when footer stats are missing rather than
+    assume safety — all from parquet footer metadata, no scan."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from esco_neo4j_spark.catalog import table_column_max
+    from esco_neo4j_spark.plans.vector_queries import (
+        _GS_LVL_MAX_ID,
+        _gs_lvl_guard,
+    )
+
+    assert _GS_LVL_MAX_ID == (2**63) // 2654435761  # 3_474_701_385
+    _gs_lvl_guard("/root/testdata/sf0.001")  # shipped corpus: fine
+
+    bad = str(tmp_path / "bad")
+    os.makedirs(bad)
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array([0, _GS_LVL_MAX_ID], type=pa.int64()),
+            "embedding": pa.array([[0.0] * 4] * 2, type=pa.list_(pa.float32())),
+        }),
+        os.path.join(bad, "embeddings.parquet"),
+    )
+    assert table_column_max(bad, "embeddings", "vec_id") == _GS_LVL_MAX_ID
+    with pytest.raises(ValueError, match="level coin"):
+        _gs_lvl_guard(bad)
+
+    nostats = str(tmp_path / "nostats")
+    os.makedirs(nostats)
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array([0, 1], type=pa.int64()),
+            "embedding": pa.array([[0.0] * 4] * 2, type=pa.list_(pa.float32())),
+        }),
+        os.path.join(nostats, "embeddings.parquet"),
+        write_statistics=False,
+    )
+    assert table_column_max(nostats, "embeddings", "vec_id") is None
+    with pytest.raises(ValueError, match="no footer stats"):
+        _gs_lvl_guard(nostats)
