@@ -572,6 +572,116 @@ def simhash_pairs_banded(
     )
 
 
+def simhash_leader_clusters(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    rounds: int = 4,
+) -> DataFrame:
+    """SimHash near-dup CLUSTER ASSIGNMENTS — O(N) output rows — by
+    iterative min-id leader election over the 4x15-bit band buckets
+    (r9, r8 verdict item 2).
+
+    The pair-emitting twins (dedup_simhash / dedup_simhash_banded) are
+    Ω(true pairs) by spec: on the near-all-duplicate sf10 scale corpus
+    that is 542.6M rows — correct as a calibration capability, useless
+    as the production dedup path, which wants ONE (doc, canonical) row
+    per document. Transitive-closure CC over the verified pair list
+    (dedup_canonical_docs' shape) would have to materialize those pairs
+    first; this operator never does. Per round, over the docs not yet
+    assigned:
+
+    1. each band bucket elects its MIN id as candidate leader — a doc
+       meets <= 4 candidate leaders, never its whole clique;
+    2. each doc exact-verifies hamming(fp, leader_fp) <= ``max_hamming``
+       against those <= 4 leaders only (the star pattern: verify against
+       the cluster representative, not all clique members) and picks the
+       smallest qualifying leader;
+    3. an assignment doc -> L sticks only when L picked ITSELF (L has no
+       smaller qualifying leader), so every emitted canonical is a KEPT
+       doc, never a chained duplicate; everyone else re-enters the next
+       round, where the buckets re-elect among the survivors.
+
+    The global min of the remaining set always self-elects, so every
+    round retires >= 1 cluster; after ``rounds`` rounds the stragglers
+    are emitted self-canonical (kept). Per round the work is O(N_rem):
+    one bucket min-agg, <= 4 candidate rows per doc, <= 4 hamming
+    verifies per doc — ids and one int64 fingerprint on every exchange,
+    no pair list ever materialized. ``rounds`` is a FIXED constant so
+    the DuckDB oracle replays the identical unrolled recursion.
+
+    Semantics note (deliberate, documented): clusters are GREEDY STARS —
+    every duplicate is within ``max_hamming`` of its canonical — not the
+    transitive closure of the pair graph (a hamming-5 chain a-b-c may
+    keep both a and c). That is the guarantee production dedup actually
+    wants ("every removed doc has a kept doc this similar to it");
+    closure semantics remain available via dedup_canonical_docs.
+
+    Returns (id, canonical_id, is_duplicate) for every input doc with a
+    fingerprint; token-less docs are the caller's to pass through
+    (dedup_simhash_canonical left-joins them back self-canonical)."""
+    fps = simhash(df, text_col, id_col).localCheckpoint(eager=True)
+    assigned_parts: list[DataFrame] = []
+    remaining = fps
+    for _ in range(rounds):
+        banded = remaining.select(
+            "id",
+            "simhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band_id"),
+                            F.shiftright(F.col("simhash"), 15 * i)
+                            .bitwiseAND(F.lit((1 << 15) - 1))
+                            .alias("band_bits"),
+                        )
+                        for i in range(4)
+                    ]
+                )
+            ).alias("band"),
+        ).select("id", "simhash", "band.band_id", "band.band_bits")
+        leads = banded.groupBy("band_id", "band_bits").agg(
+            F.min("id").alias("lead_id")
+        )
+        lead_fps = remaining.select(
+            F.col("id").alias("lead_id"), F.col("simhash").alias("lead_fp")
+        )
+        best = (
+            banded.join(leads, ["band_id", "band_bits"])
+            .select("id", "simhash", "lead_id")
+            .distinct()
+            .join(lead_fps, "lead_id")
+            .filter(
+                F.bit_count(F.col("simhash").bitwiseXOR(F.col("lead_fp")))
+                <= max_hamming
+            )
+            .groupBy("id")
+            .agg(F.min("lead_id").alias("best_lead"))
+        )
+        self_leads = (
+            best.filter(F.col("id") == F.col("best_lead"))
+            .select(F.col("id").alias("best_lead"))
+        )
+        newly = best.join(self_leads, "best_lead").select(
+            "id", F.col("best_lead").alias("canonical_id")
+        ).localCheckpoint(eager=True)
+        assigned_parts.append(newly)
+        remaining = remaining.join(
+            newly.select("id"), "id", "left_anti"
+        ).localCheckpoint(eager=True)
+    assigned_parts.append(
+        remaining.select("id", F.col("id").alias("canonical_id"))
+    )
+    out = assigned_parts[0]
+    for part in assigned_parts[1:]:
+        out = out.unionByName(part)
+    return out.withColumn(
+        "is_duplicate", F.col("canonical_id") != F.col("id")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,

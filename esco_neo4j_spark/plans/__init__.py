@@ -31,22 +31,27 @@ from esco_neo4j_spark.plans import tpch_queries  # noqa: F401
 # ext_cube_status_priority, G3 via ext_nations_with_both /
 # ext_customers_no_urgent_orders, B10 via ext_map_projection, plus the
 # north-star dedup / text / vector / multimodal / graph families.
+# tests/test_registry.py::test_window_covers_required_ops freezes the
+# window's SURVEY-op union, so a rotation that silently drops an
+# operator family from the hard gate fails in CI.
 _DRIVER_WINDOW = [
     # ESCO reference-parity corpus (analysis_queries.md) — 13
     # (r8 rotation, per the r7 verdict item 6: the r7/r8 operators enter
     # the hard gate. The label/rel count rows are replaced by their
     # CATALOG twins — same oracles, so A3/A4/D1/G1 stay hard-gated AND
     # the metastore front door (r7) is now driver-checked.
-    # Rotated out to the mirror, ops kept in-window:
-    # esco_skill_usage (C2 via esco_occupation_profile),
-    # mm_frame_sample (binary decode via mm_decode_metadata/mm_phash_dct),
-    # events_kmv_audience_overlap (sketch family via
-    # events_ams_f2_selfjoin), dedup_cdc_chunks (dedup family keeps 6
-    # rows incl the r8 two-level semantic path), text_bpe_subword_stats
-    # (BPE via text_bpe_train), pipeline_dsir_select (mixing/selection
-    # via pipeline_temperature_mix), vec_ivfpq_topk (IVF via
-    # vec_ivf_topk). All stay registered and exact-value-checked in the
-    # tests/test_oracle_parity.py mirror and the sf0.01 assurance sweep.)
+    # r9 rotation (verdict item 4): IN — dedup_simhash_canonical (new,
+    # the O(N) production dedup output), dedup_cdc_chunks,
+    # text_bpe_subword_stats, pipeline_image_text_align,
+    # events_temporal_reachability. OUT to the mirror, every op kept
+    # in-window: dedup_simhash_banded (dedup-simhash + A7(scale) via
+    # dedup_simhash_canonical), text_bpe_train (text-bpe via
+    # text_bpe_subword_stats), udf_compression_ratio (I9 via the udf_
+    # family rows), graph_hyperball_nf (sketch(ext) via
+    # events_ams_f2_selfjoin), vec_ivf_topk (A7(scale) via the graph-
+    # search family). All stay registered and exact-value-checked in
+    # the tests/test_oracle_parity.py mirror and the sf0.01 assurance
+    # sweep.)
     "esco_label_counts_catalog",
     "esco_rel_counts_catalog",
     "esco_top_essential_skills",
@@ -60,36 +65,40 @@ _DRIVER_WINDOW = [
     "esco_search_cosine",
     "esco_translate_occupations",
     "esco_pagerank",
-    # model-UDF pipelines (I1-I8) + the value-oracled zlib scorer — 2
+    # model-UDF pipelines (I1-I8) — 1 (zlib scorer in the mirror)
     "udf_hash_embedding",
-    "udf_compression_ratio",
     # multimodal binary columns — 3
     "mm_decode_metadata",
     "mm_phash_dct",
     "mm_modality_stats",
-    # streaming batch-twins (J) + sketches + governance — 5
+    # streaming batch-twins (J) + sketches + governance + temporal
+    # reachability (K(ext)/H10 on events) — 6
     "events_sessionization",
     "events_dedup_latest",
     "events_ams_f2_selfjoin",
     "events_k_anonymity",
+    "events_temporal_reachability",
     "pipeline_right_to_forget",
-    # dedup family (north star) — 6 (r8: the two-level SemDeDup
-    # assignment enters the hard gate the round its scale fix landed)
+    # dedup family (north star) — 7 (r9: the O(N) cluster-contraction
+    # output and the CDC chunker enter the hard gate; the pair-emitting
+    # simhash calibration twin rotates to the mirror)
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_simhash_banded",
+    "dedup_simhash_canonical",
+    "dedup_cdc_chunks",
     "dedup_symdel_editdist2",
     "dedup_semantic_bucketed",
-    # text analysis — 4
+    # text analysis — 4 (r9: BPE carrier rotates train -> apply side)
     "text_token_stats",
     "text_quality_scores",
     "text_langid",
-    "text_bpe_train",
-    # corpus-construction / mixing — 3 (r7 operators into the hard gate)
+    "text_bpe_subword_stats",
+    # corpus-construction / mixing + multimodal-embed capstone — 4
     "pipeline_temperature_mix",
     "pipeline_dataset_card",
     "pipeline_length_buckets",
+    "pipeline_image_text_align",
     # vector similarity family — 7 (r7 kNN-descent + graph search, r8
     # layered search; the C9 carrier is the banded LSH join — the plan
     # that survives 100x; the exact all-pairs twin vec_similarity_join
@@ -97,14 +106,12 @@ _DRIVER_WINDOW = [
     "vec_cosine_topk",
     "vec_lsh_similarity_join",
     "vec_lsh_contamination",
-    "vec_ivf_topk",
     "vec_knn_descent_round",
     "vec_graph_search",
     "vec_graph_search_layered",
-    # graph (K2 path reconstruction, HyperBall neighborhood function,
-    # sampled betweenness) — 3
+    # graph (K2 path reconstruction, sampled betweenness) — 2
+    # (HyperBall to the mirror; sketch(ext) via events_ams_f2_selfjoin)
     "graph_shortest_path_nodes",
-    "graph_hyperball_nf",
     "graph_betweenness",
     # extension operators only expressible on the sf tables — 4
     "ext_topk_per_group",

@@ -237,6 +237,126 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _simhash_canonical_sql(max_hamming: int = 3, rounds: int = 4) -> str:
+    """Unrolled replay of simhash_leader_clusters: identical
+    fingerprints (the explode/group formulation), then per round the
+    identical bucket min-election, <= 4-leader hamming verify, smallest
+    qualifying leader, self-elected-leaders-only acceptance, and
+    anti-join shrink of the remaining set."""
+    bit_sums = ",\n           ".join(
+        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    fp_terms = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END"
+        for b in range(SIMHASH_BITS)
+    )
+    # every round CTE is referenced more than once (band by the
+    # min-election subquery AND the candidate join, best by the
+    # self-leader self-join, rem by the next round) — DuckDB 1.0
+    # INLINES CTEs at each reference, so without MATERIALIZED the
+    # fingerprint subtree re-evaluates exponentially across the
+    # unrolled rounds (measured: >120s at sf0.001 inlined, ~1s
+    # materialized; Spark pins the same frontiers via localCheckpoint)
+    ctes = [
+        f"""toks AS (
+      SELECT doc_id, unnest({_TOKENS}) AS t FROM documents
+    ),
+    h AS (SELECT doc_id, {_H60} AS hv FROM toks),
+    bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id),
+    rem0 AS MATERIALIZED (
+      SELECT doc_id AS id, {fp_terms} AS simhash FROM bits)"""
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""band{r} AS MATERIALIZED (
+      SELECT id, simhash, b.band_id,
+             (simhash >> (15 * b.band_id)) & 32767 AS band_bits
+      FROM rem{r} CROSS JOIN (VALUES (0), (1), (2), (3)) b(band_id)
+    ),
+    best{r} AS MATERIALIZED (
+      SELECT c.id, min(c.lead_id) AS best_lead FROM (
+        SELECT DISTINCT t.id, t.simhash, l.lead_id
+        FROM band{r} t
+        JOIN (SELECT band_id, band_bits, min(id) AS lead_id
+              FROM band{r} GROUP BY 1, 2) l
+          USING (band_id, band_bits)) c
+      JOIN rem{r} lf ON lf.id = c.lead_id
+      WHERE bit_count(xor(c.simhash, lf.simhash)) <= {max_hamming}
+      GROUP BY c.id
+    ),
+    asg{r} AS MATERIALIZED (
+      SELECT b.id, b.best_lead AS canonical_id
+      FROM best{r} b
+      JOIN best{r} s ON s.id = b.best_lead AND s.best_lead = s.id
+    ),
+    rem{r + 1} AS MATERIALIZED (
+      SELECT r.id, r.simhash FROM rem{r} r
+      ANTI JOIN asg{r} a ON a.id = r.id
+    )"""
+        )
+    unions = "\n      UNION ALL ".join(
+        f"SELECT id, canonical_id FROM asg{r}" for r in range(rounds)
+    )
+    ctes.append(
+        f"""assigned AS (
+      {unions}
+      UNION ALL SELECT id, id AS canonical_id FROM rem{rounds}
+    )"""
+    )
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH {chain}
+    SELECT d.doc_id,
+           CAST(coalesce(a.canonical_id, d.doc_id) AS BIGINT)
+             AS canonical_id,
+           (coalesce(a.canonical_id, d.doc_id) <> d.doc_id) AS is_duplicate
+    FROM documents d LEFT JOIN assigned a ON a.id = d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@query(
+    "dedup_simhash_canonical",
+    sql=_simhash_canonical_sql(),
+    survey_ops="dedup-simhash,dedup-canonical,A7(scale)",
+    tables=("documents",),
+)
+def dedup_simhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION SimHash dedup output (r9, r8 verdict item 2): ONE
+    (doc_id, canonical_id, is_duplicate) row per document — O(N) output
+    — via iterative min-id leader election over the band buckets, never
+    materializing the Ω(true pairs) list the calibration twins
+    (dedup_simhash / dedup_simhash_banded) emit by spec (542.6M rows on
+    the near-all-duplicate sf10 corpus). Every duplicate's canonical is
+    a KEPT doc within hamming <= 3 of it — the star guarantee — with
+    greedy-star (not transitive-closure) cluster semantics, documented
+    on the operator (simhash_leader_clusters); docs without a single
+    word token pass through self-canonical, like dedup_canonical_docs.
+    The oracle unrolls the identical fixed-round recursion."""
+    from esco_neo4j_spark.operators.dedup import simhash_leader_clusters
+
+    docs = spark.table("documents")
+    asg = simhash_leader_clusters(
+        docs, "text", "doc_id", max_hamming=3, rounds=4
+    )
+    return (
+        docs.select("doc_id")
+        .join(asg, docs["doc_id"] == asg["id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("canonical_id"), F.col("doc_id"))
+            .cast("bigint")
+            .alias("canonical_id"),
+            (
+                F.coalesce(F.col("canonical_id"), F.col("doc_id"))
+                != F.col("doc_id")
+            ).alias("is_duplicate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "dedup_embedding_cosine",
     sql=f"""

@@ -552,3 +552,40 @@ def test_semdedup_two_level_assignment_matches_oracle(spark, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_simhash_leader_clusters_star_guarantee(spark):
+    """r9 (r8 verdict item 2): the O(N)-output SimHash dedup must hold
+    its contract on a real corpus — (a) exactly one row per doc with a
+    fingerprint, (b) every duplicate's canonical is a KEPT (self-
+    canonical) doc, (c) the star guarantee: hamming(doc, canonical)
+    <= 3 for every duplicate, (d) canonicals are cluster minima (no
+    duplicate with an id below its canonical), (e) total output is N
+    rows when composed with the registered query's self-canonical
+    passthrough for token-less docs."""
+    from esco_neo4j_spark.operators.dedup import (
+        simhash,
+        simhash_leader_clusters,
+    )
+    from esco_neo4j_spark.plans.registry import REGISTRY
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    asg = simhash_leader_clusters(docs, "text", "doc_id", rounds=4)
+    fps = {r["id"]: r["simhash"] for r in simhash(docs, "text", "doc_id").collect()}
+    rows = asg.collect()
+    assert len(rows) == len(fps)
+    assert {r["id"] for r in rows} == set(fps)
+    canon = {r["id"]: r["canonical_id"] for r in rows}
+    dups = [r for r in rows if r["is_duplicate"]]
+    assert len(dups) > 0, "corpus should contain near-dups"
+    for r in dups:
+        c = r["canonical_id"]
+        assert canon[c] == c, "canonical must be a kept doc"
+        assert c < r["id"], "canonical must be the cluster min side"
+        hd = bin(fps[r["id"]] ^ fps[c]).count("1")
+        assert hd <= 3, (r["id"], c, hd)
+
+    total = REGISTRY["dedup_simhash_canonical"].fn(spark, sf)
+    n_docs = docs.count()
+    assert total.count() == n_docs

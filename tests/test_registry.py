@@ -23,6 +23,42 @@ def test_window_covers_every_family():
         assert any(n.startswith(p) for n in in_window), f"no {p} query in window"
 
 
+# Frozen at the r9 rotation: the union of SURVEY.md §2 / north-star op
+# tags carried by the 50 driver-window rows. A future rotation may ADD
+# coverage freely (update the set alongside the window), but silently
+# DROPPING an operator family from the hard gate fails here — the
+# invariant every verdict-prescribed rotation has had to hold by hand
+# (r9 verdict item 4 asked for exactly this test).
+_REQUIRED_WINDOW_OPS = {
+    "A3", "A7", "A7(scale)", "B1", "B10", "B12", "B3", "B4", "B5", "B6",
+    "B7", "B8", "B9", "C1", "C2", "C3", "C4", "C5", "C6", "C7", "C8",
+    "C9", "D1", "D2", "D3", "D5", "D6", "D7", "D8", "D9(ext)", "E(ext)",
+    "F1", "F2", "F4", "G1", "G2", "G3(ext)", "H1", "H10", "H2", "H3",
+    "H4", "H7", "H8", "I1", "I2", "I3", "I4", "I5", "I7", "I8",
+    "I9(ext)", "J(ext)", "K(ext)", "K1", "K2", "K3", "K4", "K4-adjacent",
+    "K6", "K7", "ann-eval(ext)", "catalog-front-door(ext)",
+    "corpus-contamination(ext)", "dedup-canonical", "dedup-cdc(ext)",
+    "dedup-editdist(ext)", "dedup-exact", "dedup-jaccard",
+    "dedup-minhash", "dedup-semantic(ext)", "dedup-simhash",
+    "knn-graph(ext)", "multimodal-catalog", "multimodal-decode",
+    "multimodal-embed(ext)", "multimodal-phash(ext)",
+    "pipeline-batching(ext)", "pipeline-datasheet(ext)",
+    "pipeline-forget(ext)", "pipeline-mixing(ext)",
+    "pipeline-privacy(ext)", "sketch(ext)", "text-bpe(ext)",
+    "text-langid", "text-quality", "text-tokens",
+}
+
+
+def test_window_covers_required_ops():
+    got = set()
+    for n in _DRIVER_WINDOW:
+        got |= {
+            x.strip() for x in REGISTRY[n].survey_ops.split(",") if x.strip()
+        }
+    missing = _REQUIRED_WINDOW_OPS - got
+    assert not missing, f"window rotation dropped op coverage: {sorted(missing)}"
+
+
 def test_every_query_has_oracle_or_documented_rows_only():
     # rows-only entries must be the known iterative/approximate set; a new
     # query accidentally registered without an oracle should fail here.

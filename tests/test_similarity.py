@@ -689,7 +689,7 @@ def test_layered_search_navigates_clustered_corpus(spark, tmp_path):
     well-separated Gaussian clusters — the regime real embedding spaces
     live in) with an anchor whose cluster sits far from the low ids,
     the flat walk enters at ids 0..3, finds no inter-cluster edges in
-    the k=3 base graph, and misses; the layered search's exhaustive
+    the base kNN graph, and misses; the layered search's exhaustive
     bounded top layer puts the descent into the anchor's cluster and
     recalls its true neighbors. Both run through the REGISTERED queries
     against a corpus written to disk, so the derived banding/layers are
@@ -749,11 +749,16 @@ def test_layered_search_navigates_clustered_corpus(spark, tmp_path):
     flat_recall = len(flat & exact) / 10
     layered_recall = len(layered & exact) / 10
     # the separation this test exists for: layered navigates into the
-    # anchor's cluster, flat cannot leave its entry clusters (measured:
-    # 0.5 vs 0.0 — the gap is the point; absolute recall is bounded by
-    # the fixed k=3 graph degree and beam-12 walk, not the entry)
+    # anchor's cluster, flat cannot leave its entry clusters. Both
+    # searches share the SAME footer-derived degree/beam
+    # (derive_gs_params, r9), so the gap isolates the ENTRY machinery:
+    # a 32-cluster corpus with 128-member clusters has no inter-cluster
+    # kNN edges at degree 12, so the flat walk stays near-zero no
+    # matter how wide. r9 (r8 verdict item 1): degree 12 / beam 32
+    # measured recall@10 = 1.0 here (0.5 at the r8 fixed k=3/beam-12);
+    # pinned at the production-grade >= 0.9.
     assert flat_recall <= 0.2, (flat_recall, layered_recall)
-    assert layered_recall >= 0.4, (flat_recall, layered_recall)
+    assert layered_recall >= 0.9, (flat_recall, layered_recall)
     assert layered_recall > flat_recall, (flat_recall, layered_recall)
 
 
