@@ -670,6 +670,36 @@ def _sq_interval_screen(
     )
 
 
+def derive_knn_ring(
+    n_rows: int, cand_cap: int, n_tables: int = 8,
+    *, ring_min_n: int = 100_000,
+) -> int | None:
+    """Ring width for lsh_knn_graph's candidate stage, footer-derived
+    (r9, sf30 triage): ``None`` (exact all-pairs-per-bucket candidates,
+    the historical behavior — bit-identical plans and oracles at every
+    driver/sweep scale) below ``ring_min_n`` rows. Why: the
+    within-bucket pair join is Ω(B²) per bucket — on the sf30 clone
+    corpus (300-member near-dup families, so B=300 buckets in every
+    table) the measured wall went 13.9× at 3× data (721s; the SQ8 dot
+    stage alone was ~90M pairs). The ring bounds candidate GENERATION
+    at W·B·T rows and the dot stage at ~3·cand_cap·N pairs — linear in
+    N regardless of clique size.
+
+    W is sized to the candidate BUDGET, not the cap: each source
+    samples ~2·W candidates per table across ``n_tables`` independent
+    hash orders, so W = ceil(3·cand_cap / n_tables) (floor 2) already
+    feeds the per-src pre-cap of 3·cand_cap with ~2× margin — a first
+    cut with W = cand_cap put N·T·W at 83M rows for sf10 and was
+    SLOWER than the exact path it replaced; the budget-sized W keeps
+    the ring stages ~6% of that. The 100k knee matches
+    derive_gs_params'. Both the Spark plan builder and the DuckDB
+    oracle builder derive the identical decision from the identical
+    parquet-footer row count."""
+    if n_rows < ring_min_n:
+        return None
+    return max(2, -(-3 * cand_cap // max(1, n_tables)))
+
+
 def lsh_knn_graph(
     embeddings: DataFrame,
     k: int = 3,
@@ -680,6 +710,8 @@ def lsh_knn_graph(
     vec_col: str = "embedding",
     seed: int = 42,
     max_bucket: int = 1024,
+    ring_window: int | None = None,
+    precap_mult: int = 3,
 ) -> DataFrame:
     """Approximate kNN GRAPH: each vector's top-``k`` neighbors among its
     multi-table LSH candidates. Returns (src, nbr, score, rk).
@@ -709,7 +741,25 @@ def lsh_knn_graph(
     per-src rank window carry ids + one scalar only (codes attach by
     id-keyed join onto DEDUPED pairs, and are projected away before the
     window shuffle); deterministic ``max_bucket`` hot-bucket cap.
-    """
+
+    r9 (sf30 triage): with ``ring_window=W`` set (derive_knn_ring — the
+    plan builders engage it at >= 100k rows), the within-bucket pair
+    join is replaced by a RING: bucket members sort by a per-table
+    multiplicative hash (engine-neutral exact int64, same family as the
+    layered-search level coin — id order would sample the same
+    neighbors in every table) and each member pairs with its W
+    successors via lead() — W·B rows per bucket instead of B², one
+    window shuffle, no self-join. Pairs then pre-cap per source at
+    ``precap_mult * cand_cap`` by (ring-agreement count desc, hashed
+    nbr) BEFORE the SQ8 code joins, so the dot stage is
+    ~precap·N regardless of near-dup clique size. On the 300-clone sf30
+    corpus the exact path ran 721s (13.9× at 3× data, ~90M dots); the
+    ring is linear by construction. Below the knee the exact all-pairs
+    path runs unchanged — bit-identical to r8 everywhere the driver
+    gate and sweeps look. Approximation is explicit and measured: the
+    ring samples ~2·W·T candidates per source across T independent
+    per-table orders (recall floor pinned in tests/test_similarity.py
+    on a forced-ring corpus)."""
     # NULL-safe dim probe (the lsh_cross_join pattern): rows with NULL
     # embeddings carry no buckets or edges, and an all-NULL/empty corpus
     # returns an empty graph with the output schema instead of a
@@ -733,14 +783,89 @@ def lsh_knn_graph(
             .filter(F.col("_rb") <= max_bucket)
             .drop("_rb")
         )
-    a = keyed.select(F.col("id").alias("id_a"), "t", "bucket")
-    b = keyed.select(F.col("id").alias("id_b"), "t", "bucket")
-    cands = (
-        a.join(b, ["t", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    if ring_window is None:
+        a = keyed.select(F.col("id").alias("id_a"), "t", "bucket")
+        b = keyed.select(F.col("id").alias("id_b"), "t", "bucket")
+        cands = (
+            a.join(b, ["t", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    else:
+        # per-table ring order: the level-coin hash salted by table
+        # (two-step mod so the salt can't push the product past int64 —
+        # see _gs_lvl_guard for the id bound both builders enforce)
+        rh = (
+            (F.col("id") * F.lit(2654435761)) % F.lit(4294967296)
+            + F.col("t") * F.lit(40503)
+        ) % F.lit(4294967296)
+        wr = Window.partitionBy("t", "bucket").orderBy("_rh", "id")
+        ranked = keyed.withColumn("_rh", rh)
+        # two steps: a generator (explode) can't host window expressions
+        led = ranked.select(
+            "id",
+            *[
+                F.lead("id", w).over(wr).alias(f"_l{w}")
+                for w in range(1, ring_window + 1)
+            ],
+        )
+        nbr = (
+            led.select(
+                "id",
+                F.explode(
+                    F.array(
+                        *[
+                            F.col(f"_l{w}")
+                            for w in range(1, ring_window + 1)
+                        ]
+                    )
+                ).alias("nbr"),
+            )
+            .filter(F.col("nbr").isNotNull())
+        )
+        agree = (
+            nbr.select(
+                F.least("id", "nbr").alias("id_a"),
+                F.greatest("id", "nbr").alias("id_b"),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("agr"))
+        )
+        symc = agree.select(
+            F.inline(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("src"),
+                        F.col("id_b").alias("cnb"),
+                        F.col("agr"),
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src"),
+                        F.col("id_a").alias("cnb"),
+                        F.col("agr"),
+                    ),
+                )
+            )
+        )
+        # pre-cap per src by (agreement desc, hashed nbr): the hash
+        # tie-break decorrelates the kept sample from id order (counts
+        # are mostly 1 when rings across tables barely overlap, and a
+        # plain id tie-break would keep only the lowest-id clique
+        # members for every source)
+        hn = (F.col("cnb") * F.lit(2654435761)) % F.lit(4294967296)
+        wp = Window.partitionBy("src").orderBy(
+            F.desc("agr"), hn.asc(), F.asc("cnb")
+        )
+        cands = (
+            symc.withColumn("_rp", F.row_number().over(wp))
+            .filter(F.col("_rp") <= precap_mult * cand_cap)
+            .select(
+                F.least("src", "cnb").alias("id_a"),
+                F.greatest("src", "cnb").alias("id_b"),
+            )
+            .distinct()
+        )
     # per-dimension [min, max] stats: one bounded driver collect (2*dim
     # doubles — the _fetch_centroids pattern), baked into the packing
     # UDF as literals so codes are ONE 64-byte binary per vector instead

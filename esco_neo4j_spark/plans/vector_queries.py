@@ -1346,9 +1346,27 @@ def _knn_params(sf_dir: str) -> tuple[int, int]:
 _KNN_CAND_CAP = 16  # per-src pool size ahead of the exact-cosine verify
 
 
+def _knn_ring(
+    sf_dir: str, cand_cap: int = _KNN_CAND_CAP, stride: int = 1,
+    n_tables: int = 8,
+) -> "int | None":
+    """Plan-side twin of the oracle builder's ring derivation: the ring
+    width for the (layer) corpus in ``sf_dir``, from the same parquet
+    footer count, with the same id-hash overflow guard when engaged."""
+    from esco_neo4j_spark.catalog import table_rowcount
+    from esco_neo4j_spark.operators.similarity import derive_knn_ring
+
+    layer_n = -(-table_rowcount(sf_dir, "embeddings") // stride)
+    ring = derive_knn_ring(layer_n, cand_cap, n_tables)
+    if ring is not None:
+        _gs_lvl_guard(sf_dir)
+    return ring
+
+
 def _knn_graph_sql(
     sf_dir: str, stride: int = 1, k: int = 3,
     cand_cap: int = _KNN_CAND_CAP,
+    ring: "int | None | str" = "auto",
 ) -> str:
     """Replay of lsh_knn_graph: banding (same hyperplane literals),
     hot-bucket cap, SQ8 codes from the same min/max stats, ONE exact
@@ -1359,22 +1377,33 @@ def _knn_graph_sql(
     ``lvl_hash(vec_id) < 2^32/stride`` (the layered-search coarse
     graphs), with banding — and the SQ8 min/max stats — derived from
     the layer's own row count, exactly as the Spark plan derives
-    them."""
-    from esco_neo4j_spark.operators.similarity import _hyperplanes
+    them. ``ring``: "auto" derives the r9 ring width from the layer's
+    footer row count (derive_knn_ring — engages at >= 100k rows, so
+    every sub-100k oracle is byte-identical to r8's); None forces the
+    exact all-pairs candidates; an int forces that ring width (tests
+    pin Spark == DuckDB on the ring path with a small forced width)."""
+    from esco_neo4j_spark.catalog import table_rowcount
+    from esco_neo4j_spark.operators.similarity import (
+        _hyperplanes,
+        derive_knn_ring,
+    )
 
+    n = table_rowcount(sf_dir, "embeddings")
     if stride == 1:
         n_planes, n_tables = _knn_params(sf_dir)
         lfilter = ""
+        layer_n = n
     else:
-        from esco_neo4j_spark.catalog import table_rowcount
         from esco_neo4j_spark.operators.similarity import derive_lsh_params
 
         _gs_lvl_guard(sf_dir)
-        n = table_rowcount(sf_dir, "embeddings")
-        n_planes, n_tables = derive_lsh_params(
-            -(-n // stride), base_tables=8
-        )
+        layer_n = -(-n // stride)
+        n_planes, n_tables = derive_lsh_params(layer_n, base_tables=8)
         lfilter = f" WHERE {_GS_LVL_SQL} < {4294967296 // stride}"
+    if ring == "auto":
+        ring = derive_knn_ring(layer_n, cand_cap, n_tables)
+    if ring is not None:
+        _gs_lvl_guard(sf_dir)  # the ring order reuses the id hash
     dim, max_bucket = 64, 1024
     all_planes = _hyperplanes(dim, n_planes * n_tables, 42)
     arms = []
@@ -1390,6 +1419,48 @@ def _knn_graph_sql(
         "list_cosine_similarity(CAST(es.embedding AS DOUBLE[]),"
         " CAST(en.embedding AS DOUBLE[]))"
     )
+    if ring is None:
+        cand_ctes = """cand AS (
+      SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM capped x JOIN capped y ON x.t = y.t AND x.bucket = y.bucket
+      WHERE x.vec_id < y.vec_id
+    ),"""
+    else:
+        leads = ",\n             ".join(
+            f"lead(vec_id, {w}) OVER rw AS l{w}"
+            for w in range(1, ring + 1)
+        )
+        larr = ", ".join(f"l{w}" for w in range(1, ring + 1))
+        cand_ctes = f"""rleads AS (
+      SELECT vec_id,
+             {leads}
+      FROM (SELECT vec_id, t, bucket,
+                   ((vec_id * 2654435761) % 4294967296 + t * 40503)
+                     % 4294967296 AS rh
+            FROM capped)
+      WINDOW rw AS (PARTITION BY t, bucket ORDER BY rh, vec_id)
+    ),
+    rnbr AS (
+      SELECT vec_id AS id, unnest([{larr}]) AS nbr FROM rleads
+    ),
+    ragree AS (
+      SELECT least(id, nbr) AS id_a, greatest(id, nbr) AS id_b,
+             count(*) AS agr
+      FROM rnbr WHERE nbr IS NOT NULL GROUP BY 1, 2
+    ),
+    rsym AS (
+      SELECT id_a AS src, id_b AS cnb, agr FROM ragree
+      UNION ALL SELECT id_b, id_a, agr FROM ragree
+    ),
+    cand AS (
+      SELECT DISTINCT least(src, cnb) AS id_a, greatest(src, cnb) AS id_b
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY src
+          ORDER BY agr DESC, (cnb * 2654435761) % 4294967296, cnb) AS rp
+        FROM rsym)
+      WHERE rp <= {3 * cand_cap}
+    ),"""
     return f"""
     WITH keyed AS (
       {keyed}
@@ -1400,11 +1471,7 @@ def _knn_graph_sql(
           PARTITION BY t, bucket ORDER BY vec_id) AS rb FROM keyed)
       WHERE rb <= {max_bucket}
     ),
-    cand AS (
-      SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-      FROM capped x JOIN capped y ON x.t = y.t AND x.bucket = y.bucket
-      WHERE x.vec_id < y.vec_id
-    ),
+    {cand_ctes}
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
           FROM embeddings WHERE embedding IS NOT NULL
           {"AND " + _GS_LVL_SQL + " < " + str(4294967296 // stride)
@@ -1486,6 +1553,7 @@ def vec_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_knn_graph(
         spark.table("embeddings"), k=3, cand_cap=_KNN_CAND_CAP,
         n_planes=n_planes, n_tables=n_tables,
+        ring_window=_knn_ring(sf_dir, n_tables=n_tables),
     )
 
 
@@ -2236,6 +2304,7 @@ def vec_knn_descent_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = lsh_knn_graph(
         spark.table("embeddings"), k=3, cand_cap=_KNN_CAND_CAP,
         n_planes=n_planes, n_tables=n_tables,
+        ring_window=_knn_ring(sf_dir, n_tables=n_tables),
     ).select("src", "nbr").localCheckpoint(eager=True)
     e = spark.table("embeddings").filter(F.col("embedding").isNotNull())
     pc = _pair_cosine_pudf()
@@ -2524,6 +2593,7 @@ def vec_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_knn_graph(
             spark.table("embeddings"), k=degree, cand_cap=cand_cap,
             n_planes=n_planes, n_tables=n_tables,
+            ring_window=_knn_ring(sf_dir, cand_cap, n_tables=n_tables),
         )
         .select("src", "nbr")
         .localCheckpoint(eager=True)
@@ -2591,6 +2661,7 @@ def vec_graph_search_layered(spark: SparkSession, sf_dir: str) -> DataFrame:
             lsh_knn_graph(
                 layer, k=degree, cand_cap=cand_cap,
                 n_planes=lp, n_tables=lt,
+                ring_window=_knn_ring(sf_dir, cand_cap, stride=s, n_tables=lt),
             )
             .select("src", "nbr")
             .localCheckpoint(eager=True)
@@ -2626,6 +2697,7 @@ def vec_graph_search_layered(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_knn_graph(
             emb, k=degree, cand_cap=cand_cap,
             n_planes=n_planes, n_tables=n_tables,
+            ring_window=_knn_ring(sf_dir, cand_cap, n_tables=n_tables),
         )
         .select("src", "nbr")
         .localCheckpoint(eager=True)

@@ -811,3 +811,120 @@ def test_gs_lvl_guard_overflow_bound(tmp_path):
     assert table_column_max(nostats, "embeddings", "vec_id") is None
     with pytest.raises(ValueError, match="no footer stats"):
         _gs_lvl_guard(nostats)
+
+
+def test_knn_graph_ring_path_matches_oracle(spark, tmp_path):
+    """r9 (sf30 triage): at >= 100k rows the kNN graph's candidate stage
+    switches from all-pairs-per-bucket (Ω(B²) on clone cliques — 721s
+    at sf30, 13.9× at 3× data) to the hash-ordered lead-window RING +
+    agreement pre-cap (linear by construction). The shipped corpora
+    never cross the knee, so this forces the ring on BOTH engines at a
+    small width and pins Spark == DuckDB exactly on the ring plan; it
+    also checks the derivation knee itself and the k·N output bound."""
+    import os
+    import random
+
+    import duckdb
+
+    from esco_neo4j_spark.operators.similarity import (
+        derive_knn_ring,
+        lsh_knn_graph,
+    )
+    from esco_neo4j_spark.plans.vector_queries import (
+        _knn_graph_sql,
+        _knn_params,
+    )
+
+    assert derive_knn_ring(99_999, 16) is None
+    # W sized to the pre-cap budget across tables, floor 2
+    assert derive_knn_ring(100_000, 16, 26) == 2
+    assert derive_knn_ring(600_000, 24, 30) == 3
+    assert derive_knn_ring(100_000, 16, 8) == 6
+
+    rng = random.Random(7)
+    n, dim = 800, 64
+    rows = [
+        (i, [round(rng.gauss(0.0, 1.0), 4) for _ in range(dim)])
+        for i in range(n)
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    ).coalesce(2).write.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    n_planes, n_tables = _knn_params(sf_dir)
+    got = sorted(
+        (r.src, r.nbr, round(r.score, 6), r.rk)
+        for r in lsh_knn_graph(
+            spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")),
+            k=3, cand_cap=16, n_planes=n_planes, n_tables=n_tables,
+            ring_window=4,
+        ).collect()
+    )
+    assert 0 < len(got) <= 3 * n
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+        f"'{sf_dir}/embeddings.parquet/*.parquet')"
+    )
+    want = sorted(
+        (r["src"], r["nbr"], round(r["score"], 6), r["rk"])
+        for r in con.execute(
+            _knn_graph_sql(sf_dir, ring=4)
+        ).fetchdf().to_dict("records")
+    )
+    assert got == want
+
+
+def test_knn_graph_ring_edge_quality(spark, tmp_path):
+    """The ring is an approximation with a MEASURED, pinned quality
+    floor (the ED<=2 honesty rule): on a clustered corpus the ring
+    graph must keep every edge within the true cluster and its mean
+    edge cosine within 3% of the exact path's — the property a
+    navigation substrate actually needs (HNSW's own graphs are not
+    exact kNN either). Exact-top-3 identity overlap is lower by design
+    (~0.5 on 128-member cliques where every member is a near-tie) and
+    pinned only loosely."""
+    import os
+    import random
+
+    from esco_neo4j_spark.operators.similarity import lsh_knn_graph
+    from esco_neo4j_spark.plans.vector_queries import _knn_params
+
+    rng = random.Random(7)
+    rows = []
+    for ci in range(16):
+        c = [rng.gauss(0, 1) for _ in range(64)]
+        nrm = sum(x * x for x in c) ** 0.5
+        c = [x / nrm for x in c]
+        for j in range(128):
+            rows.append(
+                (ci * 128 + j,
+                 [round(x + rng.gauss(0, 0.08), 4) for x in c])
+            )
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    ).coalesce(2).write.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    np_, nt = _knn_params(sf_dir)
+
+    def edges(ring):
+        return lsh_knn_graph(
+            e, k=3, cand_cap=16, n_planes=np_, n_tables=nt,
+            ring_window=ring,
+        ).collect()
+
+    exact = edges(None)
+    ring = edges(16)
+    assert len(ring) == len(exact) == 3 * len(rows)
+    assert all(r.src // 128 == r.nbr // 128 for r in ring), (
+        "ring edge left its cluster"
+    )
+    mean_exact = sum(r.score for r in exact) / len(exact)
+    mean_ring = sum(r.score for r in ring) / len(ring)
+    assert mean_ring >= 0.97 * mean_exact, (mean_ring, mean_exact)
+    overlap = len(
+        {(r.src, r.nbr) for r in ring} & {(r.src, r.nbr) for r in exact}
+    ) / len(exact)
+    assert overlap >= 0.4, overlap
