@@ -589,3 +589,27 @@ def test_simhash_leader_clusters_star_guarantee(spark):
     total = REGISTRY["dedup_simhash_canonical"].fn(spark, sf)
     n_docs = docs.count()
     assert total.count() == n_docs
+
+
+def test_simhash_leader_clusters_partition_invariance(spark):
+    """Same distributed-determinism pin for the leader clustering: the
+    bucket min-election, the per-doc best-leader argmin, and the
+    self-leader acceptance are all pure functions of the fingerprint
+    multiset, so the (doc -> canonical) assignment must not depend on
+    how the input happens to be partitioned."""
+    from esco_neo4j_spark.operators.dedup import simhash_leader_clusters
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+
+    def run(frame):
+        return sorted(
+            (r.id, r.canonical_id, r.is_duplicate)
+            for r in simhash_leader_clusters(
+                frame, "text", "doc_id", rounds=4
+            ).collect()
+        )
+
+    base = run(docs.coalesce(1))
+    assert base == run(docs.repartition(32))
+    assert base == run(docs.repartition(5, "doc_id"))

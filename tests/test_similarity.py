@@ -928,3 +928,36 @@ def test_knn_graph_ring_edge_quality(spark, tmp_path):
         {(r.src, r.nbr) for r in ring} & {(r.src, r.nbr) for r in exact}
     ) / len(exact)
     assert overlap >= 0.4, overlap
+
+
+def test_knn_graph_ring_partition_invariance(spark, tmp_path):
+    """Distributed-determinism pin for the ring path: every ordering it
+    relies on (per-bucket (hash, id) ring order, per-src (agreement,
+    hashed-nbr, nbr) pre-cap, the SQ8 and exact ranks) is TOTAL, so the
+    output must be identical under any input partitioning — the classic
+    shuffle-order trap a window with a non-total order would hit only
+    in production."""
+    import os
+    import random
+
+    from esco_neo4j_spark.operators.similarity import lsh_knn_graph
+
+    rng = random.Random(3)
+    rows = [
+        (i, [round(rng.gauss(0.0, 1.0), 4) for _ in range(32)])
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    def run(frame):
+        return sorted(
+            (r.src, r.nbr, r.score, r.rk)
+            for r in lsh_knn_graph(
+                frame, k=3, cand_cap=16, n_planes=5, n_tables=8,
+                ring_window=3,
+            ).collect()
+        )
+
+    base = run(df.coalesce(1))
+    assert base == run(df.repartition(32))
+    assert base == run(df.repartition(7, "vec_id"))
