@@ -48,7 +48,7 @@ _ANCHOR_SQL = "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id 
 # cdc_chunk_stats' Karp-Rabin window bound. Replayed verbatim in the
 # DuckDB oracle.
 _GS_LVL_SQL = "((vec_id * 2654435761) % 4294967296)"
-_GS_LVL_MAX_ID = (2**63) // 2654435761  # 3_474_701_385
+_GS_LVL_MAX_ID = (2**63) // 2654435761  # 3_474_701_543
 
 
 def _gs_lvl(col):
@@ -1367,6 +1367,7 @@ def _knn_graph_sql(
     sf_dir: str, stride: int = 1, k: int = 3,
     cand_cap: int = _KNN_CAND_CAP,
     ring: "int | None | str" = "auto",
+    descent: "bool | str" = False,
 ) -> str:
     """Replay of lsh_knn_graph: banding (same hyperplane literals),
     hot-bucket cap, SQ8 codes from the same min/max stats, ONE exact
@@ -1381,7 +1382,14 @@ def _knn_graph_sql(
     footer row count (derive_knn_ring — engages at >= 100k rows, so
     every sub-100k oracle is byte-identical to r8's); None forces the
     exact all-pairs candidates; an int forces that ring width (tests
-    pin Spark == DuckDB on the ring path with a small forced width)."""
+    pin Spark == DuckDB on the ring path with a small forced width).
+    ``descent``: "auto" appends ONE NN-descent refinement round (the
+    nn_descent_refine twin — forward neighbor-of-neighbor expansion,
+    exact re-rank to top-k) iff the ring engaged, True/False force it;
+    the registered vec_knn_graph_lsh passes "auto" (its r10
+    identity-gap close), while the graph-search oracles keep the
+    default False (their degree-16 graphs need navigability, not edge
+    identity, and a descent there would cost ~(degree^2)·N cosines)."""
     from esco_neo4j_spark.catalog import table_rowcount
     from esco_neo4j_spark.operators.similarity import (
         _hyperplanes,
@@ -1404,6 +1412,8 @@ def _knn_graph_sql(
         ring = derive_knn_ring(layer_n, cand_cap, n_tables)
     if ring is not None:
         _gs_lvl_guard(sf_dir)  # the ring order reuses the id hash
+    if descent == "auto":
+        descent = ring is not None
     dim, max_bucket = 64, 1024
     all_planes = _hyperplanes(dim, n_planes * n_tables, 42)
     arms = []
@@ -1435,8 +1445,9 @@ def _knn_graph_sql(
       SELECT vec_id,
              {leads}
       FROM (SELECT vec_id, t, bucket,
-                   ((vec_id * 2654435761) % 4294967296 + t * 40503)
-                     % 4294967296 AS rh
+                   (xor((vec_id * 2654435761) % 4294967296,
+                        (t * 2654435769) % 4294967296)
+                    * 2145916205) % 4294967296 AS rh
             FROM capped)
       WINDOW rw AS (PARTITION BY t, bucket ORDER BY rh, vec_id)
     ),
@@ -1461,6 +1472,39 @@ def _knn_graph_sql(
         FROM rsym)
       WHERE rp <= {3 * cand_cap}
     ),"""
+    if descent:
+        # g0 feeds TWO joins (base + expansion) — AS MATERIALIZED, or
+        # DuckDB inlines the multiply-referenced CTE and replays the
+        # whole graph pipeline twice (the simhash-canonical lesson)
+        descent_tail = f""",
+    g0 AS MATERIALIZED (
+      SELECT src, nbr
+      FROM (
+        SELECT src, nbr, row_number() OVER (
+          PARTITION BY src ORDER BY score DESC, nbr) AS rk
+        FROM scored)
+      WHERE rk <= {k}
+    ),
+    gex AS (
+      SELECT b.src, g2.nbr FROM g0 b JOIN g0 g2 ON g2.src = b.nbr
+      WHERE g2.nbr <> b.src
+    ),
+    gcand AS (
+      SELECT DISTINCT src, nbr FROM (
+        SELECT src, nbr FROM g0 UNION ALL SELECT src, nbr FROM gex)
+    ),
+    gsc AS (
+      SELECT c.src, c.nbr,
+             CAST(round({pair_cos}, 6) AS DOUBLE)
+               AS score
+      FROM gcand c
+      JOIN embeddings es ON es.vec_id = c.src
+      JOIN embeddings en ON en.vec_id = c.nbr
+    )"""
+        final_rel = "gsc"
+    else:
+        descent_tail = ""
+        final_rel = "scored"
     return f"""
     WITH keyed AS (
       {keyed}
@@ -1517,12 +1561,12 @@ def _knn_graph_sql(
       FROM pool p
       JOIN embeddings es ON es.vec_id = p.src
       JOIN embeddings en ON en.vec_id = p.nbr
-    )
+    ){descent_tail}
     SELECT src, nbr, score, CAST(rk AS INT) AS rk
     FROM (
       SELECT *, row_number() OVER (
         PARTITION BY src ORDER BY score DESC, nbr) AS rk
-      FROM scored)
+      FROM {final_rel})
     WHERE rk <= {k}
     ORDER BY src, rk
     """
@@ -1546,20 +1590,50 @@ def vec_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/similarity.lsh_knn_graph). Recall floor pinned in
     tests/test_similarity.py; the oracle replays banding, agreement
     counting, the capped pool, and ranking. Banding parameters derive
-    from corpus size (derive_lsh_params) on both engines."""
-    from esco_neo4j_spark.operators.similarity import lsh_knn_graph
+    from corpus size (derive_lsh_params) on both engines.
+
+    r10 (verdict item 2): ABOVE the ring knee (derive_knn_ring — 100k
+    footer rows) the output additionally gets ONE NN-descent
+    refinement round (nn_descent_refine): the ring keeps candidate
+    generation linear on clone cliques but recovers only ~0.55 of the
+    exact top-k identities on near-ties; the descent round lets each
+    ring edge vote its neighbors in (<= k + k^2 = 12 exact cosines per
+    source — still linear, clique-size-independent) and lifts identity
+    overlap (floor pinned in tests/test_similarity.py on the
+    forced-ring clique corpus). Below the knee the plan and oracle are
+    byte-identical to r9's exact path."""
+    from esco_neo4j_spark.operators.similarity import (
+        lsh_knn_graph,
+        nn_descent_refine,
+    )
 
     n_planes, n_tables = _knn_params(sf_dir)
-    return lsh_knn_graph(
+    ring = _knn_ring(sf_dir, n_tables=n_tables)
+    g = lsh_knn_graph(
         spark.table("embeddings"), k=3, cand_cap=_KNN_CAND_CAP,
         n_planes=n_planes, n_tables=n_tables,
-        ring_window=_knn_ring(sf_dir, n_tables=n_tables),
+        ring_window=ring,
     )
+    if ring is not None:
+        # checkpoint: the refined graph joins g against itself — without
+        # it the whole banding+SQ8 pipeline would execute twice
+        g = nn_descent_refine(
+            g.select("src", "nbr").localCheckpoint(eager=True),
+            spark.table("embeddings"), k=3,
+        )
+    return g
+
+
+def _knn_graph_lsh_sql(sf_dir: str) -> str:
+    """Registered oracle for vec_knn_graph_lsh: the shared graph SQL
+    with descent="auto" — the NN-descent round engages exactly when
+    the Spark plan's ring does (same footer-derived knee)."""
+    return _knn_graph_sql(sf_dir, descent="auto")
 
 
 from esco_neo4j_spark.plans.registry import REGISTRY as _REGISTRY  # noqa: E402
 
-_REGISTRY["vec_knn_graph_lsh"].sql = _knn_graph_sql  # per-sf_dir builder
+_REGISTRY["vec_knn_graph_lsh"].sql = _knn_graph_lsh_sql  # per-sf_dir builder
 
 
 @query(
@@ -2200,7 +2274,8 @@ def vec_lsh_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _knn_descent_sql(sf_dir: str) -> str:
-    """Replay: the registered kNN-graph SQL as a CTE, one forward
+    """Replay: the shared kNN-graph SQL (no-descent base — the eval
+    refines it ITSELF, so the base must stay raw) as a CTE, one forward
     neighbor-of-neighbor expansion, exact-cosine re-rank to top-3, and
     recall@3 of base vs refined against the brute-force top-3 of a
     deterministic anchor panel (vec_id % 29 = 0)."""

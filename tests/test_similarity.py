@@ -782,7 +782,7 @@ def test_gs_lvl_guard_overflow_bound(tmp_path):
         _gs_lvl_guard,
     )
 
-    assert _GS_LVL_MAX_ID == (2**63) // 2654435761  # 3_474_701_385
+    assert _GS_LVL_MAX_ID == (2**63) // 2654435761  # 3_474_701_543
     _gs_lvl_guard("/root/testdata/sf0.001")  # shipped corpus: fine
 
     bad = str(tmp_path / "bad")
@@ -883,8 +883,11 @@ def test_knn_graph_ring_edge_quality(spark, tmp_path):
     edge cosine within 3% of the exact path's — the property a
     navigation substrate actually needs (HNSW's own graphs are not
     exact kNN either). Exact-top-3 identity overlap is lower by design
-    (~0.5 on 128-member cliques where every member is a near-tie) and
-    pinned only loosely."""
+    on 128-member near-tie cliques and pinned only loosely (~0.55
+    measured with the r10 XOR-decorrelated per-table orders, up from
+    ~0.5 with the r9 additive salt; the identity-accurate path above
+    the knee is the NN-descent refinement round layered on top —
+    test_knn_graph_ring_descent_identity)."""
     import os
     import random
 
@@ -927,7 +930,7 @@ def test_knn_graph_ring_edge_quality(spark, tmp_path):
     overlap = len(
         {(r.src, r.nbr) for r in ring} & {(r.src, r.nbr) for r in exact}
     ) / len(exact)
-    assert overlap >= 0.4, overlap
+    assert overlap >= 0.45, overlap
 
 
 def test_knn_graph_ring_partition_invariance(spark, tmp_path):
@@ -961,3 +964,122 @@ def test_knn_graph_ring_partition_invariance(spark, tmp_path):
     base = run(df.coalesce(1))
     assert base == run(df.repartition(32))
     assert base == run(df.repartition(7, "vec_id"))
+
+
+def test_knn_graph_ring_descent_matches_oracle(spark, tmp_path):
+    """r10 (verdict item 2): above the knee the registered
+    vec_knn_graph_lsh composes ONE NN-descent refinement round after
+    the ring candidates. Forces ring + descent on BOTH engines at a
+    small width and pins Spark == DuckDB exactly on the composed plan
+    (lsh_knn_graph -> nn_descent_refine vs the shared SQL builder with
+    descent=True)."""
+    import os
+    import random
+
+    import duckdb
+
+    from esco_neo4j_spark.operators.similarity import (
+        lsh_knn_graph,
+        nn_descent_refine,
+    )
+    from esco_neo4j_spark.plans.vector_queries import (
+        _knn_graph_sql,
+        _knn_params,
+    )
+
+    rng = random.Random(11)
+    n, dim = 600, 64
+    rows = [
+        (i, [round(rng.gauss(0.0, 1.0), 4) for _ in range(dim)])
+        for i in range(n)
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    ).coalesce(2).write.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    n_planes, n_tables = _knn_params(sf_dir)
+    base = lsh_knn_graph(
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")),
+        k=3, cand_cap=16, n_planes=n_planes, n_tables=n_tables,
+        ring_window=4,
+    ).select("src", "nbr").localCheckpoint(eager=True)
+    got = sorted(
+        (r.src, r.nbr, round(r.score, 6), r.rk)
+        for r in nn_descent_refine(
+            base,
+            spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")),
+            k=3,
+        ).collect()
+    )
+    assert 0 < len(got) <= 3 * n
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+        f"'{sf_dir}/embeddings.parquet/*.parquet')"
+    )
+    want = sorted(
+        (r["src"], r["nbr"], round(r["score"], 6), r["rk"])
+        for r in con.execute(
+            _knn_graph_sql(sf_dir, ring=4, descent=True)
+        ).fetchdf().to_dict("records")
+    )
+    assert got == want
+
+
+def test_knn_graph_ring_descent_identity(spark, tmp_path):
+    """The r10 identity-gap close, measured and pinned: on the
+    forced-ring clique corpus (16 clusters x 128 near-tie members) the
+    pure ring graph keeps ~0.55 of the exact top-3 edge identities;
+    one NN-descent round over the ring graph must lift that (measured
+    0.65 — near-tie cliques cap ANY sampled method's exact-identity
+    rate; pinned >= 0.6) while every edge stays within its true
+    cluster. The
+    refinement is what downstream identity consumers (recall evals,
+    NN-descent baselines) get above the knee via vec_knn_graph_lsh."""
+    import os
+    import random
+
+    from esco_neo4j_spark.operators.similarity import (
+        lsh_knn_graph,
+        nn_descent_refine,
+    )
+    from esco_neo4j_spark.plans.vector_queries import _knn_params
+
+    rng = random.Random(7)
+    rows = []
+    for ci in range(16):
+        c = [rng.gauss(0, 1) for _ in range(64)]
+        nrm = sum(x * x for x in c) ** 0.5
+        c = [x / nrm for x in c]
+        for j in range(128):
+            rows.append(
+                (ci * 128 + j,
+                 [round(x + rng.gauss(0, 0.08), 4) for x in c])
+            )
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    ).coalesce(2).write.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    np_, nt = _knn_params(sf_dir)
+
+    exact = lsh_knn_graph(
+        e, k=3, cand_cap=16, n_planes=np_, n_tables=nt, ring_window=None
+    ).collect()
+    ring = lsh_knn_graph(
+        e, k=3, cand_cap=16, n_planes=np_, n_tables=nt, ring_window=16
+    ).select("src", "nbr").localCheckpoint(eager=True)
+    refined = nn_descent_refine(ring, e, k=3).collect()
+
+    assert len(refined) == len(exact) == 3 * len(rows)
+    assert all(r.src // 128 == r.nbr // 128 for r in refined), (
+        "refined edge left its cluster"
+    )
+    exact_set = {(r.src, r.nbr) for r in exact}
+    ring_set = {(r.src, r.nbr) for r in ring.collect()}
+    ref_set = {(r.src, r.nbr) for r in refined}
+    ring_overlap = len(ring_set & exact_set) / len(exact_set)
+    ref_overlap = len(ref_set & exact_set) / len(exact_set)
+    assert ref_overlap > ring_overlap, (ref_overlap, ring_overlap)
+    assert ref_overlap >= 0.6, ref_overlap
