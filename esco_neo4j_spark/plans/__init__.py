@@ -27,7 +27,7 @@ from esco_neo4j_spark.plans import tpch_queries  # noqa: F401
 
 # Exactly 50 names; every SURVEY.md §2 category has a value-oracle carrier:
 # A/B/C/D/F/G/H/K via esco_* (warehouse parity corpus), I via udf_*, J via
-# events_*, E via ext_topk_per_group + events_sessionization, D9 via
+# events_*, E via events_sessionization + events_survival_km, D9 via
 # ext_cube_status_priority, G3 via ext_nations_with_both /
 # ext_customers_no_urgent_orders, B10 via ext_map_projection, plus the
 # north-star dedup / text / vector / multimodal / graph families.
@@ -51,7 +51,21 @@ _DRIVER_WINDOW = [
     # events_ams_f2_selfjoin), vec_ivf_topk (A7(scale) via the graph-
     # search family). All stay registered and exact-value-checked in
     # the tests/test_oracle_parity.py mirror and the sf0.01 assurance
-    # sweep.)
+    # sweep.
+    # r10 rotation (verdict item 5): IN — vec_graph_search_layered_
+    # indexed (new: the persisted-index serve face, r10 headline),
+    # vec_sq_topk, graph_katz, events_survival_km,
+    # tpch_q21_waiting_suppliers, text_crossdoc_ngram_share (all
+    # never hard-gated before). OUT to the mirror, every op kept
+    # in-window: vec_graph_search + vec_graph_search_layered
+    # (A7(scale)/knn-graph(ext)/H1/F2 via the indexed twin — which
+    # runs the SAME search over the SAME graphs, served from the
+    # artifact — plus vec_knn_descent_round), vec_cosine_topk
+    # (H1/B3/B6/F2/K7 via esco_search_cosine), ext_topk_per_group
+    # (E(ext) via events_sessionization), events_dedup_latest
+    # (J(ext) via events_sessionization, B12 via dedup_exact),
+    # graph_shortest_path_nodes (K2/C3 via esco_shortest_path, H4 via
+    # esco_hierarchy_depth_histogram).
     "esco_label_counts_catalog",
     "esco_rel_counts_catalog",
     "esco_top_essential_skills",
@@ -74,7 +88,7 @@ _DRIVER_WINDOW = [
     # streaming batch-twins (J) + sketches + governance + temporal
     # reachability (K(ext)/H10 on events) — 6
     "events_sessionization",
-    "events_dedup_latest",
+    "events_survival_km",
     "events_ams_f2_selfjoin",
     "events_k_anonymity",
     "events_temporal_reachability",
@@ -103,18 +117,18 @@ _DRIVER_WINDOW = [
     # layered search; the C9 carrier is the banded LSH join — the plan
     # that survives 100x; the exact all-pairs twin vec_similarity_join
     # stays registered outside the window as the calibration baseline)
-    "vec_cosine_topk",
+    "vec_sq_topk",
     "vec_lsh_similarity_join",
     "vec_lsh_contamination",
     "vec_knn_descent_round",
-    "vec_graph_search",
-    "vec_graph_search_layered",
+    "vec_graph_search_layered_indexed",
     # graph (K2 path reconstruction, sampled betweenness) — 2
     # (HyperBall to the mirror; sketch(ext) via events_ams_f2_selfjoin)
-    "graph_shortest_path_nodes",
+    "graph_katz",
     "graph_betweenness",
     # extension operators only expressible on the sf tables — 4
-    "ext_topk_per_group",
+    "text_crossdoc_ngram_share",
+    "tpch_q21_waiting_suppliers",
     "ext_cube_status_priority",
     "ext_nations_with_both",
     "ext_map_projection",

@@ -1198,7 +1198,7 @@ def _katz_unrolled_sql(
 @query(
     "graph_katz",
     sql=_katz_unrolled_sql(),
-    survey_ops="K4-adjacent(katz,ext)",
+    survey_ops="K4-adjacent-katz(ext)",
     tables=("events",),
 )
 def graph_katz(spark: SparkSession, sf_dir: str) -> DataFrame:

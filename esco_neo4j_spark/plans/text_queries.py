@@ -1111,7 +1111,7 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY crossdoc_share DESC, g.doc_id
     LIMIT 100
     """,
-    survey_ops="dedup-adjacent(corpus-health,ext),D3,D5",
+    survey_ops="dedup-adjacent-corpus-health(ext),D3,D5",
     tables=("documents",),
 )
 def text_crossdoc_ngram_share(spark: SparkSession, sf_dir: str) -> DataFrame:

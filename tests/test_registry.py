@@ -46,6 +46,9 @@ _REQUIRED_WINDOW_OPS = {
     "pipeline-forget(ext)", "pipeline-mixing(ext)",
     "pipeline-privacy(ext)", "sketch(ext)", "text-bpe(ext)",
     "text-langid", "text-quality", "text-tokens",
+    # added at the r10 rotation (never hard-gated before r10):
+    "E", "survival(ext)", "K4-adjacent-katz(ext)",
+    "dedup-adjacent-corpus-health(ext)",
 }
 
 
