@@ -157,7 +157,7 @@ def _lsh_join_sql(
     WITH keyed AS (
       {keyed}
     ),
-    capped AS (
+    capped AS MATERIALIZED (
       SELECT vec_id, t, bucket FROM (
         SELECT *, row_number() OVER (
           PARTITION BY t, bucket ORDER BY vec_id) AS rb FROM keyed)
@@ -959,7 +959,7 @@ def vec_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims AS (SELECT CAST(j AS INT) AS j FROM range(1, 65) t(j)),
     flat AS (SELECT vec_id, j, v[j] AS x FROM e CROSS JOIN dims),
     st AS (SELECT j, min(x) AS mn, max(x) AS mx FROM flat GROUP BY j),
-    q AS (
+    q AS MATERIALIZED (
       SELECT vec_id, j,
              CASE WHEN mx = mn THEN 0
                   ELSE CAST(round((x - mn) * 255.0 / (mx - mn)) AS BIGINT)
@@ -1509,7 +1509,7 @@ def _knn_graph_sql(
     WITH keyed AS (
       {keyed}
     ),
-    capped AS (
+    capped AS MATERIALIZED (
       SELECT vec_id, t, bucket FROM (
         SELECT *, row_number() OVER (
           PARTITION BY t, bucket ORDER BY vec_id) AS rb FROM keyed)
@@ -1523,7 +1523,7 @@ def _knn_graph_sql(
     dims AS (SELECT CAST(j AS INT) AS j FROM range(1, {dim + 1}) t(j)),
     flat AS (SELECT vec_id, j, v[j] AS x FROM e CROSS JOIN dims),
     st AS (SELECT j, min(x) AS mn, max(x) AS mx FROM flat GROUP BY j),
-    q AS (
+    q AS MATERIALIZED (
       SELECT vec_id, j,
              CASE WHEN mx = mn THEN 0
                   ELSE CAST(round((x - mn) * 255.0 / (mx - mn)) AS BIGINT)
@@ -2289,7 +2289,7 @@ def _knn_descent_sql(sf_dir: str) -> str:
         " CAST(en.embedding AS DOUBLE[]))"
     )
     return f"""
-    WITH g AS ({base}),
+    WITH g AS MATERIALIZED ({base}),
     panel AS (
       SELECT vec_id FROM embeddings
       WHERE vec_id % 29 = 0 AND embedding IS NOT NULL
@@ -2533,7 +2533,7 @@ def _graph_search_sql(sf_dir: str) -> str:
     base = _knn_graph_sql(sf_dir, k=degree, cand_cap=cand_cap)
     cos = f"round({_COS.format(anchor=_ANCHOR_SQL)}, 6)"
     return f"""
-    WITH g AS ({base}),
+    WITH g AS MATERIALIZED ({base}),
     v0 AS (
       SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL
       ORDER BY vec_id LIMIT {_GS_ENTRIES}
@@ -2576,7 +2576,7 @@ def _graph_search_layered_sql(sf_dir: str) -> str:
     entry = None
     for i, s in enumerate(strides):
         ctes.append(
-            f"lg{i} AS ({_knn_graph_sql(sf_dir, stride=s, k=degree, cand_cap=cand_cap)})"
+            f"lg{i} AS MATERIALIZED ({_knn_graph_sql(sf_dir, stride=s, k=degree, cand_cap=cand_cap)})"
         )
         if entry is None:
             # the TOP layer is scored exhaustively — it is bounded to
@@ -2610,7 +2610,7 @@ def _graph_search_layered_sql(sf_dir: str) -> str:
     chain = ",\n    ".join(ctes)
     return f"""
     WITH {chain},
-    g AS ({_knn_graph_sql(sf_dir, k=degree, cand_cap=cand_cap)}),
+    g AS MATERIALIZED ({_knn_graph_sql(sf_dir, k=degree, cand_cap=cand_cap)}),
     v0 AS (
       SELECT vec_id FROM {entry}
       UNION
