@@ -682,12 +682,19 @@ def simhash_leader_clusters(
     )
 
 
+# Verify-side broadcast budget (bytes, DATA estimate per side — see the
+# r9 advisory note inside ngram_jaccard_pairs). Beyond it the verify runs
+# witness-grouped (r10) instead of as an array-carrying sort-merge join.
+NGRAM_VERIFY_BROADCAST_BYTES = 1_000_000_000
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
     threshold: float = 0.8,
     shingle_n: int = 3,
+    verify_broadcast_bytes: int | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard near-dup pairs with LOSSLESS prefix
     filtering (the SSJoin/PPJoin principle; Chaudhuri et al. 2006, Xiao
@@ -818,6 +825,7 @@ def ngram_jaccard_pairs(
             >= t * F.greatest(F.col("pa.n"), F.col("pb.n")) - eps
         )
         .select(
+            F.col("g"),
             F.col("pa.id").alias("id_a"),
             F.col("pb.id").alias("id_b"),
             F.col("pa.rk").alias("rka"),
@@ -835,6 +843,12 @@ def ngram_jaccard_pairs(
             F.min("rkb").alias("j"),
             F.first("na").alias("na"),
             F.first("nb").alias("nb"),
+            # witness (r10): the pair's rarest common prefix shingle —
+            # rka is id_a's rank in the GLOBAL (df, g) order, so min_by
+            # picks the same shingle any consistent tie-break would.
+            # Used only as a CO-LOCATION key by the witness-grouped
+            # verify; the broadcast branch ignores it.
+            F.min_by("g", "rka").alias("gw"),
         )
         # positional filter: best-case overlap from the first match
         .filter(
@@ -842,7 +856,7 @@ def ngram_jaccard_pairs(
             + F.least(F.col("na") - F.col("i"), F.col("nb") - F.col("j"))
             >= (t / (F.lit(1.0) + t)) * (F.col("na") + F.col("nb")) - eps
         )
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", "na", "nb", "gw")
     )
     # exact verify on the candidate pairs only.
     # r8: the verify-side JOIN STRATEGY is size-adaptive. As sort-merge
@@ -852,22 +866,20 @@ def ngram_jaccard_pairs(
     # disk. When the whole (id -> shingle array) side fits a broadcast
     # budget (here: 200k docs x ~450 longs ~= 720MB), broadcasting it
     # turns both fetches into hash lookups — the pair stream never
-    # sorts and peak spill drops to ~0. Beyond the budget (a true
-    # 100 TB corpus) the plan falls back to sort-merge, whose spill is
-    # distributed across cluster disks — the thing a single local[32]
-    # host genuinely lacks. Strategy only; output identical either way.
+    # sorts and peak spill drops to ~0. Beyond the budget the verify is
+    # WITNESS-GROUPED (r10 — _ngram_witness_verify below): the r8 SMJ
+    # fallback still carried O(pairs x doc_bytes) through a sort, which
+    # the sf30 probe measured filling 73GB of free disk before dying.
+    # Strategy only; output identical either way.
     vstats = sh.agg(
         F.count("*").alias("nd"),
         F.coalesce(F.sum("n"), F.lit(0)).alias("tot"),
     ).first()
     verify_bytes = int(vstats["tot"]) * 8 + int(vstats["nd"]) * 48
-    ea = sh.select(
-        F.col("id").alias("id_a"), F.col("sh").alias("sha"),
-        F.col("n").alias("na"),
-    )
-    eb = sh.select(
-        F.col("id").alias("id_b"), F.col("sh").alias("shb"),
-        F.col("n").alias("nb"),
+    budget = (
+        NGRAM_VERIFY_BROADCAST_BYTES
+        if verify_broadcast_bytes is None
+        else verify_broadcast_bytes
     )
     # broadcast budget (r9, advisory): verify_bytes is a DATA estimate
     # (8B/long + 48B/row); a materialized broadcast relation costs a
@@ -880,13 +892,23 @@ def ngram_jaccard_pairs(
     # point (200k docs x ~450 longs ~= 720MB) that motivated the
     # broadcast in the first place. (The old 2GB constant could mean
     # ~10GB+ heap at 2 sides x expansion.)
-    if verify_bytes <= 1_000_000_000:
-        ea, eb = F.broadcast(ea), F.broadcast(eb)
+    if verify_bytes <= budget:
+        ea = F.broadcast(
+            sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sha"))
+        )
+        eb = F.broadcast(
+            sh.select(F.col("id").alias("id_b"), F.col("sh").alias("shb"))
+        )
+        verified = (
+            cand.join(ea, "id_a")
+            .join(eb, "id_b")
+            .withColumn("common", F.size(F.array_intersect("sha", "shb")))
+            .select("id_a", "id_b", "na", "nb", "common")
+        )
+    else:
+        verified = _ngram_witness_verify(cand, sh)
     return (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
-        .withColumn("common", F.size(F.array_intersect("sha", "shb")))
-        .withColumn(
+        verified.withColumn(
             "jaccard",
             F.round(
                 F.col("common").cast("double")
@@ -896,6 +918,76 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _ngram_witness_verify(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact candidate verification co-located at each pair's WITNESS
+    shingle (r10, the sf30 triage).
+
+    Beyond the broadcast budget the old fallback was a sort-merge join
+    that attached both full shingle arrays to every candidate pair —
+    O(pairs x doc_bytes) shuffle+sort traffic. On output-heavy corpora
+    that is the dominant cost by orders of magnitude: the sf30 probe
+    (1.5M docs in 300-copy near-dup families, ~10^8 qualifying pairs,
+    ~3.6KB of shingles per doc) spilled past the host's 73GB of free
+    disk and died; sf10 survived at 833s, nearly all of it verify
+    spill.
+
+    This branch restates the verify as a COGROUP at a witness: every
+    candidate pair shares >= 1 prefix shingle by the prefix-filtering
+    lemma, and the pair agg assigns the globally RAREST one (min (df,g)
+    order == min rka) as the pair's witness `gw`. Grouping pairs by gw
+    and shipping each referenced doc's int64 shingle array once per
+    witness group turns verify traffic into O(docs_touched x doc_bytes
+    + pairs x 24B): near-dup families funnel all their pairs to the
+    same few rare witnesses, so arrays ship ~once instead of
+    once-per-pair. The pandas side computes ONLY the exact intersection
+    count over int64 sets (injectivity of the hash encoding is verified
+    upstream); jaccard, rounding, and the threshold filter stay in the
+    SAME JVM expressions as the broadcast branch, so both branches are
+    bit-identical (pinned in tests/test_corpus.py).
+
+    Skew note: a witness group's size is bounded by the pair count of
+    the near-dup family that elects it — the witness is rarest-first,
+    so corpus-hot shingles (the classic skew risk) are exactly the ones
+    that never become witnesses. A 10^5-pair family group is ~2s of
+    set-intersections in one task; families beyond that are already
+    pathological for EXACT pair enumeration itself (the output is the
+    bottleneck), which is why the production dedup path is the O(N)
+    cluster contraction, not this pair list.
+    """
+    from esco_neo4j_spark.operators.graph import _checkpoint
+
+    # two consumers (pair stream + doc-shipment derivation): pay the
+    # prefix-join/agg subtree once
+    cand = _checkpoint(cand)
+    idt = dict(cand.dtypes)["id_a"]
+    pairs_in = cand.select(
+        F.col("gw").alias("g"), "id_a", "id_b", "na", "nb"
+    )
+    # exactly the (witness, doc) combos the groups need — derived from
+    # the pair rows themselves, so no doc ships to a group that has no
+    # pair referencing it
+    need = (
+        cand.select(F.col("gw").alias("g"), F.col("id_a").alias("id"))
+        .union(cand.select("gw", "id_b"))
+        .distinct()
+    )
+    docs = need.join(sh.select("id", "sh"), "id").select("g", "id", "sh")
+
+    def verify(pairs_pdf: pd.DataFrame, docs_pdf: pd.DataFrame) -> pd.DataFrame:
+        sets = {i: set(a) for i, a in zip(docs_pdf["id"], docs_pdf["sh"])}
+        common = [
+            len(sets[a] & sets[b])
+            for a, b in zip(pairs_pdf["id_a"], pairs_pdf["id_b"])
+        ]
+        return pairs_pdf[["id_a", "id_b", "na", "nb"]].assign(common=common)
+
+    return (
+        pairs_in.groupBy("g")
+        .cogroup(docs.groupBy("g"))
+        .applyInPandas(verify, f"id_a {idt}, id_b {idt}, na int, nb int, common int")
     )
 
 

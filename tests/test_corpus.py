@@ -104,12 +104,10 @@ def test_packing_conserves_tokens_and_fills_packs(spark, docs):
     assert ids[-1] == (total - 1) // _CTX or ids[-1] == (total - 1) // _CTX - 1
 
 
-def test_ngram_jaccard_prefix_filter_lossless(spark):
-    """r3: PPJoin prefix filtering must return EXACTLY the brute-force
-    pair set on a corpus engineered with heavy near-duplication (clone
-    families at varying mutation strength, straddling the threshold)."""
-    from esco_neo4j_spark.operators.dedup import ngram_jaccard_pairs, shingled
-
+def _straddling_corpus(spark):
+    """Clone families at varying mutation strength, straddling the 0.7
+    Jaccard threshold — shared by the prefix-filter losslessness test
+    and the witness-verify parity test."""
     base = ("the quick brown fox jumps over the lazy dog while seventeen "
             "sleepy otters carry tiny baskets of ripe blackberries down "
             "the winding river path toward the old stone mill")
@@ -127,7 +125,16 @@ def test_ngram_jaccard_prefix_filter_lossless(spark):
             ]
             rows.append((did, " ".join(ws) + f" fam{fam}"))
             did += 1
-    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_ngram_jaccard_prefix_filter_lossless(spark):
+    """r3: PPJoin prefix filtering must return EXACTLY the brute-force
+    pair set on a corpus engineered with heavy near-duplication (clone
+    families at varying mutation strength, straddling the threshold)."""
+    from esco_neo4j_spark.operators.dedup import ngram_jaccard_pairs, shingled
+
+    df = _straddling_corpus(spark)
 
     got = sorted(
         (r["id_a"], r["id_b"], r["jaccard"])
@@ -153,6 +160,30 @@ def test_ngram_jaccard_prefix_filter_lossless(spark):
             if j >= 0.7:
                 want.append((a, b, j))
     assert got == sorted(want) and len(want) > 0
+
+
+def test_ngram_witness_verify_matches_broadcast_path(spark):
+    """r10 (sf30 triage): beyond the broadcast budget the verify is
+    witness-grouped (cogroup at each pair's rarest common prefix
+    shingle) instead of an array-carrying sort-merge join. Forcing a
+    zero budget must yield BIT-IDENTICAL output to the broadcast path
+    on the straddling corpus — jaccard/rounding/threshold run in shared
+    JVM expressions, so any divergence is a witness-grouping bug
+    (a pair landing in no group, or a doc array missing from its
+    group)."""
+    from esco_neo4j_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = _straddling_corpus(spark)
+    rows = lambda out: sorted(  # noqa: E731
+        (r["id_a"], r["id_b"], r["jaccard"]) for r in out.collect()
+    )
+    bcast = rows(ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.7))
+    witness = rows(
+        ngram_jaccard_pairs(
+            df, "text", "doc_id", threshold=0.7, verify_broadcast_bytes=0
+        )
+    )
+    assert witness == bcast and len(bcast) > 0
 
 
 def test_symdel_editdist_lossless(spark):
