@@ -843,12 +843,22 @@ def ngram_jaccard_pairs(
             F.min("rkb").alias("j"),
             F.first("na").alias("na"),
             F.first("nb").alias("nb"),
-            # witness (r10): the pair's rarest common prefix shingle —
-            # rka is id_a's rank in the GLOBAL (df, g) order, so min_by
-            # picks the same shingle any consistent tie-break would.
-            # Used only as a CO-LOCATION key by the witness-grouped
-            # verify; the broadcast branch ignores it.
-            F.min_by("g", "rka").alias("gw"),
+            # witness (r10): the pair's MOST-SHARED common prefix
+            # shingle — rka is id_a's rank in the GLOBAL (df, g) order,
+            # so max_by picks the highest-df shingle the two prefixes
+            # share. Max, not min: family-wide shingles (df ~ family
+            # size) are shared by every pair of a near-dup family, so
+            # all its pairs funnel to the same few witnesses and each
+            # doc's array ships O(1) times; the rarest common shingle
+            # is the opposite — pair-IDIOSYNCRATIC (df ~ 2) on mutated-
+            # copy corpora, which disperses witnesses back to
+            # once-per-pair shipping (measured: the min_by first cut
+            # OOMed at sf10 where max_by completes). Corpus-hot
+            # shingles stay out of every prefix, so max_by cannot
+            # elect them — group size is bounded by a family's own
+            # pair count. Used only as a CO-LOCATION key by the
+            # witness-grouped verify; the broadcast branch ignores it.
+            F.max_by("g", "rka").alias("gw"),
         )
         # positional filter: best-case overlap from the first match
         .filter(
@@ -907,7 +917,7 @@ def ngram_jaccard_pairs(
         )
     else:
         verified = _ngram_witness_verify(cand, sh)
-    return (
+    out = (
         verified.withColumn(
             "jaccard",
             F.round(
@@ -919,6 +929,16 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if verify_bytes > budget:
+        # the caller's global sort (and any other multi-pass consumer)
+        # would re-execute the cogrouped Python verify during range-
+        # partition SAMPLING — checkpoint the slim qualifying pairs so
+        # the expensive pass runs exactly once (the broadcast branch's
+        # verify is cheap hash probes; leave its plan untouched)
+        from esco_neo4j_spark.operators.graph import _checkpoint as _ck
+
+        out = _ck(out)
+    return out
 
 
 def _ngram_witness_verify(cand: DataFrame, sh: DataFrame) -> DataFrame:
@@ -936,26 +956,34 @@ def _ngram_witness_verify(cand: DataFrame, sh: DataFrame) -> DataFrame:
 
     This branch restates the verify as a COGROUP at a witness: every
     candidate pair shares >= 1 prefix shingle by the prefix-filtering
-    lemma, and the pair agg assigns the globally RAREST one (min (df,g)
-    order == min rka) as the pair's witness `gw`. Grouping pairs by gw
+    lemma, and the pair agg assigns the MOST-SHARED one (max (df,g)
+    order == max rka) as the pair's witness `gw`. Grouping pairs by gw
     and shipping each referenced doc's int64 shingle array once per
     witness group turns verify traffic into O(docs_touched x doc_bytes
-    + pairs x 24B): near-dup families funnel all their pairs to the
-    same few rare witnesses, so arrays ship ~once instead of
-    once-per-pair. The pandas side computes ONLY the exact intersection
-    count over int64 sets (injectivity of the hash encoding is verified
-    upstream); jaccard, rounding, and the threshold filter stay in the
-    SAME JVM expressions as the broadcast branch, so both branches are
-    bit-identical (pinned in tests/test_corpus.py).
+    + pairs x 24B): a near-dup family's pairs all share its family-wide
+    shingles (df ~ family size), so they funnel to the same few
+    witnesses and arrays ship ~once instead of once-per-pair. Electing
+    the RAREST common shingle instead is a trap (the first cut did, and
+    OOMed where this completes): on mutated-copy corpora the rarest
+    shared shingle is pair-IDIOSYNCRATIC — a shingle surviving in just
+    the two paired copies (df ~ 2) — so witnesses disperse and every
+    pair ships its own doc arrays again. The pandas side computes ONLY
+    the exact intersection count over int64 sets (injectivity of the
+    hash encoding is verified upstream); jaccard, rounding, and the
+    threshold filter stay in the SAME JVM expressions as the broadcast
+    branch, so both branches are bit-identical (pinned in
+    tests/test_corpus.py).
 
-    Skew note: a witness group's size is bounded by the pair count of
-    the near-dup family that elects it — the witness is rarest-first,
-    so corpus-hot shingles (the classic skew risk) are exactly the ones
-    that never become witnesses. A 10^5-pair family group is ~2s of
-    set-intersections in one task; families beyond that are already
-    pathological for EXACT pair enumeration itself (the output is the
-    bottleneck), which is why the production dedup path is the O(N)
-    cluster contraction, not this pair list.
+    Skew note: corpus-hot shingles (the classic skew risk) cannot be
+    elected — prefixes hold only each doc's rarest ~(1-t) fraction, so
+    a shingle hot across the corpus is outside every prefix; the
+    highest df a witness can have is ~the electing family's size.
+    Group size is therefore bounded by a family's own pair count: a
+    10^5-pair family group is ~2s of set-intersections in one task;
+    families beyond that are already pathological for EXACT pair
+    enumeration itself (the output is the bottleneck), which is why
+    the production dedup path is the O(N) cluster contraction, not
+    this pair list.
     """
     from esco_neo4j_spark.operators.graph import _checkpoint
 
