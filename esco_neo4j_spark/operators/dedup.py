@@ -824,16 +824,34 @@ def ngram_jaccard_pairs(
             F.least(F.col("pa.n"), F.col("pb.n"))
             >= t * F.greatest(F.col("pa.n"), F.col("pb.n")) - eps
         )
+        # na/nb deliberately NOT carried (r10): `matches` is the
+        # biggest frame in the whole plan — one row per common prefix
+        # shingle per candidate pair (sf30: ~10^9-10^10 rows feeding
+        # the pair agg's shuffle, measured as the dominant spill once
+        # the verify stopped being). The doc lengths re-attach AFTER
+        # the agg from the million-row (id, n) map instead of riding
+        # every matches row — 2 fewer 8-byte slots per exchanged row.
         .select(
             F.col("g"),
             F.col("pa.id").alias("id_a"),
             F.col("pb.id").alias("id_b"),
             F.col("pa.rk").alias("rka"),
             F.col("pb.rk").alias("rkb"),
-            F.col("pa.n").alias("na"),
-            F.col("pb.n").alias("nb"),
         )
     )
+    # corpus stats once, off the checkpointed shingle frame — sizes both
+    # the post-agg length-map strategy here and the verify strategy below
+    vstats = sh.agg(
+        F.count("*").alias("nd"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("tot"),
+    ).first()
+    nmap = sh.select("id", "n")
+    if int(vstats["nd"]) <= 8_000_000:
+        # ~100MB of (int64, int) rows — broadcast the length map so the
+        # post-agg re-attach is two hash probes per candidate, not two
+        # extra sorts of the candidate stream; beyond that, a plain
+        # shuffle join on the slim candidates is the scale path
+        nmap = F.broadcast(nmap)
     cand = (
         matches.groupBy("id_a", "id_b")
         # first common shingle in the shared global order => min rank on
@@ -841,8 +859,6 @@ def ngram_jaccard_pairs(
         .agg(
             F.min("rka").alias("i"),
             F.min("rkb").alias("j"),
-            F.first("na").alias("na"),
-            F.first("nb").alias("nb"),
             # witness (r10): the pair's MOST-SHARED common prefix
             # shingle — rka is id_a's rank in the GLOBAL (df, g) order,
             # so max_by picks the highest-df shingle the two prefixes
@@ -860,6 +876,8 @@ def ngram_jaccard_pairs(
             # witness-grouped verify; the broadcast branch ignores it.
             F.max_by("g", "rka").alias("gw"),
         )
+        .join(nmap.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(nmap.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
         # positional filter: best-case overlap from the first match
         .filter(
             F.lit(1)
@@ -881,10 +899,6 @@ def ngram_jaccard_pairs(
     # fallback still carried O(pairs x doc_bytes) through a sort, which
     # the sf30 probe measured filling 73GB of free disk before dying.
     # Strategy only; output identical either way.
-    vstats = sh.agg(
-        F.count("*").alias("nd"),
-        F.coalesce(F.sum("n"), F.lit(0)).alias("tot"),
-    ).first()
     verify_bytes = int(vstats["tot"]) * 8 + int(vstats["nd"]) * 48
     budget = (
         NGRAM_VERIFY_BROADCAST_BYTES
