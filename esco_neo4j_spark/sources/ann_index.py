@@ -251,21 +251,7 @@ def serve_layered(
     if manifest is None:
         raise ValueError(f"no layered index manifest under {index_dir}")
     emb = spark.table("embeddings")
-    # serving materializes the vector side ONCE: the descent scores
-    # candidates against the embeddings at every layer and the beam
-    # walk again at every round (~5+ scans per query). A serving
-    # deployment keeps vectors resident next to the index (the
-    # HNSW-practice memory layout); localCheckpoint is that pattern in
-    # Spark — MEMORY_AND_DISK blocks, so beyond-RAM corpora degrade to
-    # local disk instead of re-reading + re-shuffling the source table
-    # per round. Values unchanged (pinned: indexed == inline in
-    # tests/test_ann_index.py); sf10 serve measured 15.7s -> see
-    # SCALE.md r10.
-    e = (
-        emb.filter(F.col("embedding").isNotNull())
-        .select("vec_id", "embedding")
-        .localCheckpoint(eager=True)
-    )
+    e = emb.filter(F.col("embedding").isNotNull())
     anchor = _anchor_vec(spark)
     score_of = _anchor_cosine_pudf(anchor)
     entries = None
@@ -296,15 +282,14 @@ def serve_layered(
             .select("vec_id")
             .localCheckpoint(eager=True)
         )
-    # base layer is re-joined every beam round — materialize it once too
-    g0 = load_layer(spark, index_dir, 1).localCheckpoint(eager=True)
+    g0 = load_layer(spark, index_dir, 1)
     seeds = e.select("vec_id").orderBy("vec_id").limit(_GS_ENTRIES)
     entries = (
         seeds if entries is None else entries.unionByName(seeds).distinct()
     )
     return graph_beam_search(
         g0,
-        e,
+        emb,
         anchor,
         k=_GS_K,
         n_entries=_GS_ENTRIES,
