@@ -44,7 +44,10 @@ def _anchor_cosine_pudf(query_vec: Sequence[float]):
     6dp rounding + threshold stay JVM-side. NULL embedding => NULL out
     (object dtype — a float Series would coerce None to NaN, and Spark
     sorts NaN ABOVE all doubles, silently passing > threshold filters);
-    zero-norm => 0/0 = NaN, matching the expression path's division.
+    zero-norm => 0/0 = NaN in the kernel, which Arrow's object-dtype
+    conversion hands back to Spark as NULL (pandas missing-value
+    semantics) — the serve-side CASE twin (sources/ann_index.py
+    `_anchor_score_col`) mirrors that NULL explicitly.
 
     Why this exists (r5 verdict top item): the interpreted HOF chain is
     the one expression Catalyst cannot codegen — it measured 4× slower

@@ -17,23 +17,42 @@ store has:
   degree/beam/cand_cap (derive_gs_params), per-layer banding
   (derive_lsh_params on the LAYER's row count), level coin
   (_GS_LVL_SQL's Knuth hash) and ring knee (derive_knn_ring) — and
-  persist them as ONE parquet table partitioned by ``stride`` (stride 1
-  = the base graph), under the crash-safe rename-swap contract
-  (sources/merge.py: the same swap cli.py's translate and the IVF index
-  use; `recover_swap` runs at every entry). ``_MANIFEST.json`` inside
-  the table directory pins the full derivation (corpus row count, algo
-  version, per-layer banding/ring) — Spark ignores ``_``-prefixed files,
-  so manifest and data swap atomically together.
+  persist ONE swap root holding three tables: ``graph`` (all layer
+  edges, partitioned by ``(stride, pbucket)`` — stride 1 = the base
+  graph, pbucket = Knuth-hash bucket of ``src``), ``vectors`` (the
+  non-null embeddings, partitioned by ``vbucket`` and sorted by
+  ``vec_id`` so id-list predicates prune at the row-group level too),
+  and ``members`` (each coarse layer's node ids, partitioned by
+  ``stride``). Everything swaps atomically
+  under the crash-safe rename contract (sources/merge.py — the same
+  swap cli.py's translate and the IVF index use; `recover_swap` runs at
+  every entry) with ``_MANIFEST.json`` pinning the full derivation.
 - **serve** (`serve_layered`): the registered
   ``vec_graph_search_layered_indexed`` face — descend the STORED coarse
-  layers (entries ∪ layer-graph neighbors, exact re-rank, top-entries
-  per layer), then the stored base graph's beam walk. Cost is
-  O(entries·degree·layers + beam·rounds·degree) — independent of N and
-  of the build. Because the build is deterministic from the manifest
-  params, the DuckDB oracle REPLAYS the same stored graphs from the
-  same derivation (_graph_search_layered_sql), so the indexed serve is
-  value-oracled end to end: a stale or corrupt artifact fails the
-  oracle instead of silently serving garbage.
+  layers, then walk the stored base graph, touching ONLY the partitions
+  the frontier hashes into. The walk state (visited ids + scores) is
+  bounded by construction INDEPENDENT of corpus size — top layer holds
+  [_GS_LAYER_MIN, M·_GS_LAYER_MIN) nodes by the _gs_strides stop rule,
+  every later frontier is ≤ max(entries, beam) ids and every expansion
+  ≤ frontier·degree — so it lives driver-side (the bounded-algorithm-
+  state pattern of the k-means centroids and MMR pool), while every
+  read stays a distributed pruned scan: frontier ids become literal
+  ``pbucket/vbucket IN (…)`` partition filters, so the parquet listing
+  prunes to O(frontier) of the ``nb`` hash buckets instead of scanning
+  N rows per round. Scoring runs in Spark on the pruned rows via the
+  pure-JVM ``cosine_similarity`` HOF chain — the expression twin the
+  Arrow scorer is bit-pinned against — with the scorer's exact NULL
+  semantics (non-finite element → NULL) and JVM-side 6dp rounding, so
+  results match the inline query and the shared DuckDB oracle exactly
+  (a stale or corrupt artifact fails the value check instead of
+  silently serving garbage). No Python worker ever starts: the HOF
+  chain is interpreted, which loses to Arrow on full-corpus passes
+  (the r5 measurement) but wins on serve's bounded candidate sets
+  (≤ beam·degree rows/job), where Python-worker spin-up and per-job
+  Arrow transfer dominated a measured ~6s of a 16s serve. At 100 TB
+  the same shape holds: serve reads O(frontier · N/nb) bytes per round
+  with nb derived from the footer count, vs the inline plan's O(N) per
+  round.
 - **maintain** (streaming/layered.py): per-layer incremental inserts
   with the hashed level coin, reusing streaming/knn.py's insert-only,
   effectively-once contract per layer.
@@ -42,16 +61,17 @@ Staleness is manifest-pinned, never guessed: `ensure_layered_index`
 compares the stored manifest against `expected_manifest(sf_dir)` —
 corpus row count from the parquet footer, ALGO_VERSION (bumped whenever
 graph construction semantics change, e.g. the r10 ring-salt
-decorrelation), and every derived parameter — and rebuilds on any
-mismatch. At 100 TB the same contract holds: the index is a warehouse
-artifact keyed by (corpus snapshot, algo version), rebuilt by a batch
-job and swapped in atomically, while serving reads whichever complete
-copy is live.
+decorrelation), the bucket count ``nb`` and every derived parameter —
+and rebuilds on any mismatch. At 100 TB the same contract holds: the
+index is a warehouse artifact keyed by (corpus snapshot, algo version),
+rebuilt by a batch job and swapped in atomically, while serving reads
+whichever complete copy is live.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 
@@ -64,6 +84,35 @@ _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 DEFAULT_INDEX_ROOT = os.path.join(_REPO_ROOT, ".ann_index")
+
+# Knuth multiplicative hash — the repo-wide level coin
+# (plans/vector_queries._GS_LVL_SQL, streaming/layered.py). Bucket ids
+# reuse it so build (Spark SQL) and serve (driver Python) agree by
+# construction; _gs_lvl_guard bounds ids so id*K < 2^63 on both sides.
+_KNUTH = 2654435761
+_M32 = 4294967296
+
+
+def derive_nb(n: int) -> int:
+    """Hash-bucket count for the artifact's graph/vectors tables — pure
+    footer arithmetic like every other scale-adaptive constant. Serve
+    reads O(frontier) buckets of ~2k src ids each, but it must first
+    LIST the partition directories, and that listing is paid on every
+    cold open — measured at sf10 (n=200k): n//512 = 390 buckets ×
+    (layers+1) dirs cost 4.7s of parallel-discovery jobs vs ~1s at
+    n//2048 = 97, while the pruned-read side stays trivially small
+    either way (a 2k-id bucket of degree-16 edges is ~0.6 MB). The cap
+    keeps the dir count object-store-friendly at 100 TB (4096 buckets ×
+    a handful of strides ≈ 20k dirs, one LIST page per thousand)."""
+    return max(8, min(4096, n // 2048))
+
+
+def _bucket_sql(col, nb: int):
+    return ((col * F.lit(_KNUTH)) % F.lit(_M32)) % F.lit(nb)
+
+
+def _bucket_py(i: int, nb: int) -> int:
+    return ((i * _KNUTH) % _M32) % nb
 
 
 def index_dir_for(sf_dir: str, root: str = DEFAULT_INDEX_ROOT) -> str:
@@ -79,17 +128,16 @@ def _layers_path(index_dir: str) -> str:
 
 def expected_manifest(sf_dir: str) -> dict:
     """The full derivation the build would use for ``sf_dir`` RIGHT NOW
-    — corpus footer row count, algo version, and every per-layer
-    parameter. Pure arithmetic over the footer count (the shared
-    Spark/DuckDB derivation discipline), so build, serve, maintenance
-    and the oracle all agree by construction."""
+    — corpus footer row count, algo version, bucket count, and every
+    per-layer parameter. Pure arithmetic over the footer count (the
+    shared Spark/DuckDB derivation discipline), so build, serve,
+    maintenance and the oracle all agree by construction."""
     from esco_neo4j_spark.catalog import table_rowcount
     from esco_neo4j_spark.operators.similarity import (
         derive_knn_ring,
         derive_lsh_params,
     )
     from esco_neo4j_spark.plans.vector_queries import (
-        _KNN_CAND_CAP,
         _gs_strides,
         derive_gs_params,
     )
@@ -116,6 +164,9 @@ def expected_manifest(sf_dir: str) -> dict:
         "degree": degree,
         "beam": beam,
         "cand_cap": cand_cap,
+        "nb": derive_nb(n),
+        "layout": 2,  # bump on any table-layout change so stale
+        # artifacts rebuild instead of misreading
         "layers": layers,
     }
 
@@ -123,8 +174,9 @@ def expected_manifest(sf_dir: str) -> dict:
 def build_layered_index(
     spark: SparkSession, sf_dir: str, index_dir: str
 ) -> dict:
-    """Build all layer graphs (top coarse layers + the stride-1 base)
-    and swap them in atomically. Returns the written manifest.
+    """Build all layer graphs (top coarse layers + the stride-1 base),
+    the packed-vector table and the coarse-layer membership table, and
+    swap them in atomically. Returns the written manifest.
 
     The per-layer graph is bit-identical to what the inline
     ``vec_graph_search_layered`` plan derives: same level-coin layer
@@ -136,15 +188,26 @@ def build_layered_index(
 
     _gs_lvl_guard(sf_dir)
     manifest = expected_manifest(sf_dir)
+    nb = manifest["nb"]
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     parts = []
+    member_parts = []
     for layer in manifest["layers"]:
         s = layer["stride"]
         src = (
             emb
             if s == 1
-            else emb.filter(_gs_lvl(F.col("vec_id")) < 4294967296 // s)
+            else emb.filter(_gs_lvl(F.col("vec_id")) < _M32 // s)
         )
+        if s > 1:
+            # membership mirrors the inline plan's entry set: non-null
+            # embeddings only (the inline entries derive from
+            # e = emb.filter(embedding IS NOT NULL))
+            member_parts.append(
+                src.filter(F.col("embedding").isNotNull()).select(
+                    F.lit(s).cast("int").alias("stride"), "vec_id"
+                )
+            )
         g = lsh_knn_graph(
             src,
             k=manifest["degree"],
@@ -164,14 +227,46 @@ def build_layered_index(
     all_layers = parts[0]
     for p in parts[1:]:
         all_layers = all_layers.unionByName(p)
+    all_layers = all_layers.withColumn(
+        "pbucket", _bucket_sql(F.col("src"), nb).cast("int")
+    )
+    members = member_parts[0]
+    for p in member_parts[1:]:
+        members = members.unionByName(p)
+    vectors = (
+        emb.filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            _bucket_sql(F.col("vec_id"), nb).cast("int").alias("vbucket"),
+            "embedding",
+        )
+    )
+
     path = _layers_path(index_dir)
     tmp, old = path + "__merging", path + "__old"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
+    os.makedirs(tmp)
     (
-        all_layers.write.mode("overwrite")
+        all_layers.repartition("stride", "pbucket")
+        .sortWithinPartitions("stride", "pbucket", "src")
+        .write.mode("overwrite")
+        .partitionBy("stride", "pbucket")
+        .parquet(os.path.join(tmp, "graph"))
+    )
+    (
+        vectors.repartition("vbucket")
+        .sortWithinPartitions("vbucket", "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("vbucket")
+        .parquet(os.path.join(tmp, "vectors"))
+    )
+    (
+        members.repartition("stride")
+        .sortWithinPartitions("stride", "vec_id")
+        .write.mode("overwrite")
         .partitionBy("stride")
-        .parquet(tmp)
+        .parquet(os.path.join(tmp, "members"))
     )
     with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
@@ -202,8 +297,8 @@ def ensure_layered_index(
     """Serve-side entry: recover any interrupted swap, then rebuild iff
     the stored manifest does not EXACTLY match today's derivation for
     ``sf_dir`` (missing/corrupt manifest, different corpus row count,
-    different algo version or any derived parameter). Returns the
-    index directory."""
+    different algo version, bucket count or any derived parameter).
+    Returns the index directory."""
     from esco_neo4j_spark.sources.merge import recover_swap
 
     if index_dir is None:
@@ -220,80 +315,236 @@ def load_layer(
 ) -> DataFrame:
     """(src, nbr) edges of one stored layer — partition-pruned scan."""
     return (
-        spark.read.parquet(_layers_path(index_dir))
+        spark.read.parquet(os.path.join(_layers_path(index_dir), "graph"))
         .filter(F.col("stride") == stride)
         .select("src", "nbr")
     )
+
+
+def _pruned_edges(graph: DataFrame, stride: int, ids: list[int], nb: int):
+    """One layer's out-edges of ``ids``, reading only the hash buckets
+    the ids land in: ``stride``/``pbucket`` are partition columns, so
+    the literal IN lists prune at file-listing time (pinned in
+    tests/test_ann_index.py) and the scan is O(|ids| · N/nb) instead of
+    O(N·degree)."""
+    buckets = sorted({_bucket_py(i, nb) for i in ids})
+    return (
+        graph.filter(
+            (F.col("stride") == stride)
+            & F.col("pbucket").isin(buckets)
+            & F.col("src").isin(ids)
+        ).select("nbr")
+    )
+
+
+def _anchor_score_col(anchor: list[float]):
+    """The serve-side scoring expression: the pure-JVM
+    ``cosine_similarity`` HOF chain (bit-pinned against the Arrow
+    scorer, tests/test_similarity.py) wrapped with the Arrow scorer's
+    exact NULL contract — any non-finite stored element scores NULL
+    (the pudf masks those rows), and so does a finite zero-norm vector
+    — the pudf computes 0/0 = NaN but Arrow's object-dtype conversion
+    maps NaN to null on the way back (pandas missing-value semantics;
+    verified empirically against the pudf in tests/test_ann_index.py),
+    and spelling it as a CASE arm also keeps ANSI mode from erroring
+    the chain's division. A null element needs no CASE arm: it poisons
+    the fold to NULL on the chain exactly as the pudf returns None for
+    it (a null element also nulls both predicates, falling through to
+    the chain)."""
+    from esco_neo4j_spark.functions.vector import cosine_similarity, l2_norm
+
+    emb = F.col("embedding")
+    null_score = F.exists(
+        emb, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    ) | (l2_norm(emb) == F.lit(0.0))
+    return F.round(
+        F.when(null_score, F.lit(None).cast("double")).otherwise(
+            cosine_similarity(emb, anchor)
+        ),
+        6,
+    )
+
+
+def _score_ids(
+    vectors: DataFrame, anchor: list[float], ids: list[int], nb: int
+) -> dict[int, float | None]:
+    """Exact anchor-cosine scores for ``ids`` from the stored vector
+    table — pruned to the ids' vbuckets (partition filter) with the
+    id list pushed into the parquet scan (row-group pruning on the
+    sorted vec_id), scored by the JVM HOF chain and 6dp-rounded
+    JVM-side like every other scoring site. Ids without a stored
+    vector (null embedding in the corpus) are simply absent, matching
+    the inner join the inline plan does."""
+    if not ids:
+        return {}
+    buckets = sorted({_bucket_py(i, nb) for i in ids})
+    rows = (
+        vectors.filter(
+            F.col("vbucket").isin(buckets) & F.col("vec_id").isin(ids)
+        )
+        .select("vec_id", _anchor_score_col(anchor).alias("score"))
+        .collect()
+    )
+    return {r["vec_id"]: r["score"] for r in rows}
+
+
+def _rank_key(item):
+    """Driver-side mirror of Spark's ORDER BY score DESC, vec_id ASC
+    over nullable doubles: NaN sorts ABOVE every double (Spark treats
+    NaN as the largest double), NULL sorts LAST (desc_nulls_last is the
+    desc default), ties break by vec_id ascending."""
+    vid, s = item
+    if s is None:
+        return (2, 0.0, vid)
+    if math.isnan(s):
+        return (0, 0.0, vid)
+    return (1, -s, vid)
 
 
 def serve_layered(
     spark: SparkSession, sf_dir: str, index_dir: str
 ) -> DataFrame:
     """The SERVE face: layered descent + base beam walk over the STORED
-    graphs — no graph construction anywhere in the plan. Mirrors
-    plans/vector_queries.vec_graph_search_layered step for step (same
-    exhaustive top-layer entry, per-layer expand-and-rerank descent,
-    descent-∪-diversity base seeds), so its output is bit-identical to
-    the inline query's and the shared DuckDB oracle replays it."""
-    from esco_neo4j_spark.operators.similarity import (
-        _anchor_cosine_pudf,
-        graph_beam_search,
-    )
+    graphs — no graph construction and no full-corpus pass anywhere.
+    Mirrors plans/vector_queries.vec_graph_search_layered step for step
+    (same exhaustive top-layer entry, per-layer expand-and-rerank
+    descent, descent-∪-diversity base seeds, same tie-breaking), so its
+    output is bit-identical to the inline query's and the shared DuckDB
+    oracle replays it (pinned in tests/test_ann_index.py).
+
+    The walk state is bounded INDEPENDENT of corpus size — top layer
+    < M·_GS_LAYER_MIN nodes by the _gs_strides stop rule, later
+    frontiers ≤ max(_GS_ENTRIES, beam), expansions ≤ frontier·degree —
+    so ids and scores live driver-side (the repo's bounded-algorithm-
+    state pattern) while every read is a pruned distributed scan of the
+    frontier's hash buckets. The heavy column (the packed vector) never
+    leaves the executors unscored: scoring happens in Spark on the
+    pruned rows and only (id, 6dp score) rows return."""
     from esco_neo4j_spark.plans.vector_queries import (
         _GS_ENTRIES,
         _GS_K,
         _GS_ROUNDS,
-        _anchor_vec,
-        _gs_lvl,
     )
 
     manifest = read_manifest(index_dir)
     if manifest is None:
         raise ValueError(f"no layered index manifest under {index_dir}")
-    emb = spark.table("embeddings")
-    e = emb.filter(F.col("embedding").isNotNull())
-    anchor = _anchor_vec(spark)
-    score_of = _anchor_cosine_pudf(anchor)
-    entries = None
+    nb = manifest["nb"]
+    root = _layers_path(index_dir)
+    # one DataFrame per table for the whole serve: the parquet file
+    # index is listed once and every pruned read reuses it. The index's
+    # dir count is a few thousand at most (nb ≤ 4096 × strides), so the
+    # driver lists it directly — Spark's default threshold (32 paths)
+    # would instead launch one discovery JOB per table with one task
+    # per partition dir, which measured 4.7s of pure scheduling at sf10.
+    disc_key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    prev_disc = spark.conf.get(disc_key, None)
+    spark.conf.set(disc_key, "1000000")
+    try:
+        graph = spark.read.parquet(os.path.join(root, "graph"))
+        vectors = spark.read.parquet(os.path.join(root, "vectors"))
+        members = spark.read.parquet(os.path.join(root, "members"))
+    finally:
+        if prev_disc is None:
+            spark.conf.unset(disc_key)
+        else:
+            spark.conf.set(disc_key, prev_disc)
+    # The anchor (vec_id=0's embedding, plans/vector_queries._anchor_vec)
+    # comes from the index's OWN vectors table — a one-bucket pruned
+    # point lookup instead of a full corpus-table scan. Exactness: the
+    # stored column IS the corpus's array<float> column, so the
+    # collected anchor equals the inline query's to the last bit.
+    row = (
+        vectors.filter(
+            (F.col("vbucket") == _bucket_py(0, nb))
+            & (F.col("vec_id") == 0)
+        )
+        .select("embedding")
+        .first()
+    )
+    if row is None or row["embedding"] is None:
+        raise ValueError("anchor vec_id=0 has no stored embedding")
+    anchor = list(row["embedding"])
+
+    entries: list[int] | None = None
     for layer in manifest["layers"]:
         s = layer["stride"]
         if s == 1:
             continue
-        g = load_layer(spark, index_dir, s)
         if entries is None:
-            entries = e.filter(
-                _gs_lvl(F.col("vec_id")) < 4294967296 // s
-            ).select("vec_id")
-        nbrs = (
-            entries.select(F.col("vec_id").alias("src"))
-            .join(g, "src")
-            .select(F.col("nbr").alias("vec_id"))
-        )
-        cand = entries.unionByName(nbrs).distinct()
-        scored = cand.join(
-            e.select("vec_id", "embedding"), "vec_id"
-        ).select(
-            "vec_id",
-            F.round(score_of(F.col("embedding")), 6).alias("score"),
-        )
-        entries = (
-            scored.orderBy(F.desc("score"), F.asc("vec_id"))
-            .limit(_GS_ENTRIES)
-            .select("vec_id")
-            .localCheckpoint(eager=True)
-        )
-    g0 = load_layer(spark, index_dir, 1)
-    seeds = e.select("vec_id").orderBy("vec_id").limit(_GS_ENTRIES)
-    entries = (
-        seeds if entries is None else entries.unionByName(seeds).distinct()
+            # exhaustive top-layer entry: the stored membership of the
+            # coarsest layer ([32, 256) ids by the stride stop rule)
+            entries = [
+                r["vec_id"]
+                for r in members.filter(F.col("stride") == s)
+                .select("vec_id")
+                .collect()
+            ]
+        nbrs = {
+            r["nbr"]
+            for r in _pruned_edges(graph, s, entries, nb).collect()
+        }
+        cand = sorted(set(entries) | nbrs)
+        scored = _score_ids(vectors, anchor, cand, nb)
+        entries = [
+            vid
+            for vid, _ in sorted(scored.items(), key=_rank_key)[
+                :_GS_ENTRIES
+            ]
+        ]
+
+    # base seeds: the _GS_ENTRIES lowest non-null-embedding ids — the
+    # same diversity seeds the inline plan takes. vec_id-only,
+    # column-pruned scan of the small packed table.
+    seeds = [
+        r["vec_id"]
+        for r in vectors.select("vec_id").orderBy("vec_id").limit(
+            _GS_ENTRIES
+        ).collect()
+    ]
+    entry_ids = sorted(set(seeds) | set(entries or []))
+
+    visited: dict[int, float | None] = _score_ids(
+        vectors, anchor, entry_ids, nb
     )
-    return graph_beam_search(
-        g0,
-        emb,
-        anchor,
-        k=_GS_K,
-        n_entries=_GS_ENTRIES,
-        beam=manifest["beam"],
-        rounds=_GS_ROUNDS,
-        entry_ids=entries,
+    for _ in range(_GS_ROUNDS):
+        frontier = [
+            vid
+            for vid, _ in sorted(visited.items(), key=_rank_key)[
+                : manifest["beam"]
+            ]
+        ]
+        nbrs = {
+            r["nbr"]
+            for r in _pruned_edges(graph, 1, frontier, nb).collect()
+        }
+        new = sorted(nbrs - visited.keys())
+        visited.update(_score_ids(vectors, anchor, new, nb))
+
+    # final ranking driver-side over the bounded visited set, via
+    # `_rank_key` — the EXACT mirror of the window ordering the inline
+    # walk ends with (row_number over desc score / asc vec_id,
+    # operators/similarity.graph_beam_search; NaN above all doubles,
+    # NULL last). A Spark window over ≤ beam·degree·rounds rows costs a
+    # full extra job (~2.3s measured) for work a sort of a list does;
+    # the parity and oracle tests pin that both rankings agree.
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
     )
+
+    ranked = sorted(visited.items(), key=_rank_key)[:_GS_K]
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType(), True),
+            StructField("score", DoubleType(), True),
+            StructField("rk", IntegerType(), True),
+        ]
+    )
+    return spark.createDataFrame(
+        [(vid, s, i + 1) for i, (vid, s) in enumerate(ranked)],
+        schema=out_schema,
+    ).orderBy("rk")

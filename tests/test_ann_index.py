@@ -118,6 +118,118 @@ def test_interrupted_swap_is_recovered(spark, built):
     assert serve_layered(spark, SF_DIR, built).count() > 0
 
 
+def test_serve_score_col_matches_arrow_scorer(spark):
+    """The serve-side scoring expression (`_anchor_score_col`: the JVM
+    HOF chain wrapped with the Arrow scorer's NULL contract) must equal
+    `round(arrow_scorer, 6)` on every corpus vector AND on the corner
+    inputs the wrapper exists for — NaN element, Inf element, zero
+    vector, null element, null array — the property that lets the
+    indexed serve share the inline query's oracle."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from esco_neo4j_spark.operators.similarity import _anchor_cosine_pudf
+    from esco_neo4j_spark.plans.vector_queries import _anchor_vec
+    from esco_neo4j_spark.sources.ann_index import _anchor_score_col
+
+    from esco_neo4j_spark.catalog import load_tables
+
+    load_tables(spark, SF_DIR, ["embeddings"])
+    emb = spark.read.parquet(
+        os.path.join(SF_DIR, "embeddings.parquet")
+    ).select("vec_id", "embedding")
+    anchor = _anchor_vec(spark)
+    dim = len(anchor)
+    corner_schema = StructType(
+        [
+            StructField("vec_id", LongType(), True),
+            StructField("embedding", ArrayType(FloatType(), True), True),
+        ]
+    )
+    corners = spark.createDataFrame(
+        [
+            (10_000_001, [float("nan")] + [1.0] * (dim - 1)),
+            (10_000_002, [float("inf")] + [1.0] * (dim - 1)),
+            (10_000_003, [0.0] * dim),
+            (10_000_004, [None] + [1.0] * (dim - 1)),
+            (10_000_005, None),
+        ],
+        schema=corner_schema,
+    )
+    pudf = _anchor_cosine_pudf(anchor)
+    rows = (
+        emb.unionByName(corners)
+        .select(
+            "vec_id",
+            _anchor_score_col(anchor).alias("a"),
+            F.round(pudf(F.col("embedding")), 6).alias("b"),
+        )
+        .collect()
+    )
+    assert len(rows) > len(corners.collect())
+    for r in rows:
+        assert (r["a"] is None) == (r["b"] is None), r["vec_id"]
+        if r["a"] is not None:
+            # bit-identity post-round (NaN==NaN handled explicitly)
+            assert r["a"] == r["b"] or (
+                r["a"] != r["a"] and r["b"] != r["b"]
+            ), r["vec_id"]
+
+
+def test_serve_reads_are_partition_pruned(spark, built):
+    """The serve face's reads must prune at the FILE level: frontier ids
+    become literal pbucket/vbucket IN partition filters, so the scan
+    touches O(frontier) of the nb hash buckets — the property that makes
+    serve cost independent of corpus size. Pinned on the physical plan's
+    PartitionFilters (an accidental re-layout that drops the partition
+    columns would silently regress to full scans per round)."""
+    from pyspark.sql import functions as F
+
+    from esco_neo4j_spark.sources.ann_index import (
+        _layers_path,
+        _pruned_edges,
+        read_manifest,
+    )
+
+    manifest = read_manifest(built)
+    nb = manifest["nb"]
+    graph = spark.read.parquet(os.path.join(_layers_path(built), "graph"))
+    vectors = spark.read.parquet(
+        os.path.join(_layers_path(built), "vectors")
+    )
+    some_ids = [r["vec_id"] for r in vectors.limit(3).collect()]
+
+    edge_plan = _pruned_edges(
+        graph, 1, some_ids, nb
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in edge_plan
+    assert "pbucket" in edge_plan.split("PartitionFilters", 1)[1].split(
+        "]", 1
+    )[0], edge_plan
+
+    from esco_neo4j_spark.sources.ann_index import _bucket_py
+
+    buckets = sorted({_bucket_py(i, nb) for i in some_ids})
+    vec_plan = (
+        vectors.filter(
+            F.col("vbucket").isin(buckets)
+            & F.col("vec_id").isin(some_ids)
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "vbucket" in vec_plan.split("PartitionFilters", 1)[1].split(
+        "]", 1
+    )[0], vec_plan
+
+
 def test_layered_maintenance_stream_equals_batch(spark, tmp_path):
     """Per-layer incremental inserts with the hashed level coin: after
     three micro-batches each layer's maintained edges equal the
