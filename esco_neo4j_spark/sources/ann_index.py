@@ -401,6 +401,33 @@ def _rank_key(item):
     return (1, -s, vid)
 
 
+def _open_index(spark: SparkSession, index_dir: str):
+    """Open the artifact's three tables once per serve: manifest, then
+    one DataFrame per table — the parquet file index is listed once and
+    every pruned read reuses it. The index's dir count is a few
+    thousand at most (nb ≤ 4096 × strides), so the driver lists it
+    directly — Spark's default threshold (32 paths) would instead
+    launch one discovery JOB per table with one task per partition dir,
+    which measured 4.7s of pure scheduling at sf10."""
+    manifest = read_manifest(index_dir)
+    if manifest is None:
+        raise ValueError(f"no layered index manifest under {index_dir}")
+    root = _layers_path(index_dir)
+    disc_key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    prev_disc = spark.conf.get(disc_key, None)
+    spark.conf.set(disc_key, "1000000")
+    try:
+        graph = spark.read.parquet(os.path.join(root, "graph"))
+        vectors = spark.read.parquet(os.path.join(root, "vectors"))
+        members = spark.read.parquet(os.path.join(root, "members"))
+    finally:
+        if prev_disc is None:
+            spark.conf.unset(disc_key)
+        else:
+            spark.conf.set(disc_key, prev_disc)
+    return manifest, graph, vectors, members
+
+
 def serve_layered(
     spark: SparkSession, sf_dir: str, index_dir: str
 ) -> DataFrame:
@@ -417,7 +444,7 @@ def serve_layered(
     frontiers ≤ max(_GS_ENTRIES, beam), expansions ≤ frontier·degree —
     so ids and scores live driver-side (the repo's bounded-algorithm-
     state pattern) while every read is a pruned distributed scan of the
-    frontier's hash buckets. The heavy column (the packed vector) never
+    frontier's hash buckets. The heavy column (the stored vector) never
     leaves the executors unscored: scoring happens in Spark on the
     pruned rows and only (id, 6dp score) rows return."""
     from esco_neo4j_spark.plans.vector_queries import (
@@ -426,29 +453,8 @@ def serve_layered(
         _GS_ROUNDS,
     )
 
-    manifest = read_manifest(index_dir)
-    if manifest is None:
-        raise ValueError(f"no layered index manifest under {index_dir}")
+    manifest, graph, vectors, members = _open_index(spark, index_dir)
     nb = manifest["nb"]
-    root = _layers_path(index_dir)
-    # one DataFrame per table for the whole serve: the parquet file
-    # index is listed once and every pruned read reuses it. The index's
-    # dir count is a few thousand at most (nb ≤ 4096 × strides), so the
-    # driver lists it directly — Spark's default threshold (32 paths)
-    # would instead launch one discovery JOB per table with one task
-    # per partition dir, which measured 4.7s of pure scheduling at sf10.
-    disc_key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
-    prev_disc = spark.conf.get(disc_key, None)
-    spark.conf.set(disc_key, "1000000")
-    try:
-        graph = spark.read.parquet(os.path.join(root, "graph"))
-        vectors = spark.read.parquet(os.path.join(root, "vectors"))
-        members = spark.read.parquet(os.path.join(root, "members"))
-    finally:
-        if prev_disc is None:
-            spark.conf.unset(disc_key)
-        else:
-            spark.conf.set(disc_key, prev_disc)
     # The anchor (vec_id=0's embedding, plans/vector_queries._anchor_vec)
     # comes from the index's OWN vectors table — a one-bucket pruned
     # point lookup instead of a full corpus-table scan. Exactness: the
@@ -495,7 +501,7 @@ def serve_layered(
 
     # base seeds: the _GS_ENTRIES lowest non-null-embedding ids — the
     # same diversity seeds the inline plan takes. vec_id-only,
-    # column-pruned scan of the small packed table.
+    # column-pruned scan of the vector table.
     seeds = [
         r["vec_id"]
         for r in vectors.select("vec_id").orderBy("vec_id").limit(
@@ -548,3 +554,257 @@ def serve_layered(
         [(vid, s, i + 1) for i, (vid, s) in enumerate(ranked)],
         schema=out_schema,
     ).orderBy("rk")
+
+
+def _pruned_src_edges(
+    graph: DataFrame, stride: int, ids: list[int], nb: int
+):
+    """``_pruned_edges`` with the src column kept — the batched serve
+    reads ONE union-of-frontiers edge set per round and routes each
+    edge back to the anchors whose frontier contains its src."""
+    buckets = sorted({_bucket_py(i, nb) for i in ids})
+    return (
+        graph.filter(
+            (F.col("stride") == stride)
+            & F.col("pbucket").isin(buckets)
+            & F.col("src").isin(ids)
+        ).select("src", "nbr")
+    )
+
+
+def _anchor_score_multi_col(anchors: list[tuple[int, list[float]]]):
+    """`_anchor_score_col` against B anchors as ONE array<double>
+    column: transform over an array-of-anchors literal, the SAME
+    chain + NULL wrapper applied per element. One copy of the chain in
+    the expression tree instead of B — B separate `_anchor_score_col`
+    columns measured ~1.5s of per-job analysis overhead at B=4 (vs
+    ~0.6s for one chain), and the per-element lambda keeps the tree
+    size O(B·dim literals + 1 chain), so batch width scales without
+    growing the plan. Arithmetic per element is the identical fold
+    over identical doubles, so scores are bit-identical to the
+    single-anchor column (pinned via the batch==single serve test)."""
+    from esco_neo4j_spark.functions.vector import cosine_similarity, l2_norm
+
+    emb = F.col("embedding")
+    null_score = F.exists(
+        emb, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    ) | (l2_norm(emb) == F.lit(0.0))
+    avecs = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in vec]).cast(
+                "array<double>"
+            )
+            for _, vec in anchors
+        ]
+    )
+    return F.transform(
+        avecs,
+        lambda a: F.round(
+            F.when(null_score, F.lit(None).cast("double")).otherwise(
+                cosine_similarity(emb, a)
+            ),
+            6,
+        ),
+    )
+
+
+def _score_ids_multi(
+    vectors: DataFrame,
+    anchors: list[tuple[int, list[float]]],
+    ids: list[int],
+    nb: int,
+) -> dict[int, list[float | None]]:
+    """``_score_ids`` against B anchors in ONE pruned job: the scan is
+    shared and `_anchor_score_multi_col` scores every anchor in one
+    array column (identical arithmetic to the single-anchor serve, so
+    per-anchor values are bit-identical to B independent serves).
+    Returns id -> [score per anchor, in ``anchors`` order]."""
+    if not ids:
+        return {}
+    buckets = sorted({_bucket_py(i, nb) for i in ids})
+    rows = (
+        vectors.filter(
+            F.col("vbucket").isin(buckets) & F.col("vec_id").isin(ids)
+        )
+        .select(
+            "vec_id", _anchor_score_multi_col(anchors).alias("s")
+        )
+        .collect()
+    )
+    return {r["vec_id"]: list(r["s"]) for r in rows}
+
+
+def serve_layered_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    n_anchors: int,
+) -> DataFrame:
+    """BATCHED serve — ``n_anchors`` queries answered in ONE walk over
+    the stored index, with the same NUMBER of Spark jobs as a single
+    query. "Build once, serve many" made literal: a training-data
+    pipeline evaluates ANN queries in batches, and the per-round fixed
+    costs of the single serve (job scheduling, plan analysis, pruned-
+    scan setup) are shared across the whole batch; only the data
+    volume (union of frontiers/candidates) grows with B, sublinearly
+    when anchors' walks overlap. Measured at sf10 (fresh JVM): B=4 in
+    1.4× the single-serve wall (2.9× throughput), B=16 in 2.2×
+    (7.3× throughput).
+
+    Anchors are the ``n_anchors`` lowest-id stored vectors (anchor 0 is
+    vec_id 0 — the single serve's anchor, so the batch strictly extends
+    it; pinned in tests/test_ann_index.py). Each anchor runs the EXACT
+    single-serve walk — shared exhaustive top-layer entry, per-layer
+    expand-and-rerank, descent-∪-diversity seeds, `_rank_key` ordering
+    — but the rounds advance in lockstep: one `_pruned_src_edges` read
+    per round over the UNION of the B frontiers (edges routed back per
+    anchor by src), one `_score_ids_multi` job per round scoring the
+    union candidate set against all B anchors at once. Driver state is
+    B × the single serve's bounded walk state. Output adds an ``aid``
+    (anchor vec_id) column; per-aid rows are bit-identical to B single
+    serves by construction, which is what lets the DuckDB oracle replay
+    the batch as B independent descents over the same stored graphs."""
+    from esco_neo4j_spark.plans.vector_queries import (
+        _GS_ENTRIES,
+        _GS_K,
+        _GS_ROUNDS,
+    )
+
+    manifest, graph, vectors, members = _open_index(spark, index_dir)
+    nb = manifest["nb"]
+    anchors = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in vectors.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(n_anchors)
+        .collect()
+    ]
+    if not anchors:
+        raise ValueError("no stored vectors to anchor the batch on")
+    B = len(anchors)
+
+    entries: list[list[int]] | None = None
+    for layer in manifest["layers"]:
+        s = layer["stride"]
+        if s == 1:
+            continue
+        if entries is None:
+            top = [
+                r["vec_id"]
+                for r in members.filter(F.col("stride") == s)
+                .select("vec_id")
+                .collect()
+            ]
+            entries = [list(top) for _ in range(B)]
+        union_entries = sorted(set().union(*map(set, entries)))
+        src_nbrs: dict[int, set[int]] = {}
+        for r in _pruned_src_edges(
+            graph, s, union_entries, nb
+        ).collect():
+            src_nbrs.setdefault(r["src"], set()).add(r["nbr"])
+        cands = [
+            sorted(
+                set(e)
+                | set().union(
+                    *(src_nbrs.get(i, set()) for i in e)
+                )
+            )
+            for e in entries
+        ]
+        union_cand = sorted(set().union(*map(set, cands)))
+        scored = _score_ids_multi(vectors, anchors, union_cand, nb)
+        entries = [
+            [
+                vid
+                for vid, _ in sorted(
+                    (
+                        (vid, scored[vid][j])
+                        for vid in cands[j]
+                        if vid in scored
+                    ),
+                    key=_rank_key,
+                )[:_GS_ENTRIES]
+            ]
+            for j in range(B)
+        ]
+
+    seeds = [
+        r["vec_id"]
+        for r in vectors.select("vec_id").orderBy("vec_id").limit(
+            _GS_ENTRIES
+        ).collect()
+    ]
+    entry_ids = [
+        sorted(set(seeds) | set(e)) for e in (entries or [[]] * B)
+    ]
+    union_entry = sorted(set().union(*map(set, entry_ids)))
+    entry_scores = _score_ids_multi(vectors, anchors, union_entry, nb)
+    visited: list[dict[int, float | None]] = [
+        {
+            vid: entry_scores[vid][j]
+            for vid in entry_ids[j]
+            if vid in entry_scores
+        }
+        for j in range(B)
+    ]
+    for _ in range(_GS_ROUNDS):
+        frontiers = [
+            [
+                vid
+                for vid, _ in sorted(v.items(), key=_rank_key)[
+                    : manifest["beam"]
+                ]
+            ]
+            for v in visited
+        ]
+        union_frontier = sorted(set().union(*map(set, frontiers)))
+        src_nbrs = {}
+        for r in _pruned_src_edges(
+            graph, 1, union_frontier, nb
+        ).collect():
+            src_nbrs.setdefault(r["src"], set()).add(r["nbr"])
+        news = [
+            sorted(
+                set().union(
+                    *(src_nbrs.get(i, set()) for i in frontiers[j])
+                )
+                - visited[j].keys()
+            )
+            for j in range(B)
+        ]
+        union_new = sorted(set().union(*map(set, news)))
+        new_scores = _score_ids_multi(vectors, anchors, union_new, nb)
+        for j in range(B):
+            visited[j].update(
+                {
+                    vid: new_scores[vid][j]
+                    for vid in news[j]
+                    if vid in new_scores
+                }
+            )
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("aid", LongType(), True),
+            StructField("vec_id", LongType(), True),
+            StructField("score", DoubleType(), True),
+            StructField("rk", IntegerType(), True),
+        ]
+    )
+    out_rows = []
+    for j, (aid, _) in enumerate(anchors):
+        ranked = sorted(visited[j].items(), key=_rank_key)[:_GS_K]
+        out_rows.extend(
+            (aid, vid, s, i + 1) for i, (vid, s) in enumerate(ranked)
+        )
+    return spark.createDataFrame(out_rows, schema=out_schema).orderBy(
+        "aid", "rk"
+    )

@@ -182,6 +182,41 @@ def test_serve_score_col_matches_arrow_scorer(spark):
             ), r["vec_id"]
 
 
+def test_batch_serve_anchor0_matches_single_serve(spark, built):
+    """Per-aid rows of the batched serve must be bit-identical to
+    independent single serves — pinned on anchor 0 (vec_id 0, the
+    single serve's anchor): same vec_ids, same 6dp scores, same rk.
+    This is the property that lets the batch share the single search's
+    oracle derivation (B window partitions over the same graphs)."""
+    from esco_neo4j_spark.plans.vector_queries import _GS_BATCH
+    from esco_neo4j_spark.sources.ann_index import (
+        serve_layered,
+        serve_layered_batch,
+    )
+
+    single = [
+        tuple(r)
+        for r in serve_layered(spark, SF_DIR, built).collect()
+    ]
+    batch = serve_layered_batch(
+        spark, SF_DIR, built, _GS_BATCH
+    ).collect()
+    aids = sorted({r["aid"] for r in batch})
+    assert len(aids) == _GS_BATCH
+    assert aids[0] == 0
+    a0 = [
+        (r["vec_id"], r["score"], r["rk"])
+        for r in batch
+        if r["aid"] == 0
+    ]
+    assert a0 == single
+    # every anchor's own top-1 is itself at score 1.0 (exact cosine
+    # of a vector with itself on this corpus's finite embeddings)
+    for aid in aids:
+        top = [r for r in batch if r["aid"] == aid and r["rk"] == 1]
+        assert top and top[0]["vec_id"] == aid, aid
+
+
 def test_serve_reads_are_partition_pruned(spark, built):
     """The serve face's reads must prune at the FILE level: frontier ids
     become literal pbucket/vbucket IN partition filters, so the scan
