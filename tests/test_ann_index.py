@@ -264,6 +264,16 @@ def test_serve_reads_are_partition_pruned(spark, built):
         "]", 1
     )[0], vec_plan
 
+    # the batched serve's src-bearing edge read must prune identically
+    from esco_neo4j_spark.sources.ann_index import _pruned_src_edges
+
+    src_plan = _pruned_src_edges(
+        graph, 1, some_ids, nb
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "pbucket" in src_plan.split("PartitionFilters", 1)[1].split(
+        "]", 1
+    )[0], src_plan
+
 
 def test_layered_maintenance_stream_equals_batch(spark, tmp_path):
     """Per-layer incremental inserts with the hashed level coin: after
