@@ -2476,10 +2476,15 @@ def derive_gs_params(n: int) -> tuple[int, int, int]:
     return degree, beam, max(_KNN_CAND_CAP, 2 * degree)
 
 
-def _gs_walk_tail(cos: str, beam: int = _GS_BEAM) -> str:
+def _gs_walk_tail(
+    cos: str, beam: int = _GS_BEAM, final_from: str = "s3"
+) -> str:
     """The unrolled base-layer beam walk, shared by the flat and layered
     search oracles: references CTEs ``g`` (the base kNN graph) and
-    ``v0`` (the entry ids) defined by the caller."""
+    ``v0`` (the entry ids) defined by the caller. ``final_from`` lets
+    the FILTERED variant rank over a predicate-restricted view of the
+    visited set (navigation identical, final ranking filtered — the
+    post-filter semantics of filtered graph ANN)."""
     return f"""s0 AS (
       SELECT vec_id, {cos} AS score FROM embeddings JOIN v0 USING (vec_id)
     ),
@@ -2514,7 +2519,7 @@ def _gs_walk_tail(cos: str, beam: int = _GS_BEAM) -> str:
     FROM (
       SELECT vec_id, score,
              row_number() OVER (ORDER BY score DESC, vec_id) AS rk
-      FROM s3)
+      FROM {final_from})
     WHERE rk <= {_GS_K}
     ORDER BY rk
     """
@@ -2562,11 +2567,14 @@ def _gs_strides(n: int) -> list[int]:
     return list(reversed(strides))
 
 
-def _graph_search_layered_sql(sf_dir: str) -> str:
+def _graph_search_layered_sql(
+    sf_dir: str, final_from: str = "s3"
+) -> str:
     """Replay of the LAYERED search: one nested kNN-graph CTE per coarse
     layer (banding from the layer's own row count), the one-round
     descend step per layer, then the shared unrolled base walk seeded by
-    the last layer's survivors."""
+    the last layer's survivors. ``final_from`` passes through to
+    `_gs_walk_tail` for the filtered-serve variant."""
     from esco_neo4j_spark.catalog import table_rowcount
 
     n = table_rowcount(sf_dir, "embeddings")
@@ -2619,7 +2627,25 @@ def _graph_search_layered_sql(sf_dir: str) -> str:
         SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL
         ORDER BY vec_id LIMIT {_GS_ENTRIES})
     ),
-    {_gs_walk_tail(cos, beam)}"""
+    {_gs_walk_tail(cos, beam, final_from=final_from)}"""
+
+
+_GS_FILTER_LABEL = 2  # the filtered-serve predicate (vec_filtered_topk's)
+
+
+def _graph_search_layered_filtered_sql(sf_dir: str) -> str:
+    """Filtered-serve replay: the IDENTICAL layered walk, with the
+    final ranking restricted to visited ids whose label matches — the
+    post-filter-over-navigation semantics of filtered graph ANN
+    (underfill below k is replayed, not hidden)."""
+    return _graph_search_layered_sql(
+        sf_dir,
+        final_from=(
+            "(SELECT s3.vec_id, s3.score FROM s3 "
+            "JOIN embeddings e ON e.vec_id = s3.vec_id "
+            f"WHERE e.label = {_GS_FILTER_LABEL})"
+        ),
+    )
 
 
 def _graph_search_layered_batch_sql(sf_dir: str) -> str:
@@ -2992,3 +3018,43 @@ def vec_graph_search_layered_batch(
 
     idx = ensure_layered_index(spark, sf_dir)
     return serve_layered_batch(spark, sf_dir, idx, _GS_BATCH)
+
+
+@query(
+    "vec_graph_search_layered_filtered",
+    sql=_graph_search_layered_filtered_sql,  # identical walk replay,
+    # final ranking restricted to the matching-label visited ids
+    survey_ops="A7(scale),knn-graph(ext),H1,F2,B5,filtered-ann(ext)",
+    tables=("embeddings",),
+)
+def vec_graph_search_layered_filtered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FILTERED serve from the persisted layered index — metadata-
+    filtered ANN, the read face every production vector store offers
+    next to plain and batched search. Navigation is the UNCHANGED
+    layered walk over the unfiltered stored graphs (filtering the
+    graph itself disconnects it under selective predicates); the
+    ``label = _GS_FILTER_LABEL`` predicate applies at the FINAL
+    ranking over the visited set's stored label metadata, which the
+    index carries as a payload column precisely so filtered serves
+    never join back to the corpus (sources/ann_index.py
+    `serve_layered(label_filter=…)`).
+
+    Post-filter-over-navigation trades recall for graph connectivity:
+    it can return fewer than k rows when the walk visited fewer than k
+    eligible ids — the documented filtered-graph-ANN behavior, and the
+    DuckDB oracle replays exactly that (same walk, same final WHERE),
+    so underfill is value-checked rather than hidden. The exact
+    pre-filter twin (predicate pushed to the scan, exact top-k over
+    survivors) is `vec_filtered_topk`; together they are the two
+    textbook filtered-ANN strategies."""
+    from esco_neo4j_spark.sources.ann_index import (
+        ensure_layered_index,
+        serve_layered,
+    )
+
+    idx = ensure_layered_index(spark, sf_dir)
+    return serve_layered(
+        spark, sf_dir, idx, label_filter=_GS_FILTER_LABEL
+    )

@@ -165,7 +165,7 @@ def expected_manifest(sf_dir: str) -> dict:
         "beam": beam,
         "cand_cap": cand_cap,
         "nb": derive_nb(n),
-        "layout": 2,  # bump on any table-layout change so stale
+        "layout": 3,  # bump on any table-layout change so stale
         # artifacts rebuild instead of misreading
         "layers": layers,
     }
@@ -233,11 +233,16 @@ def build_layered_index(
     members = member_parts[0]
     for p in member_parts[1:]:
         members = members.unionByName(p)
+    # label rides along as a stored METADATA column — the payload a
+    # production vector store keeps beside the vectors so filtered
+    # search never has to join back to the corpus (serve_layered's
+    # label_filter face); row-group stats on it prune within buckets.
     vectors = (
         emb.filter(F.col("embedding").isNotNull())
         .select(
             "vec_id",
             _bucket_sql(F.col("vec_id"), nb).cast("int").alias("vbucket"),
+            "label",
             "embedding",
         )
     )
@@ -429,10 +434,26 @@ def _open_index(spark: SparkSession, index_dir: str):
 
 
 def serve_layered(
-    spark: SparkSession, sf_dir: str, index_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    label_filter: int | None = None,
 ) -> DataFrame:
     """The SERVE face: layered descent + base beam walk over the STORED
     graphs — no graph construction and no full-corpus pass anywhere.
+
+    ``label_filter`` is the FILTERED-search face (the metadata-filtered
+    ANN every production vector store offers): navigation is
+    UNCHANGED — the walk explores the unfiltered graph, because
+    filtering the graph itself would disconnect it under selective
+    predicates — and the predicate applies at the FINAL ranking, over
+    the visited set's stored ``label`` metadata (one extra pruned read
+    of the visited ids; the index carries label precisely so this
+    never joins back to the corpus). Post-filter-over-navigation can
+    underfill k when fewer than k eligible ids were visited — that is
+    the documented trade of filtered graph-ANN (vs the exact pre-filter
+    scan ``vec_filtered_topk`` carries), and the oracle replays the
+    same semantics so underfill is value-checked, not hidden.
     Mirrors plans/vector_queries.vec_graph_search_layered step for step
     (same exhaustive top-layer entry, per-layer expand-and-rerank
     descent, descent-∪-diversity base seeds, same tie-breaking), so its
@@ -542,7 +563,25 @@ def serve_layered(
         StructType,
     )
 
-    ranked = sorted(visited.items(), key=_rank_key)[:_GS_K]
+    pool = visited
+    if label_filter is not None:
+        vids = sorted(visited.keys())
+        buckets = sorted({_bucket_py(i, nb) for i in vids})
+        eligible = {
+            r["vec_id"]
+            for r in vectors.filter(
+                F.col("vbucket").isin(buckets)
+                & F.col("vec_id").isin(vids)
+                & (F.col("label") == label_filter)
+            )
+            .select("vec_id")
+            .collect()
+        }
+        pool = {
+            vid: s for vid, s in visited.items() if vid in eligible
+        }
+
+    ranked = sorted(pool.items(), key=_rank_key)[:_GS_K]
     out_schema = StructType(
         [
             StructField("vec_id", LongType(), True),

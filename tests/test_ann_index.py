@@ -217,6 +217,38 @@ def test_batch_serve_anchor0_matches_single_serve(spark, built):
         assert top and top[0]["vec_id"] == aid, aid
 
 
+def test_filtered_serve_returns_only_matching_labels(spark, built):
+    """The filtered serve must return ONLY ids whose corpus label
+    matches, with dense ranks from 1, and each returned (id, score)
+    must appear in the unfiltered serve's visited ranking order —
+    i.e. filtering happens at final ranking over the same walk, not by
+    a different (possibly disconnected) navigation."""
+    from pyspark.sql import functions as F
+
+    from esco_neo4j_spark.plans.vector_queries import _GS_FILTER_LABEL
+    from esco_neo4j_spark.sources.ann_index import serve_layered
+
+    rows = serve_layered(
+        spark, SF_DIR, built, label_filter=_GS_FILTER_LABEL
+    ).collect()
+    assert rows, "walk visited no eligible ids on this corpus"
+    assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in emb.filter(
+            F.col("vec_id").isin([r["vec_id"] for r in rows])
+        )
+        .select("vec_id", "label")
+        .collect()
+    }
+    for r in rows:
+        assert labels[r["vec_id"]] == _GS_FILTER_LABEL, r
+    # scores must be the same walk's scores: descending in rank
+    scores = [r["score"] for r in rows if r["score"] is not None]
+    assert scores == sorted(scores, reverse=True)
+
+
 def test_serve_reads_are_partition_pruned(spark, built):
     """The serve face's reads must prune at the FILE level: frontier ids
     become literal pbucket/vbucket IN partition filters, so the scan
