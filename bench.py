@@ -83,6 +83,10 @@ def main() -> None:
         # Whole-stage-codegen is cached by generated source in the JVM,
         # so run 1 pays compilation once and min-of-2 still reports the
         # steady-state execution a long-lived cluster sees.
+        # Label the timed runs (guide §1.5) so a UI/event-log reading of
+        # a bench invocation maps jobs back to queries; thread-local, no
+        # effect on the timings themselves.
+        spark.sparkContext.setJobDescription(f"bench headline: {q.name}")
         for _ in range(3):
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
@@ -90,6 +94,7 @@ def main() -> None:
             dt = time.perf_counter() - t0
             assert rows is not None
             best = dt if best is None else min(best, dt)
+        spark.sparkContext.setJobDescription(None)
         timings[q.name] = best
         # Release the previous query's leaked executor state (iterative
         # graph queries leave localCheckpoint blocks alive until their
@@ -111,10 +116,12 @@ def main() -> None:
     # across both passes, so a spike must span the entire invocation to
     # survive into the JSON.
     for q in bench_queries:
+        spark.sparkContext.setJobDescription(f"bench second pass: {q.name}")
         t0 = time.perf_counter()
         rows = q.fn(spark, sf_dir).collect()
         dt = time.perf_counter() - t0
         assert rows is not None
+        spark.sparkContext.setJobDescription(None)
         timings[q.name] = round(min(timings[q.name], dt), 3)
         spark.catalog.clearCache()
         gc.collect()
@@ -172,6 +179,7 @@ def main() -> None:
                 # regression detectable above that noise while keeping
                 # the tail affordable (~2x one run, vs 3x for headline).
                 best = None
+                spark.sparkContext.setJobDescription(f"bench scale tail: {name}")
                 for _ in range(2):
                     t0 = time.perf_counter()
                     REGISTRY[name].fn(spark, scale_dir).collect()
@@ -180,6 +188,7 @@ def main() -> None:
                     spark.catalog.clearCache()
                     gc.collect()
                     spark.sparkContext._jvm.System.gc()
+                spark.sparkContext.setJobDescription(None)
                 scale_tail[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)

@@ -28,6 +28,18 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/tmp/sf1")
     ap.add_argument("--all-nonbench", action="store_true")
+    ap.add_argument(
+        "--sink",
+        choices=("collect", "noop"),
+        default="collect",
+        help=(
+            "timed action: 'collect' (bench-comparable; fine for the "
+            "small aggregated outputs the registry emits) or 'noop' "
+            "(guide §1.4 — materializes every column of every row and "
+            "discards it; use for pair-dump probes whose output would "
+            "otherwise bill driver transfer to the query)"
+        ),
+    )
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -41,14 +53,21 @@ def main() -> None:
         ensure_warehouse(spark)
     timings: dict[str, float] = {}
     for n in names:
+        spark.sparkContext.setJobDescription(f"scale audit: {n}")
         t0 = time.perf_counter()
         try:
-            rows = REGISTRY[n].fn(spark, args.sf_dir).collect()
+            df = REGISTRY[n].fn(spark, args.sf_dir)
+            if args.sink == "noop":
+                df.write.format("noop").mode("overwrite").save()
+                nrows = "noop"
+            else:
+                nrows = len(df.collect())
             timings[n] = round(time.perf_counter() - t0, 3)
-            print(f"{n}: {timings[n]}s ({len(rows)} rows)", file=sys.stderr)
+            print(f"{n}: {timings[n]}s ({nrows} rows)", file=sys.stderr)
         except Exception as e:  # keep auditing past one failure
             timings[n] = -1.0
             print(f"{n}: FAILED {e}", file=sys.stderr)
+        spark.sparkContext.setJobDescription(None)
         spark.catalog.clearCache()
         gc.collect()
         spark.sparkContext._jvm.System.gc()
