@@ -171,6 +171,20 @@ def expected_manifest(sf_dir: str) -> dict:
     }
 
 
+def _strip_fs_sidecars(root: str) -> None:
+    """Remove write-time filesystem sidecars (`.*.crc`, `_SUCCESS`) from
+    a finished artifact tree. See the call site in build_layered_index
+    for the measured rationale; idempotent and safe on a tree no writer
+    touches again (the swap makes the artifact immutable)."""
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for fn in filenames:
+            if fn == "_SUCCESS" or (fn.startswith(".") and fn.endswith(".crc")):
+                try:
+                    os.remove(os.path.join(dirpath, fn))
+                except FileNotFoundError:  # concurrent sweep; harmless
+                    pass
+
+
 def build_layered_index(
     spark: SparkSession, sf_dir: str, index_dir: str
 ) -> dict:
@@ -273,6 +287,18 @@ def build_layered_index(
         .partitionBy("stride")
         .parquet(os.path.join(tmp, "members"))
     )
+    # The artifact is read-mostly: Hadoop's LocalFileSystem leaves a
+    # `.<file>.crc` sidecar beside every parquet file (plus `_SUCCESS`
+    # markers), which DOUBLES the filesystem objects the cold serve-open
+    # lists AND makes every pruned per-round read verify a whole-file
+    # checksum (parquet already carries its own page/footer checksums).
+    # Stripping them after the write, before the swap, measured the
+    # sf30 cold-cache serve 36.2->28.0s / 50.7->32.9s / 22.0->19.0s on
+    # three drop_caches A/B pairs with bit-identical output (r10).
+    # ChecksumFileSystem skips verification when no sidecar exists, so
+    # reads stay correct; artifacts built before this strip keep their
+    # sidecars (and the old read behavior) until their next rebuild.
+    _strip_fs_sidecars(tmp)
     with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     if os.path.exists(old):

@@ -249,6 +249,24 @@ def test_filtered_serve_returns_only_matching_labels(spark, built):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_built_artifact_has_no_fs_sidecars(built):
+    """The build strips Hadoop's write-time sidecars (`.*.crc`,
+    `_SUCCESS`) from the swapped artifact: they double the filesystem
+    objects the cold serve-open lists and make every pruned read verify
+    a whole-file checksum parquet already covers internally (r10;
+    measured 14-35%% off the sf30 cold-cache serve, bit-identical
+    output). A regression here silently re-taxes every serve."""
+    import os as _os
+
+    for dirpath, _dirnames, filenames in _os.walk(built):
+        for fn in filenames:
+            assert fn != "_SUCCESS", dirpath
+            assert not (fn.startswith(".") and fn.endswith(".crc")), (
+                dirpath,
+                fn,
+            )
+
+
 def test_serve_reads_are_partition_pruned(spark, built):
     """The serve face's reads must prune at the FILE level: frontier ids
     become literal pbucket/vbucket IN partition filters, so the scan
