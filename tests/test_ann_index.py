@@ -254,7 +254,7 @@ def test_built_artifact_has_no_fs_sidecars(built):
     `_SUCCESS`) from the swapped artifact: they double the filesystem
     objects the cold serve-open lists and make every pruned read verify
     a whole-file checksum parquet already covers internally (r10;
-    measured 14-35%% off the sf30 cold-cache serve, bit-identical
+    measured 14-35% off the sf30 cold-cache serve, bit-identical
     output). A regression here silently re-taxes every serve."""
     import os as _os
 
