@@ -86,15 +86,19 @@ def main() -> None:
         # Label the timed runs (guide §1.5) so a UI/event-log reading of
         # a bench invocation maps jobs back to queries; thread-local, no
         # effect on the timings themselves.
+        # try/finally (r10 ADVICE): an exception in a query must not
+        # leave a stale description attached to later jobs in the session
         spark.sparkContext.setJobDescription(f"bench headline: {q.name}")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df = q.fn(spark, sf_dir)
-            rows = df.collect()
-            dt = time.perf_counter() - t0
-            assert rows is not None
-            best = dt if best is None else min(best, dt)
-        spark.sparkContext.setJobDescription(None)
+        try:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                df = q.fn(spark, sf_dir)
+                rows = df.collect()
+                dt = time.perf_counter() - t0
+                assert rows is not None
+                best = dt if best is None else min(best, dt)
+        finally:
+            spark.sparkContext.setJobDescription(None)
         timings[q.name] = best
         # Release the previous query's leaked executor state (iterative
         # graph queries leave localCheckpoint blocks alive until their
@@ -117,11 +121,13 @@ def main() -> None:
     # survive into the JSON.
     for q in bench_queries:
         spark.sparkContext.setJobDescription(f"bench second pass: {q.name}")
-        t0 = time.perf_counter()
-        rows = q.fn(spark, sf_dir).collect()
-        dt = time.perf_counter() - t0
-        assert rows is not None
-        spark.sparkContext.setJobDescription(None)
+        try:
+            t0 = time.perf_counter()
+            rows = q.fn(spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            assert rows is not None
+        finally:
+            spark.sparkContext.setJobDescription(None)
         timings[q.name] = round(min(timings[q.name], dt), 3)
         spark.catalog.clearCache()
         gc.collect()
@@ -180,15 +186,17 @@ def main() -> None:
                 # the tail affordable (~2x one run, vs 3x for headline).
                 best = None
                 spark.sparkContext.setJobDescription(f"bench scale tail: {name}")
-                for _ in range(2):
-                    t0 = time.perf_counter()
-                    REGISTRY[name].fn(spark, scale_dir).collect()
-                    dt = time.perf_counter() - t0
-                    best = dt if best is None else min(best, dt)
-                    spark.catalog.clearCache()
-                    gc.collect()
-                    spark.sparkContext._jvm.System.gc()
-                spark.sparkContext.setJobDescription(None)
+                try:
+                    for _ in range(2):
+                        t0 = time.perf_counter()
+                        REGISTRY[name].fn(spark, scale_dir).collect()
+                        dt = time.perf_counter() - t0
+                        best = dt if best is None else min(best, dt)
+                        spark.catalog.clearCache()
+                        gc.collect()
+                        spark.sparkContext._jvm.System.gc()
+                finally:
+                    spark.sparkContext.setJobDescription(None)
                 scale_tail[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)

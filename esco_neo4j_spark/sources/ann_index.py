@@ -165,8 +165,9 @@ def expected_manifest(sf_dir: str) -> dict:
         "beam": beam,
         "cand_cap": cand_cap,
         "nb": derive_nb(n),
-        "layout": 3,  # bump on any table-layout change so stale
-        # artifacts rebuild instead of misreading
+        "layout": 4,  # bump on any table-layout change so stale
+        # artifacts rebuild instead of misreading (4 = r11 file-listing
+        # manifest: artifacts without _FILES.json must rebuild)
         "layers": layers,
     }
 
@@ -183,6 +184,116 @@ def _strip_fs_sidecars(root: str) -> None:
                     os.remove(os.path.join(dirpath, fn))
                 except FileNotFoundError:  # concurrent sweep; harmless
                     pass
+
+
+# ---------------------------------------------------------------------------
+# File-listing manifest (r11, guide §6 "table formats with manifest
+# metadata avoid directory listing altogether"). The r10 artifact made
+# every pruned READ flat-in-N, but the cold OPEN still directory-listed
+# all three partition trees — measured 8.5s of `_open_index` listing at
+# sf30 with a cold dentry cache (1.0s warm sf10). A bucket→files
+# manifest written at build makes the open O(1): serve resolves every
+# pruned read to explicit file paths (basePath keeps the partition
+# columns, so the PartitionFilters pins stay meaningful) and nothing
+# ever LISTs a directory on the serve path. seed ids (the lowest stored
+# vec_ids, a pure function of the corpus the oracle re-derives) ride
+# along so the base-seed/batch-anchor steps stop paying the one
+# remaining full-table scan's listing as well.
+
+_TABLES = ("graph", "vectors", "members")
+_FILES_NAME = "_FILES.json"
+_SEED_IDS_STORED = 64  # >= max(_GS_ENTRIES, _GS_BATCH) with headroom
+
+
+def _write_files_manifest(spark: SparkSession, tmp: str) -> None:
+    """Walk the finished (sidecar-stripped, pre-swap) artifact tree once
+    and persist: per table, partition-dir -> parquet file names; each
+    table's full read schema (data + partition columns, captured from
+    one read-back so serve never infers); and the lowest stored vec_ids
+    for seeds/anchors. Build-time cost: one warm-cache walk + 3 schema
+    inferences + one vec_id-only scan."""
+    out: dict = {"version": 1, "tables": {}, "schemas": {}}
+    for t in _TABLES:
+        troot = os.path.join(tmp, t)
+        bydir: dict[str, list[str]] = {}
+        for dirpath, _dirnames, filenames in os.walk(troot):
+            pq = sorted(f for f in filenames if f.endswith(".parquet"))
+            if pq:
+                bydir[os.path.relpath(dirpath, troot)] = pq
+        out["tables"][t] = bydir
+        out["schemas"][t] = spark.read.parquet(troot).schema.json()
+    out["seed_ids"] = [
+        r["vec_id"]
+        for r in spark.read.parquet(os.path.join(tmp, "vectors"))
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(_SEED_IDS_STORED)
+        .collect()
+    ]
+    with open(os.path.join(tmp, _FILES_NAME), "w") as f:
+        json.dump(out, f, sort_keys=True)
+
+
+class _IndexHandle:
+    """Everything a serve needs to read the artifact without listing:
+    the derivation manifest, the file manifest, and the root path."""
+
+    __slots__ = ("root", "manifest", "files", "schemas", "seed_ids")
+
+    def __init__(self, root: str, manifest: dict, fm: dict):
+        self.root = root
+        self.manifest = manifest
+        self.files = fm["tables"]
+        self.schemas = fm["schemas"]
+        self.seed_ids = list(fm["seed_ids"])
+
+
+def _read_parts(
+    spark: SparkSession,
+    ix: "_IndexHandle",
+    table: str,
+    parts: list[str] | None = None,
+) -> DataFrame:
+    """A DataFrame over ONLY the named partition dirs of one artifact
+    table (None = the whole table), built from the file manifest's
+    explicit paths — no directory is ever listed. basePath keeps
+    stride/pbucket/vbucket as real partition columns so the callers'
+    partition-column filters still appear as PartitionFilters, and the
+    pinned schema skips footer inference."""
+    import pyspark.sql.types as T
+
+    bydir = ix.files[table]
+    keys = (
+        sorted(bydir)
+        if parts is None
+        else [p for p in parts if p in bydir]
+    )
+    base = os.path.join(ix.root, table)
+    paths = [
+        os.path.join(base, d, fn) for d in keys for fn in bydir[d]
+    ]
+    schema = T.StructType.fromJson(json.loads(ix.schemas[table]))
+    if not paths:
+        return spark.createDataFrame([], schema)
+    # explicit file paths still go through partition discovery (to bind
+    # the partition-column values); above 32 paths Spark would launch a
+    # discovery JOB with one task per path — pure scheduling overhead
+    # for a driver-local stat of a few hundred files (the r10 4.7s
+    # trap). Force driver-side discovery for the artifact reads only.
+    disc_key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    prev_disc = spark.conf.get(disc_key, None)
+    spark.conf.set(disc_key, "1000000")
+    try:
+        return (
+            spark.read.schema(schema)
+            .option("basePath", base)
+            .parquet(*paths)
+        )
+    finally:
+        if prev_disc is None:
+            spark.conf.unset(disc_key)
+        else:
+            spark.conf.set(disc_key, prev_disc)
 
 
 def build_layered_index(
@@ -291,7 +402,12 @@ def build_layered_index(
     # `.<file>.crc` sidecar beside every parquet file (plus `_SUCCESS`
     # markers), which DOUBLES the filesystem objects the cold serve-open
     # lists AND makes every pruned per-round read verify a whole-file
-    # checksum (parquet already carries its own page/footer checksums).
+    # checksum. Note the residual protection honestly (r10 ADVICE):
+    # parquet page-checksum VERIFICATION is off by default
+    # (parquet.page.verify-checksum.enabled=false), so after the strip
+    # the integrity net is the manifest match + the oracle value checks,
+    # not a read-time checksum; flip that parquet conf on serve reads if
+    # artifact corruption is ever suspected.
     # Stripping them after the write, before the swap, measured the
     # sf30 cold-cache serve 36.2->28.0s / 50.7->32.9s / 22.0->19.0s on
     # three drop_caches A/B pairs with bit-identical output (r10).
@@ -299,6 +415,10 @@ def build_layered_index(
     # reads stay correct; artifacts built before this strip keep their
     # sidecars (and the old read behavior) until their next rebuild.
     _strip_fs_sidecars(tmp)
+    # file-listing manifest AFTER the strip (it records the final file
+    # set), BEFORE the derivation manifest (a tree with _MANIFEST.json
+    # is treated as complete by the swap recovery)
+    _write_files_manifest(spark, tmp)
     with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     if os.path.exists(old):
@@ -322,6 +442,20 @@ def read_manifest(index_dir: str) -> dict | None:
         return None
 
 
+def _read_files_manifest(index_dir: str) -> dict | None:
+    fp = os.path.join(_layers_path(index_dir), _FILES_NAME)
+    try:
+        with open(fp) as f:
+            fm = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if not all(
+        k in fm for k in ("tables", "schemas", "seed_ids")
+    ) or set(_TABLES) - set(fm["tables"]):
+        return None
+    return fm
+
+
 def ensure_layered_index(
     spark: SparkSession, sf_dir: str, index_dir: str | None = None
 ) -> str:
@@ -336,7 +470,10 @@ def ensure_layered_index(
         index_dir = index_dir_for(sf_dir)
     os.makedirs(index_dir, exist_ok=True)
     recover_swap(_layers_path(index_dir))
-    if read_manifest(index_dir) != expected_manifest(sf_dir):
+    if (
+        read_manifest(index_dir) != expected_manifest(sf_dir)
+        or _read_files_manifest(index_dir) is None
+    ):
         build_layered_index(spark, sf_dir, index_dir)
     return index_dir
 
@@ -352,19 +489,28 @@ def load_layer(
     )
 
 
-def _pruned_edges(graph: DataFrame, stride: int, ids: list[int], nb: int):
+def _pruned_edges(
+    spark: SparkSession, ix: _IndexHandle, stride: int, ids: list[int]
+):
     """One layer's out-edges of ``ids``, reading only the hash buckets
-    the ids land in: ``stride``/``pbucket`` are partition columns, so
-    the literal IN lists prune at file-listing time (pinned in
-    tests/test_ann_index.py) and the scan is O(|ids| · N/nb) instead of
-    O(N·degree)."""
+    the ids land in: the file manifest resolves ``stride``/``pbucket``
+    to explicit file paths (no directory LIST at all — r11), and the
+    same literal IN lists stay on the scan as PartitionFilters (pinned
+    in tests/test_ann_index.py), so the read is O(|ids| · N/nb) instead
+    of O(N·degree)."""
+    nb = ix.manifest["nb"]
     buckets = sorted({_bucket_py(i, nb) for i in ids})
+    parts = [
+        os.path.join(f"stride={stride}", f"pbucket={b}") for b in buckets
+    ]
     return (
-        graph.filter(
+        _read_parts(spark, ix, "graph", parts)
+        .filter(
             (F.col("stride") == stride)
             & F.col("pbucket").isin(buckets)
             & F.col("src").isin(ids)
-        ).select("nbr")
+        )
+        .select("nbr")
     )
 
 
@@ -396,23 +542,35 @@ def _anchor_score_col(anchor: list[float]):
     )
 
 
+def _pruned_vectors(
+    spark: SparkSession, ix: _IndexHandle, ids: list[int]
+) -> DataFrame:
+    """The stored vector rows of ``ids`` — file-manifest-resolved to the
+    ids' vbuckets (no LIST) with the id list pushed into the parquet
+    scan (row-group pruning on the sorted vec_id)."""
+    nb = ix.manifest["nb"]
+    buckets = sorted({_bucket_py(i, nb) for i in ids})
+    parts = [f"vbucket={b}" for b in buckets]
+    return _read_parts(spark, ix, "vectors", parts).filter(
+        F.col("vbucket").isin(buckets) & F.col("vec_id").isin(ids)
+    )
+
+
 def _score_ids(
-    vectors: DataFrame, anchor: list[float], ids: list[int], nb: int
+    spark: SparkSession,
+    ix: _IndexHandle,
+    anchor: list[float],
+    ids: list[int],
 ) -> dict[int, float | None]:
     """Exact anchor-cosine scores for ``ids`` from the stored vector
-    table — pruned to the ids' vbuckets (partition filter) with the
-    id list pushed into the parquet scan (row-group pruning on the
-    sorted vec_id), scored by the JVM HOF chain and 6dp-rounded
-    JVM-side like every other scoring site. Ids without a stored
-    vector (null embedding in the corpus) are simply absent, matching
-    the inner join the inline plan does."""
+    table — pruned via `_pruned_vectors`, scored by the JVM HOF chain
+    and 6dp-rounded JVM-side like every other scoring site. Ids without
+    a stored vector (null embedding in the corpus) are simply absent,
+    matching the inner join the inline plan does."""
     if not ids:
         return {}
-    buckets = sorted({_bucket_py(i, nb) for i in ids})
     rows = (
-        vectors.filter(
-            F.col("vbucket").isin(buckets) & F.col("vec_id").isin(ids)
-        )
+        _pruned_vectors(spark, ix, ids)
         .select("vec_id", _anchor_score_col(anchor).alias("score"))
         .collect()
     )
@@ -432,31 +590,24 @@ def _rank_key(item):
     return (1, -s, vid)
 
 
-def _open_index(spark: SparkSession, index_dir: str):
-    """Open the artifact's three tables once per serve: manifest, then
-    one DataFrame per table — the parquet file index is listed once and
-    every pruned read reuses it. The index's dir count is a few
-    thousand at most (nb ≤ 4096 × strides), so the driver lists it
-    directly — Spark's default threshold (32 paths) would instead
-    launch one discovery JOB per table with one task per partition dir,
-    which measured 4.7s of pure scheduling at sf10."""
+def _open_index(spark: SparkSession, index_dir: str) -> _IndexHandle:
+    """Open the artifact once per serve: two JSON reads (derivation
+    manifest + file manifest) and NOTHING else — no directory is listed
+    and no Spark job runs. r10 opened by listing all three partition
+    trees up front, which a cold dentry cache billed 8.5s at sf30; the
+    file manifest (guide §6, the Iceberg-style argument) makes the open
+    O(1) and every later read resolves its partitions to explicit file
+    paths."""
     manifest = read_manifest(index_dir)
     if manifest is None:
         raise ValueError(f"no layered index manifest under {index_dir}")
-    root = _layers_path(index_dir)
-    disc_key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
-    prev_disc = spark.conf.get(disc_key, None)
-    spark.conf.set(disc_key, "1000000")
-    try:
-        graph = spark.read.parquet(os.path.join(root, "graph"))
-        vectors = spark.read.parquet(os.path.join(root, "vectors"))
-        members = spark.read.parquet(os.path.join(root, "members"))
-    finally:
-        if prev_disc is None:
-            spark.conf.unset(disc_key)
-        else:
-            spark.conf.set(disc_key, prev_disc)
-    return manifest, graph, vectors, members
+    fm = _read_files_manifest(index_dir)
+    if fm is None:
+        raise ValueError(
+            f"no file-listing manifest under {index_dir} — artifact "
+            "predates layout 4; ensure_layered_index rebuilds it"
+        )
+    return _IndexHandle(_layers_path(index_dir), manifest, fm)
 
 
 def serve_layered(
@@ -500,20 +651,15 @@ def serve_layered(
         _GS_ROUNDS,
     )
 
-    manifest, graph, vectors, members = _open_index(spark, index_dir)
-    nb = manifest["nb"]
+    ix = _open_index(spark, index_dir)
+    manifest = ix.manifest
     # The anchor (vec_id=0's embedding, plans/vector_queries._anchor_vec)
     # comes from the index's OWN vectors table — a one-bucket pruned
     # point lookup instead of a full corpus-table scan. Exactness: the
     # stored column IS the corpus's array<float> column, so the
     # collected anchor equals the inline query's to the last bit.
     row = (
-        vectors.filter(
-            (F.col("vbucket") == _bucket_py(0, nb))
-            & (F.col("vec_id") == 0)
-        )
-        .select("embedding")
-        .first()
+        _pruned_vectors(spark, ix, [0]).select("embedding").first()
     )
     if row is None or row["embedding"] is None:
         raise ValueError("anchor vec_id=0 has no stored embedding")
@@ -529,16 +675,19 @@ def serve_layered(
             # coarsest layer ([32, 256) ids by the stride stop rule)
             entries = [
                 r["vec_id"]
-                for r in members.filter(F.col("stride") == s)
+                for r in _read_parts(
+                    spark, ix, "members", [f"stride={s}"]
+                )
+                .filter(F.col("stride") == s)
                 .select("vec_id")
                 .collect()
             ]
         nbrs = {
             r["nbr"]
-            for r in _pruned_edges(graph, s, entries, nb).collect()
+            for r in _pruned_edges(spark, ix, s, entries).collect()
         }
         cand = sorted(set(entries) | nbrs)
-        scored = _score_ids(vectors, anchor, cand, nb)
+        scored = _score_ids(spark, ix, anchor, cand)
         entries = [
             vid
             for vid, _ in sorted(scored.items(), key=_rank_key)[
@@ -547,18 +696,15 @@ def serve_layered(
         ]
 
     # base seeds: the _GS_ENTRIES lowest non-null-embedding ids — the
-    # same diversity seeds the inline plan takes. vec_id-only,
-    # column-pruned scan of the vector table.
-    seeds = [
-        r["vec_id"]
-        for r in vectors.select("vec_id").orderBy("vec_id").limit(
-            _GS_ENTRIES
-        ).collect()
-    ]
+    # same diversity seeds the inline plan takes. The file manifest
+    # stores the lowest _SEED_IDS_STORED stored ids (a pure function of
+    # the corpus), so this is a list slice instead of a full-table
+    # vec_id scan whose listing grew with nb.
+    seeds = ix.seed_ids[:_GS_ENTRIES]
     entry_ids = sorted(set(seeds) | set(entries or []))
 
     visited: dict[int, float | None] = _score_ids(
-        vectors, anchor, entry_ids, nb
+        spark, ix, anchor, entry_ids
     )
     for _ in range(_GS_ROUNDS):
         frontier = [
@@ -569,10 +715,10 @@ def serve_layered(
         ]
         nbrs = {
             r["nbr"]
-            for r in _pruned_edges(graph, 1, frontier, nb).collect()
+            for r in _pruned_edges(spark, ix, 1, frontier).collect()
         }
         new = sorted(nbrs - visited.keys())
-        visited.update(_score_ids(vectors, anchor, new, nb))
+        visited.update(_score_ids(spark, ix, anchor, new))
 
     # final ranking driver-side over the bounded visited set, via
     # `_rank_key` — the EXACT mirror of the window ordering the inline
@@ -592,14 +738,10 @@ def serve_layered(
     pool = visited
     if label_filter is not None:
         vids = sorted(visited.keys())
-        buckets = sorted({_bucket_py(i, nb) for i in vids})
         eligible = {
             r["vec_id"]
-            for r in vectors.filter(
-                F.col("vbucket").isin(buckets)
-                & F.col("vec_id").isin(vids)
-                & (F.col("label") == label_filter)
-            )
+            for r in _pruned_vectors(spark, ix, vids)
+            .filter(F.col("label") == label_filter)
             .select("vec_id")
             .collect()
         }
@@ -622,18 +764,24 @@ def serve_layered(
 
 
 def _pruned_src_edges(
-    graph: DataFrame, stride: int, ids: list[int], nb: int
+    spark: SparkSession, ix: _IndexHandle, stride: int, ids: list[int]
 ):
     """``_pruned_edges`` with the src column kept — the batched serve
     reads ONE union-of-frontiers edge set per round and routes each
     edge back to the anchors whose frontier contains its src."""
+    nb = ix.manifest["nb"]
     buckets = sorted({_bucket_py(i, nb) for i in ids})
+    parts = [
+        os.path.join(f"stride={stride}", f"pbucket={b}") for b in buckets
+    ]
     return (
-        graph.filter(
+        _read_parts(spark, ix, "graph", parts)
+        .filter(
             (F.col("stride") == stride)
             & F.col("pbucket").isin(buckets)
             & F.col("src").isin(ids)
-        ).select("src", "nbr")
+        )
+        .select("src", "nbr")
     )
 
 
@@ -674,10 +822,10 @@ def _anchor_score_multi_col(anchors: list[tuple[int, list[float]]]):
 
 
 def _score_ids_multi(
-    vectors: DataFrame,
+    spark: SparkSession,
+    ix: _IndexHandle,
     anchors: list[tuple[int, list[float]]],
     ids: list[int],
-    nb: int,
 ) -> dict[int, list[float | None]]:
     """``_score_ids`` against B anchors in ONE pruned job: the scan is
     shared and `_anchor_score_multi_col` scores every anchor in one
@@ -686,11 +834,8 @@ def _score_ids_multi(
     Returns id -> [score per anchor, in ``anchors`` order]."""
     if not ids:
         return {}
-    buckets = sorted({_bucket_py(i, nb) for i in ids})
     rows = (
-        vectors.filter(
-            F.col("vbucket").isin(buckets) & F.col("vec_id").isin(ids)
-        )
+        _pruned_vectors(spark, ix, ids)
         .select(
             "vec_id", _anchor_score_multi_col(anchors).alias("s")
         )
@@ -735,15 +880,30 @@ def serve_layered_batch(
         _GS_ROUNDS,
     )
 
-    manifest, graph, vectors, members = _open_index(spark, index_dir)
-    nb = manifest["nb"]
-    anchors = [
-        (r["vec_id"], list(r["embedding"]))
-        for r in vectors.select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(n_anchors)
-        .collect()
-    ]
+    ix = _open_index(spark, index_dir)
+    manifest = ix.manifest
+    # anchors = the n_anchors lowest stored ids — a slice of the file
+    # manifest's seed_ids plus a pruned embedding fetch, not a
+    # full-table orderBy scan (fallback to the scan only if the request
+    # exceeds the stored id list, which the registered faces never do)
+    if n_anchors <= len(ix.seed_ids):
+        aids = ix.seed_ids[:n_anchors]
+        arows = (
+            _pruned_vectors(spark, ix, aids)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        amap = {r["vec_id"]: list(r["embedding"]) for r in arows}
+        anchors = [(i, amap[i]) for i in aids]
+    else:
+        anchors = [
+            (r["vec_id"], list(r["embedding"]))
+            for r in _read_parts(spark, ix, "vectors")
+            .select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(n_anchors)
+            .collect()
+        ]
     if not anchors:
         raise ValueError("no stored vectors to anchor the batch on")
     B = len(anchors)
@@ -756,7 +916,10 @@ def serve_layered_batch(
         if entries is None:
             top = [
                 r["vec_id"]
-                for r in members.filter(F.col("stride") == s)
+                for r in _read_parts(
+                    spark, ix, "members", [f"stride={s}"]
+                )
+                .filter(F.col("stride") == s)
                 .select("vec_id")
                 .collect()
             ]
@@ -764,7 +927,7 @@ def serve_layered_batch(
         union_entries = sorted(set().union(*map(set, entries)))
         src_nbrs: dict[int, set[int]] = {}
         for r in _pruned_src_edges(
-            graph, s, union_entries, nb
+            spark, ix, s, union_entries
         ).collect():
             src_nbrs.setdefault(r["src"], set()).add(r["nbr"])
         cands = [
@@ -777,7 +940,7 @@ def serve_layered_batch(
             for e in entries
         ]
         union_cand = sorted(set().union(*map(set, cands)))
-        scored = _score_ids_multi(vectors, anchors, union_cand, nb)
+        scored = _score_ids_multi(spark, ix, anchors, union_cand)
         entries = [
             [
                 vid
@@ -793,17 +956,12 @@ def serve_layered_batch(
             for j in range(B)
         ]
 
-    seeds = [
-        r["vec_id"]
-        for r in vectors.select("vec_id").orderBy("vec_id").limit(
-            _GS_ENTRIES
-        ).collect()
-    ]
+    seeds = ix.seed_ids[:_GS_ENTRIES]
     entry_ids = [
         sorted(set(seeds) | set(e)) for e in (entries or [[]] * B)
     ]
     union_entry = sorted(set().union(*map(set, entry_ids)))
-    entry_scores = _score_ids_multi(vectors, anchors, union_entry, nb)
+    entry_scores = _score_ids_multi(spark, ix, anchors, union_entry)
     visited: list[dict[int, float | None]] = [
         {
             vid: entry_scores[vid][j]
@@ -825,7 +983,7 @@ def serve_layered_batch(
         union_frontier = sorted(set().union(*map(set, frontiers)))
         src_nbrs = {}
         for r in _pruned_src_edges(
-            graph, 1, union_frontier, nb
+            spark, ix, 1, union_frontier
         ).collect():
             src_nbrs.setdefault(r["src"], set()).add(r["nbr"])
         news = [
@@ -838,7 +996,7 @@ def serve_layered_batch(
             for j in range(B)
         ]
         union_new = sorted(set().union(*map(set, news)))
-        new_scores = _score_ids_multi(vectors, anchors, union_new, nb)
+        new_scores = _score_ids_multi(spark, ix, anchors, union_new)
         for j in range(B):
             visited[j].update(
                 {

@@ -269,43 +269,46 @@ def test_built_artifact_has_no_fs_sidecars(built):
 
 def test_serve_reads_are_partition_pruned(spark, built):
     """The serve face's reads must prune at the FILE level: frontier ids
-    become literal pbucket/vbucket IN partition filters, so the scan
-    touches O(frontier) of the nb hash buckets — the property that makes
-    serve cost independent of corpus size. Pinned on the physical plan's
-    PartitionFilters (an accidental re-layout that drops the partition
-    columns would silently regress to full scans per round)."""
-    from pyspark.sql import functions as F
-
+    resolve through the build-time file manifest to explicit bucket
+    files (r11 — no directory is listed on the serve path) and the
+    literal pbucket/vbucket IN predicates stay on the scan as
+    PartitionFilters, so a read touches O(frontier) of the nb hash
+    buckets — the property that makes serve cost independent of corpus
+    size. Pinned on BOTH the physical plan's PartitionFilters and the
+    scan's actual input files (an accidental re-layout or manifest drift
+    would silently regress to full scans per round)."""
     from esco_neo4j_spark.sources.ann_index import (
-        _layers_path,
+        _bucket_py,
+        _open_index,
         _pruned_edges,
-        read_manifest,
+        _pruned_src_edges,
+        _pruned_vectors,
     )
 
-    manifest = read_manifest(built)
-    nb = manifest["nb"]
-    graph = spark.read.parquet(os.path.join(_layers_path(built), "graph"))
-    vectors = spark.read.parquet(
-        os.path.join(_layers_path(built), "vectors")
-    )
-    some_ids = [r["vec_id"] for r in vectors.limit(3).collect()]
+    ix = _open_index(spark, built)
+    nb = ix.manifest["nb"]
+    some_ids = ix.seed_ids[:3]
+    buckets = sorted({_bucket_py(i, nb) for i in some_ids})
 
-    edge_plan = _pruned_edges(
-        graph, 1, some_ids, nb
-    )._jdf.queryExecution().executedPlan().toString()
+    edges = _pruned_edges(spark, ix, 1, some_ids)
+    edge_plan = edges._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in edge_plan
     assert "pbucket" in edge_plan.split("PartitionFilters", 1)[1].split(
         "]", 1
     )[0], edge_plan
+    # file-level pin: every scanned file lies in a requested bucket dir,
+    # and only manifest-listed files are scanned
+    want_dirs = {f"stride=1/pbucket={b}" for b in buckets}
+    got_files = edges.inputFiles()
+    assert got_files, "pruned edge read resolved no files"
+    for f in got_files:
+        rel = f.split("/graph/", 1)[1]
+        d, fn = rel.rsplit("/", 1)
+        assert d in want_dirs, f
+        assert fn in ix.files["graph"][d], f
 
-    from esco_neo4j_spark.sources.ann_index import _bucket_py
-
-    buckets = sorted({_bucket_py(i, nb) for i in some_ids})
     vec_plan = (
-        vectors.filter(
-            F.col("vbucket").isin(buckets)
-            & F.col("vec_id").isin(some_ids)
-        )
+        _pruned_vectors(spark, ix, some_ids)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -315,14 +318,72 @@ def test_serve_reads_are_partition_pruned(spark, built):
     )[0], vec_plan
 
     # the batched serve's src-bearing edge read must prune identically
-    from esco_neo4j_spark.sources.ann_index import _pruned_src_edges
-
     src_plan = _pruned_src_edges(
-        graph, 1, some_ids, nb
+        spark, ix, 1, some_ids
     )._jdf.queryExecution().executedPlan().toString()
     assert "pbucket" in src_plan.split("PartitionFilters", 1)[1].split(
         "]", 1
     )[0], src_plan
+
+
+def test_files_manifest_covers_artifact_and_pins_seeds(spark, built):
+    """_FILES.json must list exactly the parquet files on disk (per
+    table, per partition dir) and carry the lowest stored vec_ids —
+    the serve path trusts it instead of listing, so drift between the
+    manifest and the tree would mean silently unread data."""
+    from pyspark.sql import functions as F
+
+    from esco_neo4j_spark.sources.ann_index import (
+        _layers_path,
+        _open_index,
+    )
+
+    ix = _open_index(spark, built)
+    root = _layers_path(built)
+    for t in ("graph", "vectors", "members"):
+        ondisk = {}
+        troot = os.path.join(root, t)
+        for dirpath, _dn, fns in os.walk(troot):
+            pq = sorted(f for f in fns if f.endswith(".parquet"))
+            if pq:
+                ondisk[os.path.relpath(dirpath, troot)] = pq
+        assert ix.files[t] == ondisk, t
+    # seed ids = the lowest stored (non-null-embedding) vec_ids
+    vec = spark.read.parquet(os.path.join(root, "vectors"))
+    want = [
+        r["vec_id"]
+        for r in vec.select("vec_id")
+        .orderBy(F.asc("vec_id"))
+        .limit(len(ix.seed_ids))
+        .collect()
+    ]
+    assert ix.seed_ids == want
+
+
+def test_open_index_lists_no_directories(spark, built, monkeypatch):
+    """The cold open is two JSON reads — the 8.5s sf30 cold-listing tax
+    the file manifest exists to remove. Pin it: opening the index must
+    not call os.listdir/os.scandir and must run zero Spark jobs."""
+    import os as _os
+
+    from esco_neo4j_spark.sources import ann_index
+
+    calls = []
+    real_scandir = _os.scandir
+    monkeypatch.setattr(
+        _os,
+        "scandir",
+        lambda *a, **k: calls.append(a) or real_scandir(*a, **k),
+    )
+    real_listdir = _os.listdir
+    monkeypatch.setattr(
+        _os,
+        "listdir",
+        lambda *a, **k: calls.append(a) or real_listdir(*a, **k),
+    )
+    ix = ann_index._open_index(spark, built)
+    assert ix.manifest and ix.files and ix.seed_ids
+    assert calls == [], f"open listed directories: {calls}"
 
 
 def test_layered_maintenance_stream_equals_batch(spark, tmp_path):

@@ -44,6 +44,9 @@ def main() -> None:
     names = list(args.queries)
     if args.bench:
         names += [n for n, q in REGISTRY.items() if q.bench and n not in names]
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        sys.exit(f"unknown query name(s): {', '.join(unknown)}")
     os.makedirs(args.out, exist_ok=True)
 
     spark = get_spark("capture_plans")
