@@ -29,7 +29,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from esco_neo4j_spark.plans import REGISTRY  # noqa: E402
-from esco_neo4j_spark.session import get_spark  # noqa: E402
+from esco_neo4j_spark.session import default_parallelism, get_spark  # noqa: E402
 
 
 def main() -> None:
@@ -207,6 +207,14 @@ def main() -> None:
         "queries": timings,
         "headline_method": "min over 3 back-to-back runs + 1 second-pass run",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # Additive field (r11, VERDICT item 6): record the core count the
+        # invocation actually ran at, so a pair of bench JSONs taken at
+        # different $SPARK_GRAFT_CPUS is self-describing and core-count
+        # scaling can be read off the sf1 scale tail (where per-query
+        # work is seconds-scale) instead of the sf0.1 headline (where
+        # job fixed cost dominates and ratios sit at ~1 regardless).
+        # Nothing existing is renamed or re-measured.
+        "cpus": default_parallelism(),
     }
     if scale_tail:
         out["scale_tail_total"] = round(sum(scale_tail.values()), 3)

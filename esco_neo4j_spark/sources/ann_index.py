@@ -706,6 +706,14 @@ def serve_layered(
     visited: dict[int, float | None] = _score_ids(
         spark, ix, anchor, entry_ids
     )
+    # Per-walk edge memo (r11, guide §2.3 — read each src's adjacency
+    # once): consecutive beams overlap heavily (the best ids stay in the
+    # top beam), so later rounds re-read mostly-known buckets. Remember
+    # each expanded src's neighbor set driver-side (bounded:
+    # ≤ visited·degree ids) and fetch only never-expanded frontier ids.
+    # The graph is static within a serve, so the union of neighbors is
+    # identical to re-reading — values unchanged.
+    edge_nbrs: dict[int, set[int]] = {}
     for _ in range(_GS_ROUNDS):
         frontier = [
             vid
@@ -713,10 +721,15 @@ def serve_layered(
                 : manifest["beam"]
             ]
         ]
-        nbrs = {
-            r["nbr"]
-            for r in _pruned_edges(spark, ix, 1, frontier).collect()
-        }
+        miss = [i for i in frontier if i not in edge_nbrs]
+        if miss:
+            fetched: dict[int, set[int]] = {i: set() for i in miss}
+            for r in _pruned_src_edges(spark, ix, 1, miss).collect():
+                fetched[r["src"]].add(r["nbr"])
+            edge_nbrs.update(fetched)
+        nbrs: set[int] = set().union(
+            *(edge_nbrs[i] for i in frontier)
+        )
         new = sorted(nbrs - visited.keys())
         visited.update(_score_ids(spark, ix, anchor, new))
 
@@ -908,6 +921,40 @@ def serve_layered_batch(
         raise ValueError("no stored vectors to anchor the batch on")
     B = len(anchors)
 
+    # Per-walk memos (r11, guide §2.3): B anchors' walks converge on the
+    # same hub region, so the union frontier/candidate sets of later
+    # rounds are mostly ids some anchor already visited. An id's edge
+    # set and its B-anchor score vector are deterministic within a
+    # serve, so remember both driver-side (bounded: ≤ visited·degree
+    # ids × B scores) and fetch only genuinely-new ids each round —
+    # this is what pushes large-B batch wall toward flat instead of
+    # re-reading/re-scoring the shared hubs every round.
+    _absent = object()
+    score_memo: dict[int, object] = {}
+
+    def _scores_for(ids: list[int]) -> dict[int, list]:
+        miss = [i for i in ids if i not in score_memo]
+        if miss:
+            got = _score_ids_multi(spark, ix, anchors, miss)
+            for i in miss:
+                score_memo[i] = got.get(i, _absent)
+        return {
+            i: score_memo[i]
+            for i in ids
+            if score_memo[i] is not _absent
+        }
+
+    edge_memo: dict[int, set[int]] = {}
+
+    def _base_nbrs(ids: list[int]) -> dict[int, set[int]]:
+        miss = [i for i in ids if i not in edge_memo]
+        if miss:
+            fetched: dict[int, set[int]] = {i: set() for i in miss}
+            for r in _pruned_src_edges(spark, ix, 1, miss).collect():
+                fetched[r["src"]].add(r["nbr"])
+            edge_memo.update(fetched)
+        return edge_memo
+
     entries: list[list[int]] | None = None
     for layer in manifest["layers"]:
         s = layer["stride"]
@@ -940,7 +987,7 @@ def serve_layered_batch(
             for e in entries
         ]
         union_cand = sorted(set().union(*map(set, cands)))
-        scored = _score_ids_multi(spark, ix, anchors, union_cand)
+        scored = _scores_for(union_cand)
         entries = [
             [
                 vid
@@ -961,7 +1008,7 @@ def serve_layered_batch(
         sorted(set(seeds) | set(e)) for e in (entries or [[]] * B)
     ]
     union_entry = sorted(set().union(*map(set, entry_ids)))
-    entry_scores = _score_ids_multi(spark, ix, anchors, union_entry)
+    entry_scores = _scores_for(union_entry)
     visited: list[dict[int, float | None]] = [
         {
             vid: entry_scores[vid][j]
@@ -981,11 +1028,7 @@ def serve_layered_batch(
             for v in visited
         ]
         union_frontier = sorted(set().union(*map(set, frontiers)))
-        src_nbrs = {}
-        for r in _pruned_src_edges(
-            spark, ix, 1, union_frontier
-        ).collect():
-            src_nbrs.setdefault(r["src"], set()).add(r["nbr"])
+        src_nbrs = _base_nbrs(union_frontier)
         news = [
             sorted(
                 set().union(
@@ -996,7 +1039,7 @@ def serve_layered_batch(
             for j in range(B)
         ]
         union_new = sorted(set().union(*map(set, news)))
-        new_scores = _score_ids_multi(spark, ix, anchors, union_new)
+        new_scores = _scores_for(union_new)
         for j in range(B):
             visited[j].update(
                 {
